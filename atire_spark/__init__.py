@@ -1,0 +1,20 @@
+"""atire_spark — a from-scratch PySpark-native inverted-index + BM25 engine.
+
+Reimplements the *capabilities* of the reference ATIRE engine
+(vkitchen/atire, read-only at /root/reference) over Spark DataFrames:
+
+- index build: tokenization + per-turn posting extraction in vectorized
+  Arrow/pandas UDFs, partition-local posting construction, salted
+  term-partitioned shuffle merge into impact-ordered vbyte-compressed
+  posting segments (reference recipe: per-part index + atire_merge,
+  reference README.md:78-93).
+- query: BM25 term-at-a-time top-k, rank-identical to the reference's
+  default configuration (unquantized tf-impact index, k1=0.9, b=0.4,
+  fixed-point uint16 accumulators, tie-break larger-docid-first).
+
+Nothing here is a port: the reference's hash tables, B-trees and byte
+buffers are replaced by DataFrame aggregations, Iceberg/Parquet segment
+tables and numpy kernels.
+"""
+
+__version__ = "0.1.0"

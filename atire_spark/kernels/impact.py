@@ -1,0 +1,169 @@
+"""Impact-ordered posting-segment layout + codec.
+
+Reference layout (/root/reference/source/memory_index.c:476-580,
+``impact_order_with_header``): postings for one term are grouped by
+impact value (= saturated tf for the default unquantized index) in
+*descending* impact order; within each group docids are ascending and
+delta-encoded with an implicit previous docid of -1 (the first stored
+delta is ``docid + 1``; the scorer starts its cursor at -1,
+ranking_function_bm25.c:118-124). The header carries, per group
+("quantum"): the impact value, the doc count, and the int offset of the
+group in the decoded stream. The first header impact value is the
+term's max impact (memory_index.c:567).
+
+Our segment row adds what the reference keeps elsewhere:
+
+- per-group *byte* offsets, because each group is vbyte-compressed
+  independently (the reference's IMPACT_HEADER per-quantum compression,
+  memory_index.c:804-1042) — enables partial/block-max decode;
+- an inline vbyte stream of the doc lengths aligned with the posting
+  order, replacing the reference's in-RAM ``~length`` vector
+  (search_engine.c:191-306): at 10^12 docs a dense length array cannot
+  live on one node, so each segment is self-contained and scoring needs
+  no join.
+
+Static pruning (reference -K, memory_index.c:545-546): optional
+``static_prune`` cuts the list at the end of the group containing the
+prune point.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from atire_spark.kernels.vbyte import vbyte_decode, vbyte_encode
+
+
+@dataclass
+class Segment:
+    """One postings segment (one term, one contiguous docid range)."""
+
+    impacts: np.ndarray  # int32, descending impact (tf) per group
+    doc_counts: np.ndarray  # int32, postings per group
+    offsets: np.ndarray  # int64, int offset of group start in decoded stream
+    byte_offsets: np.ndarray  # int64, byte offset of group start in `postings`
+    postings: bytes  # per-group vbyte docid-delta streams, concatenated
+    doc_lens: bytes  # vbyte doc lengths aligned with posting order
+    n_postings: int
+    max_impact: int
+
+
+def impact_order(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    static_prune: int = 0,
+) -> Segment:
+    """Build one impact-ordered segment from parallel arrays.
+
+    ``docids`` must be ascending and unique; ``tfs`` the saturated term
+    frequencies; ``doc_lens`` the document lengths aligned with
+    ``docids``.
+    """
+    docids = np.ascontiguousarray(docids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    doc_lens = np.ascontiguousarray(doc_lens, dtype=np.int64)
+    n = docids.size
+    if n == 0:
+        raise ValueError("impact_order: empty posting list")
+
+    # stable sort by impact descending, docid ascending (docids are
+    # already ascending, so a stable sort on -tf preserves docid order
+    # within each impact group — same result as the reference's bucket
+    # scatter, memory_index.c:554-562)
+    order = np.argsort(-tfs, kind="stable")
+    s_tf = tfs[order]
+    s_doc = docids[order]
+    s_len = doc_lens[order]
+
+    # group boundaries where impact changes
+    change = np.flatnonzero(np.diff(s_tf)) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+    impacts = s_tf[starts].astype(np.int32)
+    doc_counts = (ends - starts).astype(np.int32)
+
+    # optional static prune: cut at end of group containing prune point
+    if static_prune > 0:
+        cum = np.cumsum(doc_counts)
+        keep_groups = int(np.searchsorted(cum, static_prune, side="left")) + 1
+        keep_groups = min(keep_groups, impacts.size)
+        impacts = impacts[:keep_groups]
+        doc_counts = doc_counts[:keep_groups]
+        starts = starts[:keep_groups]
+        ends = ends[:keep_groups]
+        n = int(np.sum(doc_counts))
+        s_doc = s_doc[: ends[-1]]
+        s_len = s_len[: ends[-1]]
+
+    # per-group delta encoding with implicit prev = -1: first stored
+    # value is docid+1, later values are docid diffs within the group
+    deltas = np.empty(n, dtype=np.int64)
+    shifted = s_doc + 1  # work in the +1 domain so prev starts at 0
+    deltas[:] = shifted
+    deltas[1:] -= shifted[:-1]
+    deltas[starts] = shifted[starts]  # restart at each group boundary
+
+    # vbyte each group independently; record byte offsets
+    blobs = []
+    byte_offsets = np.zeros(impacts.size, dtype=np.int64)
+    pos = 0
+    for g in range(impacts.size):
+        blob = vbyte_encode(deltas[starts[g] : ends[g]])
+        byte_offsets[g] = pos
+        pos += len(blob)
+        blobs.append(blob)
+
+    offsets = np.zeros(impacts.size, dtype=np.int64)
+    np.cumsum(doc_counts[:-1], out=offsets[1:])
+
+    return Segment(
+        impacts=impacts,
+        doc_counts=doc_counts,
+        offsets=offsets,
+        byte_offsets=byte_offsets,
+        postings=b"".join(blobs),
+        doc_lens=vbyte_encode(s_len),
+        n_postings=int(n),
+        max_impact=int(impacts[0]),
+    )
+
+
+def decode_segment(
+    impacts: np.ndarray,
+    doc_counts: np.ndarray,
+    postings: bytes,
+    doc_lens: bytes | None = None,
+    max_groups: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Decode a segment back to ``(docids, tfs, doc_lens)``.
+
+    ``max_groups`` decodes only the leading (highest-impact) groups —
+    the reference's partial decompression to the trim point
+    (search_engine.c:942-1070). Returned arrays are in impact order
+    (group-major), not docid order.
+    """
+    impacts = np.asarray(impacts, dtype=np.int64)
+    doc_counts = np.asarray(doc_counts, dtype=np.int64)
+    g = impacts.size if max_groups is None else min(max_groups, impacts.size)
+    n = int(np.sum(doc_counts[:g]))
+
+    deltas = vbyte_decode(postings)  # full decode; byte_offsets allow
+    deltas = deltas[:n].astype(np.int64)  # partial via slicing instead
+
+    # undo per-group delta encoding (prev = -1 per group): the global
+    # cumsum minus the cumsum at the end of the previous group gives the
+    # within-group cumsum; -1 maps back from the +1-shifted domain
+    starts = np.zeros(g, dtype=np.int64)
+    np.cumsum(doc_counts[: g - 1], out=starts[1:])
+    cum = np.cumsum(deltas)
+    prefix = np.concatenate(([0], cum[starts[1:] - 1])) if g > 1 else np.zeros(1, dtype=np.int64)
+    docids = cum - np.repeat(prefix, doc_counts[:g]) - 1
+
+    tfs = np.repeat(impacts[:g], doc_counts[:g])
+    lens = None
+    if doc_lens is not None:
+        lens = vbyte_decode(doc_lens)[:n].astype(np.int64)
+    return docids, tfs, lens

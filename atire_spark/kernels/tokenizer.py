@@ -1,0 +1,102 @@
+"""Tokenizer with reference-ATIRE parsing semantics for plain text.
+
+Reference rules (/root/reference/source/parser.c:62-365,
+/root/reference/source/index_document.c:44-136):
+
+- a WORD token is a maximal run of (Unicode) letters, lowercased /
+  normalized; a NUMBER token is a maximal run of (Unicode) decimal
+  digits, indexed *raw* (parser.c:209-221, parser_token.h:30 —
+  numbers have no normalized form);
+- punctuation tokens are emitted but never indexed
+  (index_document.c:129-131) — we simply don't emit them;
+- tokens whose RAW byte length exceeds MAX_TERM_LENGTH (20*1024,
+  atire_api.h:21) are discarded before counting
+  (index_document.c:55-56), so they contribute neither postings nor
+  document length;
+- document length = number of surviving WORD + NUMBER tokens
+  (index_document.c:61,118), duplicates included, *before* the per-doc
+  tf saturation at 255 (memory_index_hash_node.h:140-143).
+
+Parity note: on ASCII input the lowercase step is exact. For non-ASCII
+letters the reference applies its own Unicode decompose+lowercase tables
+(unicode.c); we use Python's str.lower(), which agrees on common
+codepoints but is not guaranteed identical on exotic ones. All fixtures
+are ASCII-dominant by construction.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+MAX_TERM_BYTES = 20 * 1024  # atire_api.h:21 MAX_TERM_LENGTH
+
+# letter runs ([^\W\d_] == Unicode letters) or decimal-digit runs
+_TOKEN_RE = re.compile(r"[^\W\d_]+|\d+", re.UNICODE)
+
+
+def tokenize(text: str | None) -> list[str]:
+    """Tokenize one string → list of indexable terms (lowercased words +
+    raw digit runs), with the >20KB raw-length drop applied."""
+    if not text:
+        return []
+    out = []
+    for tok in _TOKEN_RE.findall(text):
+        # byte_len <= 4 * char_len, so char_len <= MAX/4 can never exceed
+        if len(tok) > MAX_TERM_BYTES // 4 and len(tok.encode("utf-8")) > MAX_TERM_BYTES:
+            continue
+        out.append(tok.lower())
+    return out
+
+
+def tokenize_batch(texts: pd.Series) -> tuple[pd.Series, np.ndarray]:
+    """Vectorized batch tokenization.
+
+    Returns ``(tokens, doc_len)`` where ``tokens`` is a Series of
+    list[str] aligned with ``texts`` and ``doc_len`` the per-row
+    surviving token count (WORD+NUMBER, duplicates included).
+
+    Implementation stays in pandas vectorized string ops: one
+    ``str.findall`` over the batch, an exploded ``str.lower`` pass, and
+    a length filter — no per-row Python beyond list regrouping.
+    """
+    if not texts.index.is_unique:
+        raise ValueError("tokenize_batch requires a unique index")
+    raw = texts.fillna("").astype(str).str.findall(_TOKEN_RE)
+    flat = raw.explode().dropna()
+    if flat.empty:
+        return pd.Series([[] for _ in range(len(texts))], index=texts.index), np.zeros(
+            len(texts), dtype=np.int64
+        )
+    # cheap char-length prefilter; exact byte-length check only on the
+    # (vanishingly rare) long tail
+    char_len = flat.str.len().to_numpy()
+    # byte_len <= 4 * char_len, so anything above MAX/4 chars needs the
+    # exact utf-8 byte check
+    suspect = np.flatnonzero(char_len > MAX_TERM_BYTES // 4)
+    if suspect.size:
+        too_long = (
+            flat.iloc[suspect].str.encode("utf-8").str.len().to_numpy()
+            > MAX_TERM_BYTES
+        )
+        keep = np.ones(len(flat), dtype=bool)
+        keep[suspect[too_long]] = False
+        flat = flat[keep]
+    flat = flat.str.lower()
+    grouped = flat.groupby(level=0).agg(list)
+    tokens = grouped.reindex(texts.index)
+    tokens = tokens.apply(lambda v: v if isinstance(v, list) else [])
+    doc_len = tokens.str.len().to_numpy(dtype=np.int64)
+    return tokens, doc_len
+
+
+def term_counts(tokens: list[str], tf_cap: int = 255) -> tuple[list[str], list[int]]:
+    """Per-document (term, tf) with tf saturated at ``tf_cap``
+    (memory_index_hash_node.h:140-143)."""
+    if not tokens:
+        return [], []
+    s = pd.Series(tokens).value_counts()
+    tfs = np.minimum(s.to_numpy(), tf_cap)
+    return list(s.index), [int(x) for x in tfs]

@@ -1,0 +1,129 @@
+"""Pure numpy/pandas reference oracle for rank-identity testing.
+
+This is an *independent* implementation of the reference semantics
+(SURVEY.md §4.5) — deliberately structured differently from the Spark
+engine (dict-of-arrays index, dense accumulator array) so that a bug in
+a shared kernel cannot self-verify. It mirrors reference ATIRE's own
+architecture at miniature scale:
+
+- docids by stable (conv_id, turn_idx) order, empty docs skipped
+  without consuming an id (reference atire/index.c:533-540);
+- tf saturated at 255 (memory_index_hash_node.h:140-143);
+- BM25 k1=0.9 b=0.4, idf = ln(N/df) with df==N contributing nothing
+  (ranking_function_bm25.c:91-92), float32 doc-length prior
+  (ranking_function_bm25.c:27-31);
+- fixed-point uint16 accumulators, +1 per hit
+  (search_engine_accumulator.h:76);
+- final order rsv desc, tie → larger docid first
+  (search_engine_accumulator.h:36-42).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from atire_spark.kernels.tokenizer import tokenize
+
+K1 = 0.9
+B = 0.4
+TF_CAP = 255
+ACCUM_MOD = 1 << 16
+
+
+@dataclass
+class OracleIndex:
+    n_docs: int
+    collection_len: int
+    mean_doc_len: float
+    doc_lens: np.ndarray  # int64 per docid
+    postings: dict[str, tuple[np.ndarray, np.ndarray]]  # term -> (docids asc, tfs)
+    docmap: pd.DataFrame  # docid, conv_id, turn_idx, doc_len
+    priors: np.ndarray = field(init=False)  # float32 per docid
+
+    def __post_init__(self) -> None:
+        lens = self.doc_lens.astype(np.float64)
+        self.priors = (K1 * ((1.0 - B) + B * (lens / self.mean_doc_len))).astype(
+            np.float32
+        )
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(cls, transcripts: pd.DataFrame) -> "OracleIndex":
+        """Build from a pandas transcripts frame (conv_id, turn_idx, text)."""
+        df = transcripts.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        docid = 0
+        doc_lens: list[int] = []
+        rows: list[tuple[int, str, int, int]] = []
+        post: dict[str, tuple[list[int], list[int]]] = {}
+        for conv_id, turn_idx, text in zip(
+            df["conv_id"], df["turn_idx"], df["text"]
+        ):
+            toks = tokenize(text)
+            if not toks:
+                continue  # empty doc: no docid consumed
+            for term, tf in Counter(toks).items():
+                lst = post.setdefault(term, ([], []))
+                lst[0].append(docid)
+                lst[1].append(min(tf, TF_CAP))
+            doc_lens.append(len(toks))
+            rows.append((docid, conv_id, int(turn_idx), len(toks)))
+            docid += 1
+
+        lens = np.asarray(doc_lens, dtype=np.int64)
+        n = int(lens.size)
+        total = int(lens.sum())
+        postings = {
+            t: (np.asarray(d, dtype=np.int64), np.asarray(f, dtype=np.int64))
+            for t, (d, f) in post.items()
+        }
+        docmap = pd.DataFrame(rows, columns=["docid", "conv_id", "turn_idx", "doc_len"])
+        return cls(
+            n_docs=n,
+            collection_len=total,
+            mean_doc_len=total / n if n else 0.0,
+            doc_lens=lens,
+            postings=postings,
+            docmap=docmap,
+        )
+
+    # ------------------------------------------------------------------
+    def search(self, query: str, k: int = 10) -> pd.DataFrame:
+        """BM25 top-k → DataFrame(rank, docid, rsv_fixed)."""
+        terms = tokenize(query)
+        acc = np.zeros(self.n_docs, dtype=np.int64)
+        touched = np.zeros(self.n_docs, dtype=bool)
+        for term in terms:  # one pass per occurrence, like the reference
+            hit = self.postings.get(term)
+            if hit is None:
+                continue
+            docids, tfs = hit
+            df_t = docids.size
+            idf = float(np.log(np.float64(self.n_docs) / np.float64(df_t)))
+            if idf == 0.0:
+                continue  # df == N: term contributes nothing
+            tf_d = tfs.astype(np.float64)
+            prior = self.priors[docids].astype(np.float64)
+            rsv = idf * ((tf_d * (K1 + 1.0)) / (tf_d + prior))
+            acc[docids] += 1 + (rsv * 100.0).astype(np.int64)
+            touched[docids] = True
+
+        cand = np.flatnonzero(touched)
+        if cand.size == 0:
+            return pd.DataFrame(columns=["rank", "docid", "rsv_fixed"]).astype(
+                {"rank": np.int32, "docid": np.int64, "rsv_fixed": np.int64}
+            )
+        rsv_fixed = acc[cand] % ACCUM_MOD
+        # rsv desc, then docid desc
+        order = np.lexsort((-cand, -rsv_fixed))[: min(k, cand.size)]
+        out = pd.DataFrame(
+            {
+                "rank": np.arange(1, order.size + 1, dtype=np.int32),
+                "docid": cand[order],
+                "rsv_fixed": rsv_fixed[order],
+            }
+        )
+        return out

@@ -1,0 +1,130 @@
+"""Deterministic synthetic transcripts + query fixtures (FIXTURES.md).
+
+Schema is exactly the BASELINE.json input_hint:
+``(conv_id string, turn_idx int, role string, text string, tool string,
+ts timestamp)``. Seeded numpy Generator → identical output across runs
+and across machines; generation order is stable so docid = dense rank
+over (conv_id, turn_idx) is reproducible.
+
+Corpus properties exercised (per FIXTURES.md):
+- Zipf(s=1.2) vocabulary of 10,000 terms ``term00000``…;
+- conv lengths ~ 1 + Poisson(6);
+- punctuation, mixed case, digit runs (NUMBER tokens);
+- ~0.5% empty/whitespace-only turns (must not consume a docid);
+- rare >20KB single-token rows (must be dropped, reference
+  index_document.c:55-56);
+- 5 "stop-terms" in ~60% of turns and one adversarial term in every
+  turn of the largest 10% of conversations (skew for salted merge).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+VOCAB_SIZE = 10_000
+STOP_TERMS = ["alpha", "bravo", "charlie", "delta", "echo"]
+ADVERSARIAL_TERM = "omegaterm"
+ROLES = ["user", "assistant", "tool"]
+BASE_TS = datetime(2025, 1, 1, 0, 0, 0)
+
+SCALES = {"tiny": 20, "small": 2_000, "bench": 200_000}
+
+
+def make_transcripts(scale: str | int = "tiny", seed: int = SEED) -> pd.DataFrame:
+    """Generate the transcripts table for a named scale or conv count."""
+    n_convs = SCALES[scale] if isinstance(scale, str) else int(scale)
+    rng = np.random.default_rng(seed)
+
+    vocab = np.array([f"term{i:05d}" for i in range(VOCAB_SIZE)])
+    # Zipf(s=1.2) over ranks 1..VOCAB_SIZE via normalized power-law weights
+    ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+    zipf_p = ranks ** -1.2
+    zipf_p /= zipf_p.sum()
+
+    conv_lens = 1 + rng.poisson(6, size=n_convs)
+    # adversarial term goes into every turn of the largest 10% of convs
+    cutoff = np.quantile(conv_lens, 0.9)
+    adversarial_convs = conv_lens >= cutoff
+
+    total_turns = int(conv_lens.sum())
+    n_tokens = rng.integers(5, 121, size=total_turns)
+    empty_mask = rng.random(total_turns) < 0.005
+    stop_mask = rng.random(total_turns) < 0.60
+    digit_mask = rng.random(total_turns) < 0.10
+    upper_mask = rng.random(total_turns) < 0.15
+    punct_mask = rng.random(total_turns) < 0.30
+    long_tok_mask = rng.random(total_turns) < 0.0008  # a few >20KB tokens
+    role_idx = rng.integers(0, 3, size=total_turns)
+    tool_ids = rng.integers(0, 8, size=total_turns)
+
+    rows = []
+    t = 0
+    for conv in range(n_convs):
+        conv_id = f"conv{conv:06d}"
+        for turn_idx in range(int(conv_lens[conv])):
+            if empty_mask[t]:
+                text = "   " if t % 2 == 0 else ""
+            else:
+                k = int(n_tokens[t])
+                toks = list(rng.choice(vocab, size=k, p=zipf_p))
+                if stop_mask[t]:
+                    toks.insert(0, STOP_TERMS[t % len(STOP_TERMS)])
+                if adversarial_convs[conv]:
+                    toks.append(ADVERSARIAL_TERM)
+                if digit_mask[t]:
+                    toks.append(str(int(rng.integers(0, 10**9))))
+                if upper_mask[t]:
+                    toks[0] = toks[0].upper()
+                if punct_mask[t]:
+                    toks[len(toks) // 2] += ","
+                    toks.append("end.")
+                if long_tok_mask[t]:
+                    toks.append("x" * (20 * 1024 + 7))
+                text = " ".join(toks)
+            role = ROLES[int(role_idx[t])]
+            tool = f"tool{int(tool_ids[t])}" if role == "tool" else None
+            rows.append(
+                (
+                    conv_id,
+                    turn_idx,
+                    role,
+                    text,
+                    tool,
+                    BASE_TS + timedelta(minutes=t),
+                )
+            )
+            t += 1
+
+    return pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
+def make_queries(seed: int = SEED) -> pd.DataFrame:
+    """The reference-style query set (~30 queries, FIXTURES.md §2):
+    single rare term, single stop-term, mixed rare+common, absent term,
+    digits, uppercase input, multi-term."""
+    rng = np.random.default_rng(seed + 1)
+    queries: list[str] = [
+        "term09874",  # single rare term
+        "alpha",  # single stop-term
+        "term00001 term08712",  # common + rare
+        "zzznotaterm",  # absent from corpus
+        "12345",  # digits
+        "TERM00002",  # uppercase input → lowercased
+        "omegaterm",  # adversarial skew term
+        "alpha bravo charlie",  # all stop-terms
+        "term00001 term00002 term00003 term00004 term00005",
+        "end",  # punctuation-split token
+    ]
+    while len(queries) < 30:
+        n = int(rng.integers(1, 6))
+        terms = [f"term{int(rng.integers(0, VOCAB_SIZE)):05d}" for _ in range(n)]
+        queries.append(" ".join(terms))
+    return pd.DataFrame(
+        {"query_id": np.arange(1, len(queries) + 1), "query": queries}
+    )

@@ -1,0 +1,185 @@
+"""Kernel unit tests (no Spark) — vectors per FIXTURES.md §5, mirroring
+the reference's tests/test_compression.c and parser semantics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from atire_spark.kernels.bm25 import doc_priors, group_contrib, idf
+from atire_spark.kernels.impact import decode_segment, impact_order
+from atire_spark.kernels.tokenizer import (
+    MAX_TERM_BYTES,
+    term_counts,
+    tokenize,
+    tokenize_batch,
+)
+from atire_spark.kernels.vbyte import vbyte_decode, vbyte_encode
+
+
+# ---------------------------------------------------------------- vbyte
+class TestVbyte:
+    def test_known_boundaries(self):
+        # reference scheme: 7-bit groups, stop bit 0x80 on the LAST byte
+        # (compress_variable_byte.h:57-96)
+        vals = [0, 1, 127, 128, 2**14 - 1, 2**14, 2**14 + 1, 2**28 - 1, 2**28, 2**40, 2**62]
+        enc = vbyte_encode(np.array(vals, dtype=np.uint64))
+        dec = vbyte_decode(enc)
+        assert list(dec) == vals
+
+    def test_wire_format(self):
+        assert vbyte_encode(np.array([0])) == b"\x80"
+        assert vbyte_encode(np.array([127])) == b"\xff"
+        # 128 = 0b1_0000000 → high group 0x01 then low group 0x00|0x80
+        assert vbyte_encode(np.array([128])) == b"\x01\x80"
+        assert vbyte_encode(np.array([300])) == bytes([300 >> 7, (300 & 0x7F) | 0x80])
+
+    def test_empty(self):
+        assert vbyte_encode(np.array([], dtype=np.uint64)) == b""
+        assert vbyte_decode(b"").size == 0
+
+    def test_count_validation(self):
+        enc = vbyte_encode(np.array([5, 6, 7]))
+        with pytest.raises(ValueError):
+            vbyte_decode(enc, count=2)
+
+    def test_truncated(self):
+        with pytest.raises(ValueError):
+            vbyte_decode(b"\x01\x01")  # no stop bit at end
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+    def test_roundtrip_property(self, vals):
+        arr = np.array(vals, dtype=np.uint64)
+        assert list(vbyte_decode(vbyte_encode(arr), count=len(vals))) == vals
+
+
+# ------------------------------------------------------------ tokenizer
+class TestTokenizer:
+    def test_basic_rules(self):
+        # letter runs lowercased, digit runs raw, punctuation dropped
+        # (parser.c:151-233)
+        assert tokenize("Hello, World!") == ["hello", "world"]
+        assert tokenize("abc123def") == ["abc", "123", "def"]
+        assert tokenize("e-mail isn't x2") == ["e", "mail", "isn", "t", "x", "2"]
+        assert tokenize("") == []
+        assert tokenize(None) == []
+        assert tokenize("...!!!") == []
+        assert tokenize("MiXeD CaSe") == ["mixed", "case"]
+
+    def test_long_token_dropped(self):
+        long_tok = "x" * (MAX_TERM_BYTES + 1)
+        assert tokenize(f"ok {long_tok} fine") == ["ok", "fine"]
+        # exactly at the cap is kept (strict > in index_document.c:55)
+        at_cap = "y" * MAX_TERM_BYTES
+        assert tokenize(at_cap) == [at_cap]
+
+    def test_unicode(self):
+        assert tokenize("café Über") == ["café", "über"]
+
+    def test_batch_matches_scalar(self):
+        texts = pd.Series(
+            ["Hello, World!", "", None, "abc123", "x " + "q" * (MAX_TERM_BYTES + 5), "A A a"]
+        )
+        toks, lens = tokenize_batch(texts)
+        expected = [tokenize(t) for t in texts]
+        assert list(toks) == expected
+        assert list(lens) == [len(e) for e in expected]
+
+    def test_term_counts_cap(self):
+        toks = ["a"] * 300 + ["b"]
+        terms, tfs = term_counts(toks)
+        d = dict(zip(terms, tfs))
+        assert d == {"a": 255, "b": 1}  # tf saturates at 255
+
+
+# ------------------------------------------------------------- impact
+class TestImpactOrder:
+    def test_known_vector(self):
+        # docids ascending, tfs: groups must come out impact-desc with
+        # per-group delta-from(-1) encoding (memory_index.c:476-580)
+        docids = np.array([3, 7, 9, 12, 20])
+        tfs = np.array([2, 5, 2, 5, 1])
+        lens = np.array([10, 20, 30, 40, 50])
+        seg = impact_order(docids, tfs, lens)
+        assert list(seg.impacts) == [5, 2, 1]
+        assert list(seg.doc_counts) == [2, 2, 1]
+        assert list(seg.offsets) == [0, 2, 4]
+        assert seg.max_impact == 5
+        assert seg.n_postings == 5
+        # group tf=5: docids 7,12 → deltas 8,5 ; group tf=2: 3,9 → 4,6 ; tf=1: 20 → 21
+        assert list(vbyte_decode(seg.postings)) == [8, 5, 4, 6, 21]
+        d, t, l = decode_segment(seg.impacts, seg.doc_counts, seg.postings, seg.doc_lens)
+        assert list(d) == [7, 12, 3, 9, 20]
+        assert list(t) == [5, 5, 2, 2, 1]
+        assert list(l) == [20, 40, 10, 30, 50]
+
+    def test_df1_fast_path(self):
+        seg = impact_order(np.array([42]), np.array([7]), np.array([99]))
+        assert list(seg.impacts) == [7]
+        assert list(vbyte_decode(seg.postings)) == [43]
+        d, t, l = decode_segment(seg.impacts, seg.doc_counts, seg.postings, seg.doc_lens)
+        assert list(d) == [42] and list(t) == [7] and list(l) == [99]
+
+    def test_static_prune(self):
+        # prune point inside a group keeps the whole group
+        # (memory_index.c:545-546: cut at end of the containing group)
+        docids = np.arange(10)
+        tfs = np.array([9, 9, 9, 5, 5, 5, 5, 2, 2, 2])
+        lens = np.ones(10, dtype=np.int64)
+        seg = impact_order(docids, tfs, lens, static_prune=4)
+        assert list(seg.impacts) == [9, 5]
+        assert seg.n_postings == 7
+
+    def test_partial_decode(self):
+        docids = np.arange(20)
+        tfs = np.concatenate([np.full(10, 8), np.full(10, 3)])
+        seg = impact_order(docids, tfs, np.ones(20, dtype=np.int64))
+        d, t, _ = decode_segment(seg.impacts, seg.doc_counts, seg.postings, max_groups=1)
+        assert list(d) == list(range(10))
+        assert set(t) == {8}
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 10**6), st.integers(1, 255), st.integers(1, 500)),
+            min_size=1,
+            max_size=300,
+            unique_by=lambda x: x[0],
+        )
+    )
+    def test_roundtrip_property(self, items):
+        items.sort()
+        docids = np.array([i[0] for i in items])
+        tfs = np.array([i[1] for i in items])
+        lens = np.array([i[2] for i in items])
+        seg = impact_order(docids, tfs, lens)
+        d, t, l = decode_segment(seg.impacts, seg.doc_counts, seg.postings, seg.doc_lens)
+        got = sorted(zip(d.tolist(), t.tolist(), l.tolist()))
+        assert got == items
+
+
+# --------------------------------------------------------------- bm25
+class TestBM25:
+    def test_hand_computed(self):
+        # N=4 docs, df=2, tf=3, len=10, mean=8.25
+        n, df_t = 4, 2
+        i = idf(n, df_t)
+        assert i == pytest.approx(np.log(2.0))
+        prior = doc_priors(np.array([10]), 8.25)
+        assert prior.dtype == np.float32
+        expected_prior = np.float32(0.9 * (0.6 + 0.4 * (10 / 8.25)))
+        assert prior[0] == expected_prior
+        contrib = group_contrib(3, i, prior)
+        rsv = i * (3.0 * 1.9) / (3.0 + float(expected_prior))
+        assert contrib[0] == 1 + int(rsv * 100.0)
+
+    def test_idf_zero_is_exact(self):
+        assert idf(7, 7) == 0.0
+
+    def test_weight_multiplies(self):
+        prior = doc_priors(np.array([5, 9]), 7.0)
+        c1 = group_contrib(2, 0.5, prior, weight=1)
+        c3 = group_contrib(2, 0.5, prior, weight=3)
+        assert list(c3) == [3 * x for x in c1]
