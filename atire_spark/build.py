@@ -1,0 +1,295 @@
+"""Distributed index build: transcripts → docmap + postings + stats.
+
+Spark-first re-expression of the reference's indexing pipeline
+(/root/reference/atire/index.c:286-616, source/memory_index.c):
+
+reference                                   → this engine
+------------------------------------------- ----------------------------
+8 indexing threads parse docs in parallel    input partitions; tokenize
+(directory_iterator_preindex.c:56-80)        in mapInPandas (Arrow)
+per-doc 256-bucket hash of term→tf           vectorized pandas groupby
+(memory_index_one.c)                         per batch
+serial docno assignment in doclist order     range-partition by
+(atire/index.c:507-525)                      (conv_id, turn_idx) + per-
+                                             partition offsets (two-pass)
+global hash-of-trees posting accumulation    groupBy(term, docid-block)
+(memory_index.c:126-308)                     collect_list (JVM-side)
+atire_merge per-term concat with docid       second groupBy(term,
+offsets (atire_merge.c:563-930)              seg_group) merge in Arrow
+impact ordering + vbyte serialisation        impact_order kernel per
+(memory_index.c:476-580,804-1042)            segment
+
+Skew: the docid-block key IS the salt — a stop-term's postings are
+built in bounded per-block pieces (order-preserving, so the merge is a
+concatenation, exactly the reference's own multi-part recipe,
+reference README.md:78-93). Terms whose lists exceed one segment group
+stay split as multiple segment rows ("stop-term splitting"); the query
+side unions segments, which is score-neutral because BM25 needs only
+global df (stored per row) and per-posting (tf, doc_len).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atire_spark.kernels.impact import impact_order
+from atire_spark.kernels.tokenizer import tokenize_batch
+
+TF_CAP = 255  # memory_index_hash_node.h:140-143
+
+TOKENIZED_SCHEMA = (
+    "conv_id string, turn_idx int, doc_len long, terms array<string>, tfs array<int>"
+)
+DOCMAP_SCHEMA = "docid long, conv_id string, turn_idx int, doc_len long"
+POSTINGS_SCHEMA = (
+    "term string, seg_group long, seg_df long, seg_cf long, first_docid long, "
+    "max_impact int, impacts array<int>, doc_counts array<int>, offsets array<long>, "
+    "byte_offsets array<long>, postings binary, doc_lens binary, n_postings long"
+)
+
+
+@dataclass
+class IndexTables:
+    docmap: DataFrame
+    postings: DataFrame  # + global df, cf joined on
+    stats: DataFrame  # single row
+    build_log: DataFrame | None = None
+
+
+# ----------------------------------------------------------- tokenize
+def tokenize_stage(transcripts: DataFrame) -> DataFrame:
+    """Per-turn tokenization + per-doc term counts, one Arrow pass.
+
+    Output: one row per turn with (terms[], tfs[]) already aggregated
+    per document (the reference's memory_index_one per-doc hash) and
+    doc_len = surviving WORD+NUMBER token count.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            toks, lens = tokenize_batch(pdf["text"])
+            flat = toks.explode().dropna()
+            if flat.empty:
+                terms = [[] for _ in range(len(pdf))]
+                tfs = [[] for _ in range(len(pdf))]
+            else:
+                cnt = (
+                    pd.DataFrame({"row": flat.index, "term": flat.to_numpy()})
+                    .groupby(["row", "term"], sort=True)
+                    .size()
+                    .reset_index(name="tf")
+                )
+                cnt["tf"] = np.minimum(cnt["tf"], TF_CAP)
+                t_lists = cnt.groupby("row")["term"].agg(list)
+                f_lists = cnt.groupby("row")["tf"].agg(list)
+                terms = [t_lists.get(i, []) for i in range(len(pdf))]
+                tfs = [f_lists.get(i, []) for i in range(len(pdf))]
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"],
+                    "doc_len": lens,
+                    "terms": terms,
+                    "tfs": tfs,
+                }
+            )
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        fn, schema=TOKENIZED_SCHEMA
+    )
+
+
+# ---------------------------------------------------------- docid assignment
+def assign_docids(tokenized: DataFrame, num_ranges: int | None = None) -> DataFrame:
+    """Dense 0-based docids by stable (conv_id, turn_idx) order; empty
+    docs are dropped first so they never consume an id
+    (reference atire/index.c:533-540).
+
+    Scalable two-pass: range-partition + sort, count per partition,
+    then per-partition offset + local index — no global window, no
+    driver collect of data (only P partition counts).
+    """
+    non_empty = tokenized.filter(F.col("doc_len") > 0)
+    n_parts = num_ranges or max(non_empty.sparkSession.sparkContext.defaultParallelism, 4)
+    parts = non_empty.repartitionByRange(
+        n_parts, "conv_id", "turn_idx"
+    ).sortWithinPartitions("conv_id", "turn_idx")
+    parts = parts.persist()
+
+    def count_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+        yield pd.DataFrame({"pid": [pid], "cnt": [n]})
+
+    counts = {
+        int(r["pid"]): int(r["cnt"])
+        for r in parts.mapInPandas(count_fn, schema="pid int, cnt long").collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    def docid_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            pdf.insert(0, "docid", base + seen + np.arange(len(pdf), dtype=np.int64))
+            seen += len(pdf)
+            yield pdf
+
+    return parts.mapInPandas(docid_fn, schema="docid long, " + TOKENIZED_SCHEMA)
+
+
+# ---------------------------------------------------------- postings build
+def _make_segment_fn(schema_cols: list[str]):
+    def make_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, seg_group = key
+        pdf = pdf.sort_values("block")
+        docids = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["docids"]])
+        tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["tfs"]])
+        lens = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["lens"]])
+        seg = impact_order(docids, tfs, lens)
+        row = {
+            "term": term,
+            "seg_group": seg_group,
+            "seg_df": int(docids.size),
+            "seg_cf": int(tfs.sum()),
+            "first_docid": int(docids[0]),
+            "max_impact": seg.max_impact,
+            "impacts": seg.impacts.tolist(),
+            "doc_counts": seg.doc_counts.tolist(),
+            "offsets": seg.offsets.tolist(),
+            "byte_offsets": seg.byte_offsets.tolist(),
+            "postings": seg.postings,
+            "doc_lens": seg.doc_lens,
+            "n_postings": seg.n_postings,
+        }
+        return pd.DataFrame([row], columns=schema_cols)
+
+    return make_segment
+
+
+def build_postings(
+    docs: DataFrame,
+    block_bits: int = 20,
+    blocks_per_seg: int = 4096,
+) -> tuple[DataFrame, DataFrame]:
+    """(docid, terms[], tfs[], doc_len) rows → (postings, term_stats).
+
+    Stage 1 aggregates per (term, docid-block): JVM-side collect_list +
+    sort_array keeps the heavy grouping inside whole-stage codegen /
+    Tungsten; per-block lists are bounded by 2**block_bits docs so no
+    single reducer sees an unbounded stop-term list.
+
+    Stage 2 merges each term's blocks (per segment group) in one Arrow
+    UDF: concat (blocks are disjoint, ascending docid ranges) + impact
+    ordering + vbyte. Terms wider than one segment group become
+    multiple postings rows — stop-term splitting.
+    """
+    tok = docs.select(
+        "docid",
+        "doc_len",
+        F.explode(F.arrays_zip("terms", "tfs")).alias("p"),
+    ).select(
+        "docid",
+        "doc_len",
+        F.col("p.terms").alias("term"),
+        F.col("p.tfs").alias("tf"),
+    )
+    tok = tok.withColumn("block", F.shiftrightunsigned("docid", block_bits))
+
+    plist = F.sort_array(F.collect_list(F.struct("docid", "tf", "doc_len")))
+    stage1 = (
+        tok.groupBy("term", "block")
+        .agg(
+            plist.alias("pl"),
+            F.count("*").alias("df_b"),
+            F.sum("tf").alias("cf_b"),
+        )
+        .select(
+            "term",
+            "block",
+            F.expr("transform(pl, x -> x.docid)").alias("docids"),
+            F.expr("transform(pl, x -> x.tf)").alias("tfs"),
+            F.expr("transform(pl, x -> x.doc_len)").alias("lens"),
+            "df_b",
+            "cf_b",
+        )
+    )
+
+    term_stats = stage1.groupBy("term").agg(
+        F.sum("df_b").alias("df"), F.sum("cf_b").alias("cf")
+    )
+
+    schema_cols = [c.split(" ")[0] for c in POSTINGS_SCHEMA.split(", ")]
+    stage2 = (
+        stage1.withColumn(
+            "seg_group", (F.col("block") / F.lit(blocks_per_seg)).cast("long")
+        )
+        .groupBy("term", "seg_group")
+        .applyInPandas(_make_segment_fn(schema_cols), schema=POSTINGS_SCHEMA)
+    )
+    postings = stage2.join(term_stats, "term")
+    return postings, term_stats
+
+
+# ---------------------------------------------------------------- build
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    block_bits: int = 20,
+    blocks_per_seg: int = 4096,
+) -> IndexTables:
+    """Full build. Returns lazily-evaluated DataFrames; call
+    :func:`write_index` to materialize."""
+    tokenized = tokenize_stage(transcripts)
+    docs = assign_docids(tokenized)
+    docs = docs.persist()
+
+    docmap = docs.select("docid", "conv_id", "turn_idx", "doc_len")
+    postings, term_stats = build_postings(docs, block_bits, blocks_per_seg)
+
+    stats = docs.agg(
+        F.count("*").alias("documents"),
+        F.sum("doc_len").alias("collection_len"),
+        (F.sum("doc_len") / F.count("*")).alias("mean_doc_len"),
+    ).crossJoin(term_stats.agg(F.count("*").alias("unique_terms")))
+
+    return IndexTables(docmap=docmap, postings=postings, stats=stats)
+
+
+# ---------------------------------------------------------------- storage
+def write_index(tables: IndexTables, path: str, mode: str = "overwrite") -> None:
+    """Materialize to a directory of parquet tables.
+
+    Postings are repartitioned by term so a query's term filter prunes
+    files (the Iceberg deployment would instead cluster/bucket on term;
+    parquet + min/max stats gives the sandbox equivalent).
+    """
+    tables.docmap.write.mode(mode).parquet(f"{path}/docmap")
+    tables.postings.repartition("term").sortWithinPartitions("term").write.mode(
+        mode
+    ).parquet(f"{path}/postings")
+    tables.stats.write.mode(mode).parquet(f"{path}/stats")
+
+
+def load_index(spark: SparkSession, path: str) -> IndexTables:
+    return IndexTables(
+        docmap=spark.read.parquet(f"{path}/docmap"),
+        postings=spark.read.parquet(f"{path}/postings"),
+        stats=spark.read.parquet(f"{path}/stats"),
+    )

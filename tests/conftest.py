@@ -1,0 +1,10 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from atire_spark.session import get_spark
+
+    s = get_spark(cpus=8, app="atire_spark_tests", shuffle_partitions=8)
+    yield s
+    s.stop()

@@ -1,0 +1,135 @@
+"""End-to-end Spark engine tests: golden rank-identity vs the numpy
+oracle, docid/doc-length invariants, segment splitting."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from atire_spark.build import build_index
+from atire_spark.oracle import OracleIndex
+from atire_spark.query import SearchEngine
+from atire_spark.synth import make_queries, make_transcripts
+
+
+@pytest.fixture(scope="module")
+def small_pdf():
+    return make_transcripts("small")
+
+
+@pytest.fixture(scope="module")
+def small_engine(spark, small_pdf):
+    tdf = spark.createDataFrame(small_pdf)
+    # small blocks/segments on purpose: exercises the salted block merge
+    # AND stop-term splitting into multiple segment rows
+    idx = build_index(spark, tdf, block_bits=10, blocks_per_seg=4)
+    return SearchEngine(spark, idx)
+
+
+@pytest.fixture(scope="module")
+def small_oracle(small_pdf):
+    return OracleIndex.build(small_pdf)
+
+
+class TestInvariants:
+    def test_stats_match_oracle(self, small_engine, small_oracle):
+        assert small_engine.n_docs == small_oracle.n_docs
+        assert small_engine.mean_doc_len == pytest.approx(
+            small_oracle.mean_doc_len, rel=0, abs=0
+        )
+
+    def test_docmap_matches_oracle(self, small_engine, small_oracle):
+        got = (
+            small_engine.index.docmap.orderBy("docid")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        want = small_oracle.docmap.reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"turn_idx": np.int64, "doc_len": np.int64}),
+            want.astype({"turn_idx": np.int64, "doc_len": np.int64}),
+        )
+
+    def test_per_turn_text_equality_under_stable_ordering(
+        self, spark, small_engine, small_pdf
+    ):
+        """north_star invariant: docmap joined back to transcripts maps
+        each docid to exactly one turn, in stable (conv_id, turn_idx)
+        order, and every non-empty turn is present."""
+        tdf = spark.createDataFrame(small_pdf)
+        joined = small_engine.index.docmap.join(tdf, ["conv_id", "turn_idx"])
+        assert joined.count() == small_engine.index.docmap.count()
+        # docid order == (conv_id, turn_idx) order
+        rows = (
+            joined.select("docid", "conv_id", "turn_idx")
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+        )
+        assert list(rows["docid"]) == sorted(rows["docid"])
+
+    def test_empty_turns_skipped(self, small_engine, small_pdf):
+        n_turns = len(small_pdf)
+        n_docs = small_engine.n_docs
+        assert n_docs < n_turns  # some empties existed and were skipped
+
+    def test_postings_df_consistency(self, small_engine):
+        p = small_engine.index.postings
+        # per-row: n_postings == sum(doc_counts) == seg_df
+        bad = p.filter(
+            (F.col("n_postings") != F.aggregate("doc_counts", F.lit(0), lambda a, x: a + x))
+            | (F.col("seg_df") != F.col("n_postings"))
+        ).count()
+        assert bad == 0
+        # global df == sum of segment dfs
+        agg = p.groupBy("term", "df").agg(F.sum("seg_df").alias("s"))
+        assert agg.filter(F.col("df") != F.col("s")).count() == 0
+
+    def test_stop_term_split_into_segments(self, small_engine):
+        segs = (
+            small_engine.index.postings.filter(F.col("term") == "omegaterm")
+            .select("seg_group")
+            .distinct()
+            .count()
+        )
+        assert segs > 1  # the adversarial term spans multiple segment groups
+
+    def test_tf_cap(self, small_engine):
+        assert (
+            small_engine.index.postings.filter(F.col("max_impact") > 255).count() == 0
+        )
+
+
+class TestRankIdentity:
+    """Golden test: Spark engine vs independent numpy oracle on the full
+    30-query fixture, k=10 and k=100 — docids AND rsv_fixed identical."""
+
+    @pytest.mark.parametrize("k", [10, 100])
+    def test_all_queries(self, small_engine, small_oracle, k):
+        queries = make_queries()
+        batch = list(zip(queries["query_id"], queries["query"]))
+        got = small_engine.search_batch(batch, k=k).toPandas()
+        for qid, qtext in batch:
+            g = got[got["query_id"] == qid]
+            w = small_oracle.search(qtext, k=k)
+            assert list(g["docid"]) == list(w["docid"]), f"docids differ, query={qtext!r}"
+            assert list(g["rsv_fixed"]) == list(
+                w["rsv_fixed"]
+            ), f"scores differ, query={qtext!r}"
+
+    def test_segmentation_is_score_neutral(self, spark, small_pdf, small_oracle):
+        """Different block/segment parameters must not change results."""
+        tdf = spark.createDataFrame(small_pdf)
+        idx = build_index(spark, tdf, block_bits=20, blocks_per_seg=4096)
+        eng = SearchEngine(spark, idx, cache=False)
+        got = eng.search_batch([(1, "alpha bravo term00001")], k=20).toPandas()
+        want = small_oracle.search("alpha bravo term00001", k=20)
+        assert list(got["docid"]) == list(want["docid"])
+        assert list(got["rsv_fixed"]) == list(want["rsv_fixed"])
+
+    def test_materialize(self, small_engine, small_pdf):
+        res = small_engine.search_one("alpha", k=5)
+        mat = small_engine.materialize(res).toPandas()
+        assert len(mat) == 5
+        # every hit maps back to a real transcript turn
+        keys = set(zip(small_pdf["conv_id"], small_pdf["turn_idx"]))
+        assert all((c, t) in keys for c, t in zip(mat["conv_id"], mat["turn_idx"]))
