@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry pairs a Spark DataFrame query (our engine) with an ANSI-SQL
+oracle that DuckDB runs on the same parquet tables. The corpus for the
+fulltext engine is derived deterministically from the ``documents``
+table into the north_rule transcripts shape
+(conv_id, turn_idx, role, text, tool, ts): conv_id groups 8 docs,
+turn_idx = doc_id % 8 — both sides derive it with the same arithmetic,
+so docids (dense rank over (conv_id, turn_idx), empty turns skipped)
+agree exactly.
+
+BM25 arithmetic in the SQL oracles mirrors the reference bit-for-bit
+(SURVEY.md §4.5): float32 length prior (CAST AS REAL), idf = ln(N/df)
+with df = N contributing nothing, fixed-point 1 + trunc(100*rsv)
+accumulated mod 2^16, tie-break larger docid first.
 """
 
 from __future__ import annotations
@@ -12,27 +20,350 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# fixed query set over the documents-derived corpus (deterministic)
+TESTDATA_QUERIES: list[tuple[int, str]] = [
+    (1, "dup"),  # rare term (df ~5% of docs)
+    (2, "spark"),  # common term
+    (3, "hash join"),  # two common terms
+    (4, "the a"),  # stop-ish terms
+    (5, "spark fast merge sort"),  # 4-term
+    (6, "zzzmissing"),  # absent from corpus
+    (7, "DUP"),  # uppercase input → lowercased
+    (8, "dup spark window"),  # rare + common mix
+]
+TOP_K = 10
+
+_INDEX_CACHE: dict[str, object] = {}
 
 
+# ---------------------------------------------------------------------------
+# corpus derivation (Spark side)
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(
+            F.lit("conv"),
+            F.lpad((F.col("doc_id") / 8).cast("long").cast("string"), 6, "0"),
+        ).alias("conv_id"),
+        (F.col("doc_id") % 8).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 3 == 0, "user")
+        .when(F.col("doc_id") % 3 == 1, "assistant")
+        .otherwise("tool")
+        .alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (
+            F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("doc_id").cast("int"))
+        ).alias("ts"),
+    )
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) and cache the index + engine."""
+    key = sf_dir.rstrip("/")
+    if key not in _INDEX_CACHE:
+        from atire_spark.build import build_index
+        from atire_spark.query import SearchEngine
+
+        idx = build_index(spark, _transcripts(spark, sf_dir))
+        _INDEX_CACHE[key] = SearchEngine(spark, idx)
+    return _INDEX_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# shared SQL oracle scaffolding (DuckDB dialect of ANSI SQL)
+_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id,
+         'conv' || lpad(CAST(doc_id // 8 AS VARCHAR), 6, '0') AS conv_id,
+         CAST(doc_id % 8 AS INTEGER) AS turn_idx,
+         text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, conv_id, turn_idx,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS term
+  FROM corpus
+),
+doclen AS (
+  SELECT doc_id, conv_id, turn_idx, CAST(count(*) AS BIGINT) AS doc_len
+  FROM toks GROUP BY doc_id, conv_id, turn_idx
+),
+docmap AS (
+  SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS docid,
+         doc_id, conv_id, turn_idx, doc_len
+  FROM doclen
+),
+tf AS (
+  SELECT d.docid, t.term,
+         CAST(least(count(*), 255) AS INTEGER) AS tf,
+         CAST(count(*) AS BIGINT) AS occurrences
+  FROM toks t JOIN docmap d USING (doc_id)
+  GROUP BY d.docid, t.term
+),
+termstats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(occurrences) AS BIGINT) AS cf,
+         CAST(max(tf) AS INTEGER) AS max_impact
+  FROM tf GROUP BY term
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(doc_len) AS BIGINT) AS coll_len,
+         CAST(sum(doc_len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_len
+  FROM docmap
+)
+"""
+
+
+def _query_values_sql() -> str:
+    """The TESTDATA_QUERIES parsed to (query_id, term, weight) VALUES —
+    generated from the same parse_query the engine uses, so the two
+    sides cannot drift."""
+    from atire_spark.query import parse_query
+
+    rows = []
+    for qid, text in TESTDATA_QUERIES:
+        for term, weight in parse_query(text):
+            rows.append(f"({qid}, '{term}', {weight})")
+    return ",\n       ".join(rows)
+
+
+def _bm25_sql(k: int, conjunctive: bool = False) -> str:
+    conj_filter = (
+        """
+, req AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms FROM q GROUP BY query_id)
+, acc2 AS (
+  SELECT a.query_id, a.docid, a.rsv_fixed
+  FROM acc a JOIN req r USING (query_id)
+  WHERE a.term_hits >= r.n_terms
+)"""
+        if conjunctive
+        else ", acc2 AS (SELECT query_id, docid, rsv_fixed FROM acc)"
+    )
+    return f"""
+WITH {_CORPUS_CTE},
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+),
+scored AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, t.docid,
+         CASE WHEN ts.df = s.n_docs THEN CAST(0 AS BIGINT)
+              ELSE CAST(q.weight AS BIGINT) * (1 + CAST(trunc(
+                100.0 * ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE))
+                      * ((CAST(t.tf AS DOUBLE) * (0.9 + 1.0))
+                         / (CAST(t.tf AS DOUBLE)
+                            + CAST(CAST(0.9 * ((1.0 - 0.4)
+                                + 0.4 * (CAST(d.doc_len AS DOUBLE) / s.mean_len))
+                              AS REAL) AS DOUBLE)))) AS BIGINT))
+         END AS contrib,
+         CASE WHEN ts.df = s.n_docs THEN {1 if conjunctive else 0} ELSE 1 END AS is_hit
+  FROM q
+  JOIN termstats ts USING (term)
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  CROSS JOIN stats s
+),
+acc AS (
+  SELECT query_id, docid,
+         CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed,
+         CAST(sum(is_hit) AS BIGINT) AS term_hits
+  FROM scored
+  WHERE is_hit = 1 OR contrib <> 0
+  GROUP BY query_id, docid
+  HAVING sum(is_hit) > 0
+){conj_filter},
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM acc2
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the index over sf0.001 and run the BM25 batch,
+    materialized back to (conv_id, turn_idx)."""
+    eng = _engine(spark, "/root/testdata/sf0.001")
+    res = eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
+    return eng.materialize(res)
+
+
+# ---------------------------------------------------------------------------
+def _q_docmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.index.docmap.select(
+        "docid", "conv_id", "turn_idx", F.col("doc_len").cast("long").alias("doc_len")
+    )
+
+
+def _q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.index.stats.select(
+        F.col("documents").cast("long").alias("documents"),
+        F.col("collection_len").cast("long").alias("collection_len"),
+        F.col("mean_doc_len").cast("double").alias("mean_doc_len"),
+        F.col("unique_terms").cast("long").alias("unique_terms"),
+    )
+
+
+def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return (
+        eng.index.postings.groupBy("term", "df", "cf")
+        .agg(F.max("max_impact").alias("max_impact"))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+            F.col("max_impact").cast("int").alias("max_impact"),
+        )
+    )
+
+
+def _q_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every segment back to (term, docid, tf) — proves the
+    impact-order + per-group vbyte layout round-trips through storage."""
+    import numpy as np
+    import pandas as pd
+
+    eng = _engine(spark, sf_dir)
+
+    def decode_fn(batches):
+        from atire_spark.kernels.impact import decode_segment
+
+        for pdf in batches:
+            terms, docs, tfs = [], [], []
+            for row in pdf.itertuples(index=False):
+                d, t, _ = decode_segment(
+                    np.asarray(row.impacts),
+                    np.asarray(row.doc_counts),
+                    row.postings,
+                    None,
+                )
+                terms.append(np.full(d.size, row.term, dtype=object))
+                docs.append(d)
+                tfs.append(t)
+            if terms:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(terms),
+                        "docid": np.concatenate(docs),
+                        "tf": np.concatenate(tfs).astype(np.int32),
+                    }
+                )
+
+    return eng.index.postings.mapInPandas(
+        decode_fn, schema="term string, docid long, tf int"
+    )
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
+
+
+def _q_bm25_k100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.search_batch(TESTDATA_QUERIES, k=100)
+
+
+def _q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.search_batch(TESTDATA_QUERIES, k=TOP_K, conjunctive=True)
+
+
+def _q_topk_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    res = eng.search_batch(TESTDATA_QUERIES[:3], k=TOP_K)
+    return eng.materialize(res).select(
+        "query_id", "rank", "docid", "conv_id", "turn_idx", "rsv_fixed"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "docmap": _q_docmap,
+        "collection_stats": _q_collection_stats,
+        "term_stats": _q_term_stats,
+        "postings_roundtrip": _q_postings_roundtrip,
+        "bm25_topk": _q_bm25,
+        "bm25_topk_k100": _q_bm25_k100,
+        "bm25_conjunctive": _q_bm25_conjunctive,
+        "topk_materialized": _q_topk_materialized,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "docmap": f"""
+WITH {_CORPUS_CTE}
+SELECT docid, conv_id, turn_idx, doc_len FROM docmap
+""",
+        "collection_stats": f"""
+WITH {_CORPUS_CTE}
+SELECT s.n_docs AS documents, s.coll_len AS collection_len,
+       s.mean_len AS mean_doc_len,
+       (SELECT CAST(count(*) AS BIGINT) FROM termstats) AS unique_terms
+FROM stats s
+""",
+        "term_stats": f"""
+WITH {_CORPUS_CTE}
+SELECT term, df, cf, max_impact FROM termstats
+""",
+        "postings_roundtrip": f"""
+WITH {_CORPUS_CTE}
+SELECT term, docid, tf FROM tf
+""",
+        "bm25_topk": _bm25_sql(TOP_K),
+        "bm25_topk_k100": _bm25_sql(100),
+        "bm25_conjunctive": _bm25_sql(TOP_K, conjunctive=True),
+        "topk_materialized": f"""
+WITH {_CORPUS_CTE},
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+),
+scored AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, t.docid,
+         CAST(q.weight AS BIGINT) * (1 + CAST(trunc(
+           100.0 * ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE))
+                 * ((CAST(t.tf AS DOUBLE) * (0.9 + 1.0))
+                    / (CAST(t.tf AS DOUBLE)
+                       + CAST(CAST(0.9 * ((1.0 - 0.4)
+                           + 0.4 * (CAST(d.doc_len AS DOUBLE) / s.mean_len))
+                         AS REAL) AS DOUBLE)))) AS BIGINT)) AS contrib
+  FROM q
+  JOIN termstats ts USING (term)
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  CROSS JOIN stats s
+  WHERE ts.df <> s.n_docs AND q.query_id <= 3
+),
+acc AS (
+  SELECT query_id, docid, CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  FROM scored GROUP BY query_id, docid
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM acc
+)
+SELECT r.query_id, r.rank, r.docid, d.conv_id, d.turn_idx, r.rsv_fixed
+FROM ranked r JOIN docmap d USING (docid)
+WHERE r.rank <= {TOP_K}
+""",
+    }

@@ -69,16 +69,35 @@ class SearchEngine:
     def search_one(self, query: str, k: int = 10) -> DataFrame:
         return self.search_batch([(1, query)], k)
 
-    def search_batch(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
+    def search_batch(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        ranker: str = "bm25",
+        conjunctive: bool = False,
+    ) -> DataFrame:
         """Run a batch of (query_id, text) → top-k DataFrame.
 
         Columns: query_id, rank, docid, rsv_fixed, rsv (rsv is the
         fixed-point accumulator scaled back to a display double, the
         rank-identical comparable is rsv_fixed).
+
+        ``ranker``:
+        - ``"bm25"`` — the default BM25 fixed-point scorer;
+        - ``"termcount"`` — the reference's term-count / boolean-OR
+          ranking function (ranking_function_term_count.c via factory
+          id, SURVEY §2.4): rsv = number of matching query terms.
+
+        ``conjunctive=True`` is the reference's "allterms" mode
+        (search_engine.c:1491-1511): only documents containing *every*
+        distinct query term survive, ranked by the chosen scorer.
         """
         terms: list[tuple[int, str, int]] = []
+        n_terms_per_q: dict[int, int] = {}
         for qid, text in queries:
-            for term, weight in parse_query(text):
+            parsed = parse_query(text)
+            n_terms_per_q[qid] = len(parsed)
+            for term, weight in parsed:
                 terms.append((qid, term, weight))
         if not terms:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
@@ -92,47 +111,83 @@ class SearchEngine:
         n_docs = self.n_docs
         mean_len = self.mean_doc_len
         k1, b = BM25_K1, BM25_B
+        use_bm25 = ranker == "bm25"
 
         def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 out_qid: list[np.ndarray] = []
                 out_doc: list[np.ndarray] = []
                 out_contrib: list[np.ndarray] = []
+                out_hits: list[np.ndarray] = []
                 for row in pdf.itertuples(index=False):
                     df_t = int(row.df)
-                    idf = float(np.log(np.float64(n_docs) / np.float64(df_t)))
-                    if idf == 0.0:
-                        continue  # df == N contributes nothing (bm25.c:91-92)
+                    idf = 1.0
+                    if use_bm25:
+                        idf = float(np.log(np.float64(n_docs) / np.float64(df_t)))
+                        if idf == 0.0 and not conjunctive:
+                            continue  # df == N contributes nothing (bm25.c:91-92)
                     docids, tfs, lens = decode_segment(
                         np.asarray(row.impacts),
                         np.asarray(row.doc_counts),
                         row.postings,
                         row.doc_lens,
                     )
-                    priors = (
-                        k1 * ((1.0 - b) + b * (lens.astype(np.float64) / mean_len))
-                    ).astype(np.float32)
-                    tf_d = tfs.astype(np.float64)
-                    rsv = idf * ((tf_d * (k1 + 1.0)) / (tf_d + priors.astype(np.float64)))
-                    contrib = (1 + (rsv * 100.0).astype(np.int64)) * int(row.weight)
-                    out_qid.append(np.full(docids.size, int(row.query_id), dtype=np.int64))
+                    if use_bm25:
+                        if idf == 0.0:
+                            # conjunctive with a universal term: counts as a
+                            # required hit but scores nothing
+                            contrib = np.zeros(docids.size, dtype=np.int64)
+                        else:
+                            priors = (
+                                k1
+                                * ((1.0 - b) + b * (lens.astype(np.float64) / mean_len))
+                            ).astype(np.float32)
+                            tf_d = tfs.astype(np.float64)
+                            rsv = idf * (
+                                (tf_d * (k1 + 1.0)) / (tf_d + priors.astype(np.float64))
+                            )
+                            contrib = (1 + (rsv * 100.0).astype(np.int64)) * int(
+                                row.weight
+                            )
+                    else:  # termcount: one point per matching term occurrence
+                        contrib = np.full(docids.size, int(row.weight), dtype=np.int64)
+                    out_qid.append(
+                        np.full(docids.size, int(row.query_id), dtype=np.int64)
+                    )
                     out_doc.append(docids)
                     out_contrib.append(contrib)
+                    out_hits.append(np.ones(docids.size, dtype=np.int64))
                 if out_qid:
                     yield pd.DataFrame(
                         {
                             "query_id": np.concatenate(out_qid),
                             "docid": np.concatenate(out_doc),
                             "contrib": np.concatenate(out_contrib),
+                            "term_hits": np.concatenate(out_hits),
                         }
                     )
 
         scored = hits.mapInPandas(
-            score_fn, schema="query_id long, docid long, contrib long"
+            score_fn,
+            schema="query_id long, docid long, contrib long, term_hits long",
         )
         accum = scored.groupBy("query_id", "docid").agg(
-            (F.sum("contrib") % ACCUM_MOD).alias("rsv_fixed")
+            (F.sum("contrib") % ACCUM_MOD).alias("rsv_fixed"),
+            F.sum("term_hits").alias("term_hits"),
         )
+        if conjunctive:
+            # allterms: drop docs matching fewer than all distinct terms
+            # (search_engine.c:1491-1511). A distinct term yields at most
+            # one posting row per doc per segment-union, so term_hits ==
+            # number of distinct query terms present.
+            req = self.spark.createDataFrame(
+                [(qid, n) for qid, n in n_terms_per_q.items()],
+                "query_id long, n_terms long",
+            )
+            accum = accum.join(F.broadcast(req), "query_id").filter(
+                F.col("term_hits") >= F.col("n_terms")
+            )
+        accum = accum.select("query_id", "docid", "rsv_fixed")
         w = Window.partitionBy("query_id").orderBy(
             F.col("rsv_fixed").desc(), F.col("docid").desc()
         )
