@@ -45,7 +45,8 @@ from atire_spark.kernels.tokenizer import tokenize_batch
 TF_CAP = 255  # memory_index_hash_node.h:140-143
 
 TOKENIZED_SCHEMA = (
-    "conv_id string, turn_idx int, doc_len long, terms array<string>, tfs array<int>"
+    "conv_id string, turn_idx int, doc_len long, terms array<string>, "
+    "tfs array<int>, occs array<int>"
 )
 DOCMAP_SCHEMA = "docid long, conv_id string, turn_idx int, doc_len long"
 POSTINGS_SCHEMA = (
@@ -80,18 +81,24 @@ def tokenize_stage(transcripts: DataFrame) -> DataFrame:
             if flat.empty:
                 terms = [[] for _ in range(len(pdf))]
                 tfs = [[] for _ in range(len(pdf))]
+                occs = [[] for _ in range(len(pdf))]
             else:
                 cnt = (
                     pd.DataFrame({"row": flat.index, "term": flat.to_numpy()})
                     .groupby(["row", "term"], sort=True)
                     .size()
-                    .reset_index(name="tf")
+                    .reset_index(name="occ")
                 )
-                cnt["tf"] = np.minimum(cnt["tf"], TF_CAP)
+                # stored tf saturates (memory_index_hash_node.h:140-143);
+                # collection frequency keeps counting every occurrence
+                # (memory_index_hash_node.h:64-65)
+                cnt["tf"] = np.minimum(cnt["occ"], TF_CAP)
                 t_lists = cnt.groupby("row")["term"].agg(list)
                 f_lists = cnt.groupby("row")["tf"].agg(list)
+                o_lists = cnt.groupby("row")["occ"].agg(list)
                 terms = [t_lists.get(i, []) for i in range(len(pdf))]
                 tfs = [f_lists.get(i, []) for i in range(len(pdf))]
+                occs = [o_lists.get(i, []) for i in range(len(pdf))]
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],
@@ -99,6 +106,7 @@ def tokenize_stage(transcripts: DataFrame) -> DataFrame:
                     "doc_len": lens,
                     "terms": terms,
                     "tfs": tfs,
+                    "occs": occs,
                 }
             )
 
@@ -167,7 +175,7 @@ def _make_segment_fn(schema_cols: list[str]):
             "term": term,
             "seg_group": seg_group,
             "seg_df": int(docids.size),
-            "seg_cf": int(tfs.sum()),
+            "seg_cf": int(pdf["cf_b"].sum()),  # uncapped occurrences
             "first_docid": int(docids[0]),
             "max_impact": seg.max_impact,
             "impacts": seg.impacts.tolist(),
@@ -203,12 +211,13 @@ def build_postings(
     tok = docs.select(
         "docid",
         "doc_len",
-        F.explode(F.arrays_zip("terms", "tfs")).alias("p"),
+        F.explode(F.arrays_zip("terms", "tfs", "occs")).alias("p"),
     ).select(
         "docid",
         "doc_len",
         F.col("p.terms").alias("term"),
         F.col("p.tfs").alias("tf"),
+        F.col("p.occs").alias("occ"),
     )
     tok = tok.withColumn("block", F.shiftrightunsigned("docid", block_bits))
 
@@ -218,7 +227,7 @@ def build_postings(
         .agg(
             plist.alias("pl"),
             F.count("*").alias("df_b"),
-            F.sum("tf").alias("cf_b"),
+            F.sum("occ").alias("cf_b"),
         )
         .select(
             "term",

@@ -84,6 +84,11 @@ def make_transcripts(scale: str | int = "tiny", seed: int = SEED) -> pd.DataFram
                     toks.append("end.")
                 if long_tok_mask[t]:
                     toks.append("x" * (20 * 1024 + 7))
+                if conv == 1 and turn_idx == 0:
+                    # force the tf cap to bind (tf 300 → stored 255,
+                    # memory_index_hash_node.h:140-143) and doc_len to
+                    # keep counting past it (index_document.c:61)
+                    toks.extend(["capterm"] * 300)
                 text = " ".join(toks)
             role = ROLES[int(role_idx[t])]
             tool = f"tool{int(tool_ids[t])}" if role == "tool" else None
@@ -120,6 +125,8 @@ def make_queries(seed: int = SEED) -> pd.DataFrame:
         "alpha bravo charlie",  # all stop-terms
         "term00001 term00002 term00003 term00004 term00005",
         "end",  # punctuation-split token
+        "capterm",  # tf saturates at 255 in the capped turn
+        "capterm term00001",
     ]
     while len(queries) < 30:
         n = int(rng.integers(1, 6))

@@ -98,6 +98,18 @@ class TestInvariants:
             small_engine.index.postings.filter(F.col("max_impact") > 255).count() == 0
         )
 
+    def test_cf_uncapped_while_tf_saturates(self, small_engine):
+        # the synth fixture plants 300x "capterm" in one turn: stored tf
+        # saturates at 255 but collection frequency keeps counting
+        row = (
+            small_engine.index.postings.filter(F.col("term") == "capterm")
+            .groupBy("term", "cf")
+            .agg(F.max("max_impact").alias("mi"))
+            .collect()[0]
+        )
+        assert row["mi"] == 255
+        assert row["cf"] >= 300
+
 
 class TestRankIdentity:
     """Golden test: Spark engine vs independent numpy oracle on the full
