@@ -195,6 +195,7 @@ def build_postings(
     docs: DataFrame,
     block_bits: int = 20,
     blocks_per_seg: int = 4096,
+    term_filter=None,
 ) -> tuple[DataFrame, DataFrame]:
     """(docid, terms[], tfs[], doc_len) rows → (postings, term_stats).
 
@@ -219,6 +220,9 @@ def build_postings(
         F.col("p.tfs").alias("tf"),
         F.col("p.occs").alias("occ"),
     )
+    if term_filter is not None:
+        # checkpointed builds process deterministic term-hash chunks
+        tok = tok.filter(term_filter("term"))
     tok = tok.withColumn("block", F.shiftrightunsigned("docid", block_bits))
 
     plist = F.sort_array(F.collect_list(F.struct("docid", "tf", "doc_len")))

@@ -75,6 +75,7 @@ class SearchEngine:
         k: int = 10,
         ranker: str = "bm25",
         conjunctive: bool = False,
+        grouped: bool = True,
     ) -> DataFrame:
         """Run a batch of (query_id, text) → top-k DataFrame.
 
@@ -112,6 +113,9 @@ class SearchEngine:
         mean_len = self.mean_doc_len
         k1, b = BM25_K1, BM25_B
         use_bm25 = ranker == "bm25"
+
+        if grouped:
+            return self._search_grouped(hits, n_terms_per_q, k, use_bm25, conjunctive)
 
         def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -188,6 +192,12 @@ class SearchEngine:
                 F.col("term_hits") >= F.col("n_terms")
             )
         accum = accum.select("query_id", "docid", "rsv_fixed")
+        return self._rank_topk(accum, k)
+
+    # ------------------------------------------------------------------
+    def _rank_topk(self, accum: DataFrame, k: int) -> DataFrame:
+        """rsv desc, tie larger-docid-first, rank <= k
+        (search_engine_accumulator.h:36-50 + top_k_sort)."""
         w = Window.partitionBy("query_id").orderBy(
             F.col("rsv_fixed").desc(), F.col("docid").desc()
         )
@@ -203,6 +213,106 @@ class SearchEngine:
             )
             .orderBy("query_id", "rank")
         )
+
+    # ------------------------------------------------------------------
+    def _search_grouped(
+        self,
+        hits: DataFrame,
+        n_terms_per_q: dict[int, int],
+        k: int,
+        use_bm25: bool,
+        conjunctive: bool,
+    ) -> DataFrame:
+        """Scale path (default): partition by seg_group so every docid's
+        full accumulation completes inside one task, emit only the
+        per-partition top-k candidates per query.
+
+        Segments of *all* terms for a given docid share its seg_group
+        (the group is a pure function of the docid block), so a hash
+        repartition on seg_group co-locates everything a docid needs —
+        the reference's accumulator array sliced into disjoint docid
+        ranges, one per task. Shuffle volume is the handful of matching
+        compressed segments + k·queries candidate rows per partition,
+        never one row per posting (the exploded fallback path does that
+        and is kept for plan comparison, grouped=False).
+        """
+        n_docs, mean_len = self.n_docs, self.mean_doc_len
+        k1, b = BM25_K1, BM25_B
+
+        def part_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qids: list[np.ndarray] = []
+            docs: list[np.ndarray] = []
+            contribs: list[np.ndarray] = []
+            hit_flags: list[np.ndarray] = []
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    df_t = int(row.df)
+                    idf = 1.0
+                    if use_bm25:
+                        idf = float(np.log(np.float64(n_docs) / np.float64(df_t)))
+                        if idf == 0.0 and not conjunctive:
+                            continue
+                    docids, tfs, lens = decode_segment(
+                        np.asarray(row.impacts),
+                        np.asarray(row.doc_counts),
+                        row.postings,
+                        row.doc_lens,
+                    )
+                    if use_bm25:
+                        if idf == 0.0:
+                            contrib = np.zeros(docids.size, dtype=np.int64)
+                        else:
+                            priors = (
+                                k1
+                                * ((1.0 - b) + b * (lens.astype(np.float64) / mean_len))
+                            ).astype(np.float32)
+                            tf_d = tfs.astype(np.float64)
+                            rsv = idf * (
+                                (tf_d * (k1 + 1.0)) / (tf_d + priors.astype(np.float64))
+                            )
+                            contrib = (1 + (rsv * 100.0).astype(np.int64)) * int(
+                                row.weight
+                            )
+                    else:
+                        contrib = np.full(docids.size, int(row.weight), dtype=np.int64)
+                    qids.append(np.full(docids.size, int(row.query_id), dtype=np.int64))
+                    docs.append(docids)
+                    contribs.append(contrib)
+                    hit_flags.append(np.ones(docids.size, dtype=np.int64))
+            if not qids:
+                return
+            acc = pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qids),
+                    "docid": np.concatenate(docs),
+                    "contrib": np.concatenate(contribs),
+                    "hit": np.concatenate(hit_flags),
+                }
+            )
+            agg = (
+                acc.groupby(["query_id", "docid"], sort=False)
+                .agg(rsv_fixed=("contrib", "sum"), th=("hit", "sum"))
+                .reset_index()
+            )
+            agg["rsv_fixed"] = agg["rsv_fixed"] % ACCUM_MOD
+            if conjunctive:
+                need = agg["query_id"].map(n_terms_per_q)
+                agg = agg[agg["th"] >= need]
+            outs = []
+            for _, g in agg.groupby("query_id", sort=False):
+                if len(g) > k:
+                    order = np.lexsort(
+                        (-g["docid"].to_numpy(), -g["rsv_fixed"].to_numpy())
+                    )[:k]
+                    g = g.iloc[order]
+                outs.append(g[["query_id", "docid", "rsv_fixed"]])
+            if outs:
+                yield pd.concat(outs)
+
+        cand = hits.repartition("seg_group").mapInPandas(
+            part_fn, schema="query_id long, docid long, rsv_fixed long"
+        )
+        return self._rank_topk(cand, k)
 
     # ------------------------------------------------------------------
     def materialize(self, results: DataFrame) -> DataFrame:

@@ -109,6 +109,58 @@ def make_transcripts(scale: str | int = "tiny", seed: int = SEED) -> pd.DataFram
     )
 
 
+def make_transcripts_bench(n_convs: int, seed: int = SEED) -> pd.DataFrame:
+    """Fully vectorized generator for throughput benchmarks (hundreds of
+    thousands of turns). Same statistical shape as :func:`make_transcripts`
+    (Zipf vocabulary, Poisson conv lengths, stop-terms in 60% of turns,
+    adversarial term in the largest 10% of convs) minus the rare edge
+    rows — those live in the fixture generator where correctness tests
+    need them."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"term{i:05d}" for i in range(VOCAB_SIZE)])
+    ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+    zipf_p = ranks ** -1.2
+    zipf_p /= zipf_p.sum()
+
+    conv_lens = 1 + rng.poisson(6, size=n_convs)
+    total = int(conv_lens.sum())
+    conv_names = np.array([f"conv{i:06d}" for i in range(n_convs)])
+    conv_of_turn = np.repeat(np.arange(n_convs), conv_lens)
+    # contiguous turn_idx per conv: global index minus conv start offset
+    starts = np.concatenate(([0], np.cumsum(conv_lens)[:-1]))
+    turn_idx = np.arange(total, dtype=np.int64) - starts[conv_of_turn]
+
+    n_tok = rng.integers(5, 121, size=total)
+    tok_strs = vocab[rng.choice(VOCAB_SIZE, size=int(n_tok.sum()), p=zipf_p)]
+    bounds = np.cumsum(n_tok)[:-1]
+    texts = pd.Series([" ".join(x) for x in np.split(tok_strs, bounds)])
+
+    stop_mask = rng.random(total) < 0.60
+    stop_pick = np.array(STOP_TERMS)[np.arange(total) % len(STOP_TERMS)]
+    texts = texts.where(~stop_mask, pd.Series(stop_pick) + " " + texts)
+    cutoff = np.quantile(conv_lens, 0.9)
+    adv_mask = (conv_lens >= cutoff)[conv_of_turn]
+    texts = texts.where(~adv_mask, texts + f" {ADVERSARIAL_TERM}")
+
+    roles = np.array(ROLES)[rng.integers(0, 3, size=total)]
+    tool = np.where(
+        roles == "tool",
+        pd.Series(rng.integers(0, 8, size=total)).map(lambda k: f"tool{k}"),
+        None,
+    )
+    ts = pd.Timestamp(BASE_TS) + pd.to_timedelta(np.arange(total), unit="m")
+    return pd.DataFrame(
+        {
+            "conv_id": conv_names[conv_of_turn],
+            "turn_idx": turn_idx.astype(np.int32),
+            "role": roles,
+            "text": texts.to_numpy(),
+            "tool": tool,
+            "ts": ts,
+        }
+    )
+
+
 def make_queries(seed: int = SEED) -> pd.DataFrame:
     """The reference-style query set (~30 queries, FIXTURES.md §2):
     single rare term, single stop-term, mixed rare+common, absent term,

@@ -1,0 +1,77 @@
+"""spark-submit entry point: build (or resume) an index.
+
+Usage:
+    spark-submit --py-files atire_spark.zip cli_build.py \
+        --input /path/transcripts_parquet --workdir /path/index
+
+    python cli_build.py --synthetic-convs 20000 --workdir /tmp/idx
+
+The build is checkpointed: re-running the same command after a crash
+resumes from the _build_log (per-chunk lineage: turns parsed, postings
+emitted, bytes compressed — the reference's -N10000 progress reporting,
+reference atire/index.c:75-79, as durable rows instead of stdout).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet path of the transcripts table")
+    src.add_argument("--synthetic-convs", type=int, help="generate N synthetic convs")
+    ap.add_argument("--workdir", required=True, help="index output/checkpoint dir")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--chunks", type=int, default=8, help="tokenize checkpoint chunks")
+    ap.add_argument("--term-chunks", type=int, default=8)
+    ap.add_argument("--block-bits", type=int, default=20)
+    ap.add_argument("--blocks-per-seg", type=int, default=16)
+    args = ap.parse_args()
+
+    from atire_spark.checkpoint import build_index_checkpointed
+    from atire_spark.session import get_spark
+
+    spark = get_spark(cpus=args.cpus, app="atire_spark_build")
+    if args.input:
+        transcripts = spark.read.parquet(args.input)
+    else:
+        from atire_spark.synth import make_transcripts_bench
+
+        transcripts = spark.createDataFrame(make_transcripts_bench(args.synthetic_convs))
+
+    t0 = time.monotonic()
+    tables = build_index_checkpointed(
+        spark,
+        transcripts,
+        args.workdir,
+        n_chunks=args.chunks,
+        n_term_chunks=args.term_chunks,
+        block_bits=args.block_bits,
+        blocks_per_seg=args.blocks_per_seg,
+    )
+    wall = time.monotonic() - t0
+    stats = tables.stats.collect()[0].asDict()
+    log = tables.build_log
+    turns = (
+        log.filter(log.phase == "tokenize").groupBy().sum("turns_parsed").collect()[0][0]
+    )
+    print(
+        json.dumps(
+            {
+                "workdir": args.workdir,
+                "wall_sec": round(wall, 2),
+                "turns_parsed": int(turns or 0),
+                "turns_per_sec": round((turns or 0) / wall, 1),
+                **{k: (float(v) if isinstance(v, float) else int(v)) for k, v in stats.items()},
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""spark-submit entry point: BM25 top-k search over a built index.
+
+Usage:
+    spark-submit --py-files atire_spark.zip cli_search.py \
+        --index /path/index --query "hash join" -k 10
+
+    python cli_search.py --index /tmp/idx --queries-file topics.txt --trec
+
+--queries-file uses the reference's ANT query-file format: one query
+per line, ``<id> <terms...>`` (reference atire/atire.c:639-644;
+evaluation/topics.51-100.txt is the reference instance). --trec emits a
+TREC run file (reference atire_engine_result_set_export_TREC.c).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True, help="index workdir (from cli_build)")
+    ap.add_argument("--query", action="append", default=[], help="query text (repeatable)")
+    ap.add_argument("--queries-file", help="ANT-format query file: '<id> <terms...>'")
+    ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--ranker", choices=["bm25", "termcount"], default="bm25")
+    ap.add_argument("--conjunctive", action="store_true", help="allterms mode")
+    ap.add_argument("--trec", action="store_true", help="TREC run-file output")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    from atire_spark.build import IndexTables
+    from atire_spark.query import SearchEngine
+    from atire_spark.session import get_spark
+
+    spark = get_spark(cpus=args.cpus, app="atire_spark_search")
+    idx = IndexTables(
+        docmap=spark.read.parquet(f"{args.index}/docmap"),
+        postings=spark.read.parquet(f"{args.index}/postings"),
+        stats=spark.read.parquet(f"{args.index}/stats"),
+    )
+    eng = SearchEngine(spark, idx)
+
+    batch: list[tuple[int, str]] = []
+    if args.queries_file:
+        with open(args.queries_file) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                qid, _, terms = line.partition(" ")
+                batch.append((int(qid), terms))
+    for i, q in enumerate(args.query, start=len(batch) + 1):
+        batch.append((i, q))
+    if not batch:
+        ap.error("no queries given")
+
+    t0 = time.monotonic()
+    res = eng.search_batch(
+        batch, k=args.k, ranker=args.ranker, conjunctive=args.conjunctive
+    )
+    rows = eng.materialize(res).orderBy("query_id", "rank").collect()
+    wall = time.monotonic() - t0
+
+    for r in rows:
+        ext_id = f"{r['conv_id']}:{r['turn_idx']}"
+        if args.trec:
+            print(f"{r['query_id']} Q0 {ext_id} {r['rank']} {r['rsv_fixed']} atire_spark")
+        else:
+            print(
+                f"qid={r['query_id']} rank={r['rank']} docid={r['docid']} "
+                f"doc={ext_id} rsv_fixed={r['rsv_fixed']} rsv={r['rsv']:.2f}"
+            )
+    print(f"# {len(batch)} queries in {wall:.3f}s", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -138,6 +138,19 @@ class TestRankIdentity:
         assert list(got["docid"]) == list(want["docid"])
         assert list(got["rsv_fixed"]) == list(want["rsv_fixed"])
 
+    def test_grouped_equals_exploded_path(self, small_engine, small_oracle):
+        """The seg_group-partitioned scale scorer and the exploded
+        per-posting fallback must agree with each other and the oracle."""
+        batch = [(1, "alpha term00001"), (2, "omegaterm"), (3, "capterm term00001")]
+        a = small_engine.search_batch(batch, k=15, grouped=True).toPandas()
+        bdf = small_engine.search_batch(batch, k=15, grouped=False).toPandas()
+        pd.testing.assert_frame_equal(a, bdf)
+        for qid, qtext in batch:
+            w = small_oracle.search(qtext, k=15)
+            g = a[a["query_id"] == qid]
+            assert list(g["docid"]) == list(w["docid"])
+            assert list(g["rsv_fixed"]) == list(w["rsv_fixed"])
+
     def test_materialize(self, small_engine, small_pdf):
         res = small_engine.search_one("alpha", k=5)
         mat = small_engine.materialize(res).toPandas()
