@@ -36,6 +36,18 @@ TESTDATA_QUERIES: list[tuple[int, str]] = [
 ]
 TOP_K = 10
 
+# boolean grammar coverage (AND/OR/NOT/XOR, brackets, adjacency=OR)
+BOOLEAN_QUERIES: list[tuple[int, str]] = [
+    (1, "dup AND spark"),
+    (2, "spark OR merge"),
+    (3, "spark NOT dup"),
+    (4, "dup XOR spark"),
+    (5, "(dup OR spark) AND merge"),
+    (6, "hash join"),
+    (7, "spark AND zzzmissing"),
+    (8, "the AND a"),
+]
+
 _INDEX_CACHE: dict[str, object] = {}
 
 
@@ -70,6 +82,18 @@ def _engine(spark: SparkSession, sf_dir: str):
         from atire_spark.query import SearchEngine
 
         idx = build_index(spark, _transcripts(spark, sf_dir))
+        _INDEX_CACHE[key] = SearchEngine(spark, idx)
+    return _INDEX_CACHE[key]
+
+
+def _quant_engine(spark: SparkSession, sf_dir: str):
+    """Quantized (-Q, 8-bit) index over the same corpus."""
+    key = sf_dir.rstrip("/") + "#quant"
+    if key not in _INDEX_CACHE:
+        from atire_spark.build import build_index
+        from atire_spark.query import SearchEngine
+
+        idx = build_index(spark, _transcripts(spark, sf_dir), quantize_bits=8)
         _INDEX_CACHE[key] = SearchEngine(spark, idx)
     return _INDEX_CACHE[key]
 
@@ -284,6 +308,104 @@ def _q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.search_batch(TESTDATA_QUERIES, k=TOP_K, conjunctive=True)
 
 
+def _q_bm25_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _quant_engine(spark, sf_dir)
+    return eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
+
+
+def _q_qaat_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max QaaT with the reference's QUANTUM_STOP_DIFF early
+    termination (atire_api.c:759-782) — a heuristic, so it gets the
+    rows-only check (no SQL oracle), like the reference itself which
+    documents it as an effectiveness/efficiency trade."""
+    eng = _quant_engine(spark, sf_dir)
+    return eng.search_qaat(TESTDATA_QUERIES, k=TOP_K, early_termination="diff")
+
+
+def _q_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.search_boolean(BOOLEAN_QUERIES, k=TOP_K)
+
+
+def _boolean_sql(k: int) -> str:
+    """Generated from the same parse trees the engine evaluates —
+    per-leaf presence flags + the tree rendered as a SQL predicate."""
+    from collections import Counter as _Counter
+
+    from atire_spark.boolean import (
+        assign_leaf_indexes,
+        parse_boolean,
+        tree_to_sql_predicate,
+    )
+
+    all_terms: set[str] = set()
+    blocks: list[str] = []
+    sels: list[str] = []
+    for qid, text in BOOLEAN_QUERIES:
+        tree = parse_boolean(text)
+        if tree is None:
+            continue
+        leaves = assign_leaf_indexes(tree)
+        mult = _Counter(leaf.term for leaf in leaves)
+        all_terms.update(mult)
+        flags = ",\n         ".join(
+            f"bool_or(term = '{leaf.term}' AND c IS NOT NULL) AS f{leaf.idx}"
+            for leaf in leaves
+        )
+        values = ", ".join(f"('{t}', {m})" for t, m in sorted(mult.items()))
+        pred = tree_to_sql_predicate(tree, lambda i: f"f{i}")
+        blocks.append(
+            f"""cand{qid} AS (
+  SELECT docid,
+         CAST(coalesce(sum(m * c), 0) % 65536 AS BIGINT) AS rsv_fixed,
+         {flags}
+  FROM contrib JOIN (VALUES {values}) AS lm{qid}(term, m) USING (term)
+  GROUP BY docid
+)"""
+        )
+        sels.append(
+            f"SELECT CAST({qid} AS BIGINT) AS query_id, docid, rsv_fixed "
+            f"FROM cand{qid} WHERE {pred}"
+        )
+    term_list = ", ".join(f"'{t}'" for t in sorted(all_terms))
+    union = "\n  UNION ALL\n  ".join(sels)
+    return f"""
+WITH {_CORPUS_CTE},
+contrib AS (
+  SELECT t.term, t.docid,
+         CASE WHEN ts.df = s.n_docs THEN NULL
+              ELSE 1 + CAST(trunc(
+                100.0 * ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE))
+                      * ((CAST(t.tf AS DOUBLE) * (0.9 + 1.0))
+                         / (CAST(t.tf AS DOUBLE)
+                            + CAST(CAST(0.9 * ((1.0 - 0.4)
+                                + 0.4 * (CAST(d.doc_len AS DOUBLE) / s.mean_len))
+                              AS REAL) AS DOUBLE)))) AS BIGINT)
+         END AS c
+  FROM tf t
+  JOIN termstats ts USING (term)
+  JOIN docmap d USING (docid)
+  CROSS JOIN stats s
+  WHERE t.term IN ({term_list})
+),
+{','.join(blocks)},
+allsel AS (
+  {union}
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM allsel
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_topk_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     res = eng.search_batch(TESTDATA_QUERIES[:3], k=TOP_K)
@@ -301,6 +423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25,
         "bm25_topk_k100": _q_bm25_k100,
         "bm25_conjunctive": _q_bm25_conjunctive,
+        "bm25_quantized_topk": _q_bm25_quantized,
+        "qaat_pruned_topk": _q_qaat_pruned,
+        "boolean_topk": _q_boolean,
         "topk_materialized": _q_topk_materialized,
     }
 
@@ -329,6 +454,54 @@ SELECT term, docid, tf FROM tf
         "bm25_topk": _bm25_sql(TOP_K),
         "bm25_topk_k100": _bm25_sql(100),
         "bm25_conjunctive": _bm25_sql(TOP_K, conjunctive=True),
+        "boolean_topk": _boolean_sql(TOP_K),
+        # quantized (-Q) index: per-posting raw rsv (idf kept even at 0,
+        # ranking_function.c:495-526), global min/max, impact =
+        # trunc(scale + 1), query rsv = sum(impact) mod 2^16 — identical
+        # expression tree to kernels/quantize.py
+        "bm25_quantized_topk": f"""
+WITH {_CORPUS_CTE},
+scored_all AS (
+  SELECT t.term, t.docid,
+         ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE))
+           * ((CAST(t.tf AS DOUBLE) * (0.9 + 1.0))
+              / (CAST(t.tf AS DOUBLE)
+                 + CAST(CAST(0.9 * ((1.0 - 0.4)
+                     + 0.4 * (CAST(d.doc_len AS DOUBLE) / s.mean_len))
+                   AS REAL) AS DOUBLE))) AS rsv
+  FROM tf t
+  JOIN termstats ts USING (term)
+  JOIN docmap d USING (docid)
+  CROSS JOIN stats s
+),
+qrange AS (SELECT min(rsv) AS qmin, max(rsv) AS qmax FROM scored_all),
+impacts AS (
+  SELECT term, docid,
+         CAST(trunc(((rsv - qmin) / (qmax - qmin)) * 254.0 + 1.0) AS BIGINT)
+           AS impact
+  FROM scored_all CROSS JOIN qrange
+),
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+),
+acc AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, i.docid,
+         CAST(sum(i.impact * q.weight) % 65536 AS BIGINT) AS rsv_fixed
+  FROM q JOIN impacts i USING (term)
+  GROUP BY q.query_id, i.docid
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM acc
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM ranked WHERE rank <= {TOP_K}
+""",
         "topk_materialized": f"""
 WITH {_CORPUS_CTE},
 q(query_id, term, weight) AS (

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from atire_spark.kernels.impact import impact_order
+from atire_spark.kernels.quantize import DEFAULT_QUANT_BITS, quantize_rsv, raw_rsv
 from atire_spark.kernels.tokenizer import tokenize_batch
 
 TF_CAP = 255  # memory_index_hash_node.h:140-143
@@ -191,24 +192,12 @@ def _make_segment_fn(schema_cols: list[str]):
     return make_segment
 
 
-def build_postings(
-    docs: DataFrame,
-    block_bits: int = 20,
-    blocks_per_seg: int = 4096,
-    term_filter=None,
-) -> tuple[DataFrame, DataFrame]:
-    """(docid, terms[], tfs[], doc_len) rows → (postings, term_stats).
-
-    Stage 1 aggregates per (term, docid-block): JVM-side collect_list +
-    sort_array keeps the heavy grouping inside whole-stage codegen /
-    Tungsten; per-block lists are bounded by 2**block_bits docs so no
-    single reducer sees an unbounded stop-term list.
-
-    Stage 2 merges each term's blocks (per segment group) in one Arrow
-    UDF: concat (blocks are disjoint, ascending docid ranges) + impact
-    ordering + vbyte. Terms wider than one segment group become
-    multiple postings rows — stop-term splitting.
-    """
+def _stage1(docs: DataFrame, block_bits: int, term_filter=None) -> DataFrame:
+    """(docid, terms[], tfs[], doc_len) rows → per-(term, docid-block)
+    posting arrays. JVM-side collect_list + sort_array keeps the heavy
+    grouping inside whole-stage codegen / Tungsten; per-block lists are
+    bounded by 2**block_bits docs so no single reducer sees an
+    unbounded stop-term list."""
     tok = docs.select(
         "docid",
         "doc_len",
@@ -243,6 +232,23 @@ def build_postings(
             "cf_b",
         )
     )
+    return stage1
+
+
+def build_postings(
+    docs: DataFrame,
+    block_bits: int = 20,
+    blocks_per_seg: int = 4096,
+    term_filter=None,
+) -> tuple[DataFrame, DataFrame]:
+    """(docid, terms[], tfs[], doc_len) rows → (postings, term_stats).
+
+    Stage 2 merges each term's blocks (per segment group) in one Arrow
+    UDF: concat (blocks are disjoint, ascending docid ranges) + impact
+    ordering + vbyte. Terms wider than one segment group become
+    multiple postings rows — stop-term splitting.
+    """
+    stage1 = _stage1(docs, block_bits, term_filter)
 
     term_stats = stage1.groupBy("term").agg(
         F.sum("df_b").alias("df"), F.sum("cf_b").alias("cf")
@@ -260,28 +266,176 @@ def build_postings(
     return postings, term_stats
 
 
+# ------------------------------------------------- quantized postings (-Q)
+QUANT_POSTINGS_SCHEMA = POSTINGS_SCHEMA + ", df long, cf long"
+
+
+def _make_quantized_segment_fn(
+    schema_cols: list[str],
+    n_docs: int,
+    mean_doc_len: float,
+    qmin: float,
+    qmax: float,
+    bits: int,
+):
+    def make_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, seg_group = key
+        pdf = pdf.sort_values("block")
+        docids = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["docids"]])
+        tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["tfs"]])
+        lens = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["lens"]])
+        df_t = int(pdf["df"].iloc[0])
+        rsv = raw_rsv(tfs, lens, df_t, n_docs, mean_doc_len)
+        impacts = quantize_rsv(rsv, qmin, qmax, bits)
+        seg = impact_order(docids, impacts, lens)
+        row = {
+            "term": term,
+            "seg_group": seg_group,
+            "seg_df": int(docids.size),
+            "seg_cf": int(pdf["cf_b"].sum()),
+            "first_docid": int(docids[0]),
+            "max_impact": seg.max_impact,
+            "impacts": seg.impacts.tolist(),
+            "doc_counts": seg.doc_counts.tolist(),
+            "offsets": seg.offsets.tolist(),
+            "byte_offsets": seg.byte_offsets.tolist(),
+            "postings": seg.postings,
+            "doc_lens": seg.doc_lens,
+            "n_postings": seg.n_postings,
+            "df": df_t,
+            "cf": int(pdf["cf"].iloc[0]),
+        }
+        return pd.DataFrame([row], columns=schema_cols)
+
+    return make_segment
+
+
+def build_postings_quantized(
+    docs: DataFrame,
+    n_docs: int,
+    mean_doc_len: float,
+    block_bits: int = 20,
+    blocks_per_seg: int = 4096,
+    bits: int = DEFAULT_QUANT_BITS,
+    term_filter=None,
+) -> tuple[DataFrame, DataFrame, float, float]:
+    """Quantized (-Q) build (reference memory_index.c:1541-1589).
+
+    Needs global df per term *before* segment serialisation (the rsv
+    depends on it) and the collection-wide min/max rsv, so this path
+    runs one extra co-partitioned join (stage1 ⋈ term_stats, both
+    already hashed on term — no extra shuffle of the posting payload)
+    and one extra scan for the min/max (reference rsv_all_nodes,
+    memory_index.c:1570-1580). stage1 is persisted across the two
+    passes.
+    """
+    stage1 = _stage1(docs, block_bits, term_filter).persist()
+    term_stats = stage1.groupBy("term").agg(
+        F.sum("df_b").alias("df"), F.sum("cf_b").alias("cf")
+    )
+    joined = stage1.join(term_stats.select("term", "df", "cf"), "term")
+
+    def minmax_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mn, mx = np.inf, -np.inf
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                rsv = raw_rsv(
+                    np.asarray(row.tfs, dtype=np.int64),
+                    np.asarray(row.lens, dtype=np.int64),
+                    int(row.df),
+                    n_docs,
+                    mean_doc_len,
+                )
+                mn = min(mn, float(rsv.min()))
+                mx = max(mx, float(rsv.max()))
+        if np.isfinite(mn):
+            yield pd.DataFrame({"mn": [mn], "mx": [mx]})
+
+    mm = (
+        joined.select("tfs", "lens", "df")
+        .mapInPandas(minmax_fn, schema="mn double, mx double")
+        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+        .collect()[0]
+    )
+    qmin, qmax = float(mm["mn"]), float(mm["mx"])
+
+    schema_cols = [c.split(" ")[0] for c in QUANT_POSTINGS_SCHEMA.split(", ")]
+    postings = (
+        joined.withColumn(
+            "seg_group", (F.col("block") / F.lit(blocks_per_seg)).cast("long")
+        )
+        .groupBy("term", "seg_group")
+        .applyInPandas(
+            _make_quantized_segment_fn(
+                schema_cols, n_docs, mean_doc_len, qmin, qmax, bits
+            ),
+            schema=QUANT_POSTINGS_SCHEMA,
+        )
+    )
+    return postings, term_stats, qmin, qmax
+
+
 # ---------------------------------------------------------------- build
 def build_index(
     spark: SparkSession,
     transcripts: DataFrame,
     block_bits: int = 20,
     blocks_per_seg: int = 4096,
+    quantize_bits: int | None = None,
 ) -> IndexTables:
     """Full build. Returns lazily-evaluated DataFrames; call
-    :func:`write_index` to materialize."""
+    :func:`write_index` to materialize.
+
+    ``quantize_bits`` switches on the reference's -Q mode: postings
+    store pre-scored integer impacts instead of saturated tfs, and the
+    stats row records (quantized, quant_bits, quant_min, quant_max) —
+    the reference's ``~quantized``/``~quantmax``/``~quantmin`` index
+    variables (memory_index.c:1562-1580).
+    """
     tokenized = tokenize_stage(transcripts)
     docs = assign_docids(tokenized)
     docs = docs.persist()
 
     docmap = docs.select("docid", "conv_id", "turn_idx", "doc_len")
-    postings, term_stats = build_postings(docs, block_bits, blocks_per_seg)
 
-    stats = docs.agg(
-        F.count("*").alias("documents"),
-        F.sum("doc_len").alias("collection_len"),
-        (F.sum("doc_len") / F.count("*")).alias("mean_doc_len"),
-    ).crossJoin(term_stats.agg(F.count("*").alias("unique_terms")))
+    if quantize_bits is None:
+        postings, term_stats = build_postings(docs, block_bits, blocks_per_seg)
+        stats = (
+            docs.agg(
+                F.count("*").alias("documents"),
+                F.sum("doc_len").alias("collection_len"),
+                (F.sum("doc_len") / F.count("*")).alias("mean_doc_len"),
+            )
+            .crossJoin(term_stats.agg(F.count("*").alias("unique_terms")))
+            .select(
+                "*",
+                F.lit(0).alias("quantized"),
+                F.lit(0).alias("quant_bits"),
+                F.lit(0.0).alias("quant_min"),
+                F.lit(0.0).alias("quant_max"),
+            )
+        )
+        return IndexTables(docmap=docmap, postings=postings, stats=stats)
 
+    # quantized build needs N and mean length up front
+    row = docs.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("s")
+    ).collect()[0]
+    n_docs, coll_len = int(row["n"]), int(row["s"])
+    mean_len = coll_len / n_docs
+    postings, term_stats, qmin, qmax = build_postings_quantized(
+        docs, n_docs, mean_len, block_bits, blocks_per_seg, quantize_bits
+    )
+    stats = term_stats.agg(F.count("*").alias("unique_terms")).select(
+        F.lit(n_docs).cast("long").alias("documents"),
+        F.lit(coll_len).cast("long").alias("collection_len"),
+        F.lit(mean_len).alias("mean_doc_len"),
+        "unique_terms",
+        F.lit(1).alias("quantized"),
+        F.lit(quantize_bits).alias("quant_bits"),
+        F.lit(qmin).alias("quant_min"),
+        F.lit(qmax).alias("quant_max"),
+    )
     return IndexTables(docmap=docmap, postings=postings, stats=stats)
 
 

@@ -91,6 +91,109 @@ class OracleIndex:
         )
 
     # ------------------------------------------------------------------
+    def search_boolean(self, query: str, k: int = 10) -> pd.DataFrame:
+        """Boolean retrieval oracle (atire_api.c:1116-1176): dense
+        per-leaf bitstrings + BM25 accumulation, filter, rank."""
+        from atire_spark.boolean import assign_leaf_indexes, eval_tree, parse_boolean
+
+        tree = parse_boolean(query)
+        empty = pd.DataFrame(columns=["rank", "docid", "rsv_fixed"]).astype(
+            {"rank": np.int32, "docid": np.int64, "rsv_fixed": np.int64}
+        )
+        if tree is None:
+            return empty
+        leaves = assign_leaf_indexes(tree)
+        acc = np.zeros(self.n_docs, dtype=np.int64)
+        presence = [np.zeros(self.n_docs, dtype=bool) for _ in leaves]
+        for leaf in leaves:
+            hit = self.postings.get(leaf.term)
+            if hit is None:
+                continue
+            docids, tfs = hit
+            idf = float(np.log(np.float64(self.n_docs) / np.float64(docids.size)))
+            if idf == 0.0:
+                continue  # df==N: ranker bails before setting bits
+            tf_d = tfs.astype(np.float64)
+            prior = self.priors[docids].astype(np.float64)
+            rsv = idf * ((tf_d * (K1 + 1.0)) / (tf_d + prior))
+            acc[docids] += 1 + (rsv * 100.0).astype(np.int64)
+            presence[leaf.idx][docids] = True
+        mask = eval_tree(tree, presence)
+        cand = np.flatnonzero(mask)
+        if cand.size == 0:
+            return empty
+        rsv_fixed = acc[cand] % ACCUM_MOD
+        order = np.lexsort((-cand, -rsv_fixed))[: min(k, cand.size)]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, order.size + 1, dtype=np.int32),
+                "docid": cand[order],
+                "rsv_fixed": rsv_fixed[order],
+            }
+        )
+
+    # ------------------------------------------------------------------
+    def quantize(self, bits: int = 8) -> dict:
+        """Quantized (-Q) postings: every posting's raw BM25 rsv
+        (idf kept even at 0 — the quantizer does not skip df==N terms,
+        ranking_function.c:495-526), global min/max, then
+        ``trunc(((rsv-min)/(max-min)) * ((1<<bits)-2) + 1)``."""
+        rsvs: dict[str, np.ndarray] = {}
+        qmin, qmax = np.inf, -np.inf
+        for term, (docids, tfs) in self.postings.items():
+            idf = float(np.log(np.float64(self.n_docs) / np.float64(docids.size)))
+            tf_d = tfs.astype(np.float64)
+            prior = self.priors[docids].astype(np.float64)
+            rsv = idf * ((tf_d * (K1 + 1.0)) / (tf_d + prior))
+            rsvs[term] = rsv
+            qmin = min(qmin, float(rsv.min()))
+            qmax = max(qmax, float(rsv.max()))
+        scale = float((1 << bits) - 2)
+        quant = {
+            t: (
+                self.postings[t][0],
+                np.trunc(((r - qmin) / (qmax - qmin)) * scale + 1.0).astype(np.int64)
+                if qmax > qmin
+                else np.ones(r.size, dtype=np.int64),
+            )
+            for t, r in rsvs.items()
+        }
+        return {"postings": quant, "qmin": qmin, "qmax": qmax, "bits": bits}
+
+    def search_quantized(self, query: str, k: int = 10, bits: int = 8) -> pd.DataFrame:
+        """Impact-ranker search over the quantized index: rsv = sum of
+        stored impacts (add_rsv(long), no +1/x100, no df==N skip)."""
+        key = f"_quant_{bits}"
+        q = getattr(self, key, None)
+        if q is None:
+            q = self.quantize(bits)
+            object.__setattr__(self, key, q)
+        terms = tokenize(query)
+        acc = np.zeros(self.n_docs, dtype=np.int64)
+        touched = np.zeros(self.n_docs, dtype=bool)
+        for term in terms:
+            hit = q["postings"].get(term)
+            if hit is None:
+                continue
+            docids, impacts = hit
+            acc[docids] += impacts
+            touched[docids] = True
+        cand = np.flatnonzero(touched)
+        if cand.size == 0:
+            return pd.DataFrame(columns=["rank", "docid", "rsv_fixed"]).astype(
+                {"rank": np.int32, "docid": np.int64, "rsv_fixed": np.int64}
+            )
+        rsv_fixed = acc[cand] % ACCUM_MOD
+        order = np.lexsort((-cand, -rsv_fixed))[: min(k, cand.size)]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, order.size + 1, dtype=np.int32),
+                "docid": cand[order],
+                "rsv_fixed": rsv_fixed[order],
+            }
+        )
+
+    # ------------------------------------------------------------------
     def search(self, query: str, k: int = 10) -> pd.DataFrame:
         """BM25 top-k → DataFrame(rank, docid, rsv_fixed)."""
         terms = tokenize(query)

@@ -37,8 +37,57 @@ from atire_spark.build import IndexTables
 from atire_spark.kernels.bm25 import ACCUM_MOD, BM25_B, BM25_K1
 from atire_spark.kernels.impact import decode_segment
 from atire_spark.kernels.tokenizer import tokenize
+from atire_spark.kernels.vbyte import vbyte_decode
 
 RESULT_SCHEMA = "query_id long, rank int, docid long, rsv_fixed long, rsv double"
+
+
+def _segment_contrib(
+    row,
+    use_bm25: bool,
+    conjunctive: bool,
+    quantized: bool,
+    n_docs: int,
+    mean_len: float,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Decode one matching segment row → (docids, int64 contributions).
+
+    Unquantized BM25: the fixed-point TaaT arithmetic
+    (ranking_function_bm25.c:76-130 + search_engine_accumulator.h:76).
+    Quantized index: the impact value IS the score and is added
+    directly (ranking_function_impact.c, add_rsv(long)) — no idf skip,
+    no +1/x100. ``termcount`` (use_bm25=False): one point per match.
+    Returns None when the term can be skipped entirely (df==N in
+    unquantized BM25 outside conjunctive mode, bm25.c:91-92).
+    """
+    k1, b = BM25_K1, BM25_B
+    idf = 1.0
+    if use_bm25 and not quantized:
+        idf = float(np.log(np.float64(n_docs) / np.float64(int(row.df))))
+        if idf == 0.0 and not conjunctive:
+            return None
+    docids, impacts, lens = decode_segment(
+        np.asarray(row.impacts),
+        np.asarray(row.doc_counts),
+        row.postings,
+        row.doc_lens,
+    )
+    weight = int(row.weight)
+    if not use_bm25:
+        contrib = np.full(docids.size, weight, dtype=np.int64)
+    elif quantized:
+        contrib = impacts.astype(np.int64) * weight
+    elif idf == 0.0:
+        # conjunctive with a universal term: required hit, zero score
+        contrib = np.zeros(docids.size, dtype=np.int64)
+    else:
+        priors = (
+            k1 * ((1.0 - b) + b * (lens.astype(np.float64) / mean_len))
+        ).astype(np.float32)
+        tf_d = impacts.astype(np.float64)
+        rsv = idf * ((tf_d * (k1 + 1.0)) / (tf_d + priors.astype(np.float64)))
+        contrib = (1 + (rsv * 100.0).astype(np.int64)) * weight
+    return docids, contrib
 
 
 def parse_query(text: str) -> list[tuple[str, int]]:
@@ -56,9 +105,11 @@ class SearchEngine:
     def __init__(self, spark: SparkSession, index: IndexTables, cache: bool = True):
         self.spark = spark
         self.index = index
-        row = index.stats.collect()[0]
+        row = index.stats.collect()[0].asDict()
         self.n_docs = int(row["documents"])
         self.mean_doc_len = float(row["mean_doc_len"])
+        self.quantized = bool(row.get("quantized", 0))
+        self.quant_bits = int(row.get("quant_bits", 0) or 0)
         self.postings = index.postings
         if cache:
             # the reference's -M in-memory index mode
@@ -111,7 +162,7 @@ class SearchEngine:
 
         n_docs = self.n_docs
         mean_len = self.mean_doc_len
-        k1, b = BM25_K1, BM25_B
+        quantized = self.quantized
         use_bm25 = ranker == "bm25"
 
         if grouped:
@@ -124,37 +175,12 @@ class SearchEngine:
                 out_contrib: list[np.ndarray] = []
                 out_hits: list[np.ndarray] = []
                 for row in pdf.itertuples(index=False):
-                    df_t = int(row.df)
-                    idf = 1.0
-                    if use_bm25:
-                        idf = float(np.log(np.float64(n_docs) / np.float64(df_t)))
-                        if idf == 0.0 and not conjunctive:
-                            continue  # df == N contributes nothing (bm25.c:91-92)
-                    docids, tfs, lens = decode_segment(
-                        np.asarray(row.impacts),
-                        np.asarray(row.doc_counts),
-                        row.postings,
-                        row.doc_lens,
+                    dec = _segment_contrib(
+                        row, use_bm25, conjunctive, quantized, n_docs, mean_len
                     )
-                    if use_bm25:
-                        if idf == 0.0:
-                            # conjunctive with a universal term: counts as a
-                            # required hit but scores nothing
-                            contrib = np.zeros(docids.size, dtype=np.int64)
-                        else:
-                            priors = (
-                                k1
-                                * ((1.0 - b) + b * (lens.astype(np.float64) / mean_len))
-                            ).astype(np.float32)
-                            tf_d = tfs.astype(np.float64)
-                            rsv = idf * (
-                                (tf_d * (k1 + 1.0)) / (tf_d + priors.astype(np.float64))
-                            )
-                            contrib = (1 + (rsv * 100.0).astype(np.int64)) * int(
-                                row.weight
-                            )
-                    else:  # termcount: one point per matching term occurrence
-                        contrib = np.full(docids.size, int(row.weight), dtype=np.int64)
+                    if dec is None:
+                        continue  # df == N contributes nothing (bm25.c:91-92)
+                    docids, contrib = dec
                     out_qid.append(
                         np.full(docids.size, int(row.query_id), dtype=np.int64)
                     )
@@ -237,7 +263,7 @@ class SearchEngine:
         and is kept for plan comparison, grouped=False).
         """
         n_docs, mean_len = self.n_docs, self.mean_doc_len
-        k1, b = BM25_K1, BM25_B
+        quantized = self.quantized
 
         def part_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             qids: list[np.ndarray] = []
@@ -246,35 +272,12 @@ class SearchEngine:
             hit_flags: list[np.ndarray] = []
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
-                    df_t = int(row.df)
-                    idf = 1.0
-                    if use_bm25:
-                        idf = float(np.log(np.float64(n_docs) / np.float64(df_t)))
-                        if idf == 0.0 and not conjunctive:
-                            continue
-                    docids, tfs, lens = decode_segment(
-                        np.asarray(row.impacts),
-                        np.asarray(row.doc_counts),
-                        row.postings,
-                        row.doc_lens,
+                    dec = _segment_contrib(
+                        row, use_bm25, conjunctive, quantized, n_docs, mean_len
                     )
-                    if use_bm25:
-                        if idf == 0.0:
-                            contrib = np.zeros(docids.size, dtype=np.int64)
-                        else:
-                            priors = (
-                                k1
-                                * ((1.0 - b) + b * (lens.astype(np.float64) / mean_len))
-                            ).astype(np.float32)
-                            tf_d = tfs.astype(np.float64)
-                            rsv = idf * (
-                                (tf_d * (k1 + 1.0)) / (tf_d + priors.astype(np.float64))
-                            )
-                            contrib = (1 + (rsv * 100.0).astype(np.int64)) * int(
-                                row.weight
-                            )
-                    else:
-                        contrib = np.full(docids.size, int(row.weight), dtype=np.int64)
+                    if dec is None:
+                        continue
+                    docids, contrib = dec
                     qids.append(np.full(docids.size, int(row.query_id), dtype=np.int64))
                     docs.append(docids)
                     contribs.append(contrib)
@@ -313,6 +316,301 @@ class SearchEngine:
             part_fn, schema="query_id long, docid long, rsv_fixed long"
         )
         return self._rank_topk(cand, k)
+
+    # ------------------------------------------------------------------
+    def search_boolean(
+        self, queries: list[tuple[int, str]], k: int = 10
+    ) -> DataFrame:
+        """Boolean retrieval (reference query_boolean.c +
+        atire_api.c:1116-1176): filter docs by the AND/OR/NOT/XOR
+        expression over per-term docid sets, rank survivors by the sum
+        of BM25 contributions of the leaf terms they contain.
+
+        Distributed shape: same seg_group-partitioned accumulation as
+        :meth:`_search_grouped`, with a per-leaf presence vector per
+        partition; the boolean tree is evaluated vectorized over the
+        partition's candidate docids (each task owns its docid range,
+        so presence is complete locally — no cross-partition set ops).
+        """
+        from atire_spark.boolean import assign_leaf_indexes, eval_tree, parse_boolean
+
+        trees: dict[int, object] = {}
+        terms: list[tuple[int, str, int, int]] = []
+        for qid, text in queries:
+            tree = parse_boolean(text)
+            if tree is None:
+                continue
+            leaves = assign_leaf_indexes(tree)
+            trees[qid] = tree
+            for leaf in leaves:
+                # one entry PER LEAF: a term repeated in two leaves is
+                # scored once per leaf (process_boolean_query walks
+                # every leaf separately)
+                terms.append((qid, leaf.term, 1, leaf.idx))
+        if not terms:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        terms_df = self.spark.createDataFrame(
+            terms, "query_id long, term string, weight int, leaf_idx int"
+        )
+        hits = self.postings.join(F.broadcast(terms_df), "term")
+        n_docs, mean_len = self.n_docs, self.mean_doc_len
+        quantized = self.quantized
+
+        def part_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qids: list[np.ndarray] = []
+            docs: list[np.ndarray] = []
+            contribs: list[np.ndarray] = []
+            leaf_ids: list[np.ndarray] = []
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    dec = _segment_contrib(row, True, False, quantized, n_docs, mean_len)
+                    if dec is None:
+                        continue  # df==N: no score AND no bits set
+                    docids, contrib = dec
+                    qids.append(np.full(docids.size, int(row.query_id), dtype=np.int64))
+                    docs.append(docids)
+                    contribs.append(contrib)
+                    leaf_ids.append(np.full(docids.size, int(row.leaf_idx), np.int64))
+            if not qids:
+                return
+            acc = pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qids),
+                    "docid": np.concatenate(docs),
+                    "contrib": np.concatenate(contribs),
+                    "leaf": np.concatenate(leaf_ids),
+                }
+            )
+            outs = []
+            for qid, g in acc.groupby("query_id", sort=False):
+                tree = trees.get(int(qid))
+                if tree is None:
+                    continue
+                n_leaves = len(assign_leaf_indexes(tree))
+                per_doc = g.groupby("docid", sort=False)["contrib"].sum()
+                cand_ids = per_doc.index.to_numpy()
+                presence = []
+                for i in range(n_leaves):
+                    leaf_docs = g.loc[g["leaf"] == i, "docid"].to_numpy()
+                    presence.append(np.isin(cand_ids, leaf_docs))
+                mask = eval_tree(tree, presence)
+                ids = cand_ids[mask]
+                vals = per_doc.to_numpy()[mask] % ACCUM_MOD
+                if ids.size > k:
+                    order = np.lexsort((-ids, -vals))[:k]
+                    ids, vals = ids[order], vals[order]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(ids.size, qid, dtype=np.int64),
+                            "docid": ids,
+                            "rsv_fixed": vals,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+        cand = hits.repartition("seg_group").mapInPandas(
+            part_fn, schema="query_id long, docid long, rsv_fixed long"
+        )
+        return self._rank_topk(cand, k)
+
+    # ------------------------------------------------------------------
+    def search_qaat(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        early_termination: str | None = "diff",
+        return_stats: bool = False,
+    ):
+        """Quantum-at-a-time search with block-max pruning
+        (reference atire/atire_api.c:683-836).
+
+        Quantums (impact groups) are processed in descending global
+        impact order via a max-heap over the per-term current-max
+        quantum — the per-segment ``max_impact`` and per-quantum
+        ``impacts[]``/``byte_offsets[]`` header is exactly the
+        block-max metadata: a block is never decoded before the heap
+        says its impact bound is the largest remaining.
+
+        ``early_termination="diff"`` is the reference's
+        QUANTUM_STOP_DIFF rule (atire_api.c:759-782): once the top-k
+        heap is full and the sum of every term's current-max quantum
+        cannot close the gap between the (k-1)th and kth result, stop.
+        Like the reference this is a heuristic (results can differ from
+        exhaustive evaluation near ties); ``None`` processes every
+        quantum and is rank-identical to :meth:`search_batch`.
+
+        Pruning state is partition-local (each task owns a disjoint
+        docid range via seg_group, so its accumulator is complete for
+        its docids); a local top-k threshold is at most as large as the
+        global one, which only makes the stop rule fire later — never
+        wrongly relative to the reference rule.
+
+        Requires a quantized index for early termination — on an
+        unquantized index the termination is reset to None with the
+        reference's warning semantics (atire_api.c:1854-1857).
+        """
+        if early_termination is not None and not self.quantized:
+            early_termination = None  # reference resets + warns
+        terms: list[tuple[int, str, int]] = []
+        for qid, text in queries:
+            for term, weight in parse_query(text):
+                terms.append((qid, term, weight))
+        if not terms:
+            empty = self.spark.createDataFrame([], RESULT_SCHEMA)
+            return (empty, {"processed_quantums": 0, "total_quantums": 0}) if return_stats else empty
+        terms_df = self.spark.createDataFrame(
+            terms, "query_id long, term string, weight int"
+        )
+        hits = self.postings.join(F.broadcast(terms_df), "term")
+
+        n_docs, mean_len = self.n_docs, self.mean_doc_len
+        quantized = self.quantized
+        k1, b = BM25_K1, BM25_B
+        et = early_termination
+
+        def part_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import heapq
+
+            per_q: dict[int, list] = {}
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    per_q.setdefault(int(row.query_id), []).append(row)
+            out = []
+            for qid, rows in per_q.items():
+                entries = []
+                total_q = 0
+                for row in rows:
+                    impacts = np.asarray(row.impacts, dtype=np.int64)
+                    doc_counts = np.asarray(row.doc_counts, dtype=np.int64)
+                    byte_offsets = np.asarray(row.byte_offsets, dtype=np.int64)
+                    idf = None
+                    lens = None
+                    if not quantized:
+                        idf = float(
+                            np.log(np.float64(n_docs) / np.float64(int(row.df)))
+                        )
+                        if idf == 0.0:
+                            continue  # bm25.c:91-92
+                        lens = vbyte_decode(row.doc_lens).astype(np.int64)
+                    entries.append(
+                        {
+                            "impacts": impacts,
+                            "counts": doc_counts,
+                            "starts": np.concatenate(
+                                ([0], np.cumsum(doc_counts[:-1]))
+                            ).astype(np.int64),
+                            "bo": byte_offsets,
+                            "blob": row.postings,
+                            "lens": lens,
+                            "idf": idf,
+                            "w": int(row.weight),
+                            "g": 0,
+                        }
+                    )
+                    total_q += impacts.size
+                if not entries:
+                    continue
+                heap = [(-e["impacts"][0], i) for i, e in enumerate(entries)]
+                heapq.heapify(heap)
+                max_remaining = int(sum(e["impacts"][0] for e in entries))
+                acc = pd.Series(dtype=np.int64)
+                processed = 0
+                while heap:
+                    if (
+                        et is not None
+                        and k >= 2
+                        and acc.size >= k  # heap_is_full (result.h:137)
+                        and max_remaining > 0
+                    ):
+                        vals = acc.to_numpy()
+                        topv = np.partition(vals, vals.size - k)[vals.size - k :]
+                        topv.sort()
+                        # diff between (k-1)th and kth largest
+                        # (search_engine_result.h:132-135)
+                        if max_remaining < int(topv[1] - topv[0]):
+                            break
+                    neg_imp, i = heapq.heappop(heap)
+                    e = entries[i]
+                    g = e["g"]
+                    impact = int(e["impacts"][g])
+                    s, c = int(e["starts"][g]), int(e["counts"][g])
+                    end_b = (
+                        int(e["bo"][g + 1]) if g + 1 < e["bo"].size else len(e["blob"])
+                    )
+                    deltas = vbyte_decode(e["blob"][int(e["bo"][g]) : end_b])
+                    docids = np.cumsum(deltas.astype(np.int64)) - 1
+                    if quantized:
+                        contrib = np.full(docids.size, impact * e["w"], dtype=np.int64)
+                    else:
+                        lens_g = e["lens"][s : s + c].astype(np.float64)
+                        priors = (k1 * ((1.0 - b) + b * (lens_g / mean_len))).astype(
+                            np.float32
+                        )
+                        tf_d = np.float64(impact)
+                        rsv = e["idf"] * (
+                            (tf_d * (k1 + 1.0)) / (tf_d + priors.astype(np.float64))
+                        )
+                        contrib = (1 + (rsv * 100.0).astype(np.int64)) * e["w"]
+                    # uint16 accumulator wrap applies continuously
+                    acc = (
+                        acc.add(pd.Series(contrib, index=docids), fill_value=0)
+                        .astype(np.int64)
+                        .mod(ACCUM_MOD)
+                    )
+                    processed += 1
+                    max_remaining -= impact
+                    e["g"] = g + 1
+                    if e["g"] < e["impacts"].size:
+                        nxt = int(e["impacts"][e["g"]])
+                        max_remaining += nxt
+                        heapq.heappush(heap, (-nxt, i))
+                vals = acc.to_numpy() % ACCUM_MOD
+                ids = acc.index.to_numpy()
+                if ids.size > k:
+                    order = np.lexsort((-ids, -vals))[:k]
+                    ids, vals = ids[order], vals[order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(ids.size + 1, qid, dtype=np.int64),
+                            "docid": np.concatenate((ids, [-1])),
+                            "rsv_fixed": np.concatenate((vals, [0])),
+                            "pq": np.concatenate(
+                                (np.zeros(ids.size, np.int64), [processed])
+                            ),
+                            "tq": np.concatenate(
+                                (np.zeros(ids.size, np.int64), [total_q])
+                            ),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+        cand = hits.repartition("seg_group").mapInPandas(
+            part_fn,
+            schema="query_id long, docid long, rsv_fixed long, pq long, tq long",
+        )
+        cand = cand.persist()
+        results = self._rank_topk(
+            cand.filter(F.col("docid") >= 0).select("query_id", "docid", "rsv_fixed"),
+            k,
+        )
+        if not return_stats:
+            return results
+        m = (
+            cand.filter(F.col("docid") < 0)
+            .agg(F.sum("pq").alias("pq"), F.sum("tq").alias("tq"))
+            .collect()[0]
+        )
+        stats = {
+            "processed_quantums": int(m["pq"] or 0),
+            "total_quantums": int(m["tq"] or 0),
+        }
+        return results, stats
 
     # ------------------------------------------------------------------
     def materialize(self, results: DataFrame) -> DataFrame:

@@ -28,7 +28,7 @@ def test_checkpointed_build_matches_direct(spark, workdir):
     pdf = make_transcripts("tiny")
     tdf = spark.createDataFrame(pdf)
     tables = build_index_checkpointed(
-        spark, tdf, workdir, n_chunks=3, n_term_chunks=2, block_bits=5, blocks_per_seg=2
+        spark, tdf, workdir, n_chunks=2, n_term_chunks=2, block_bits=5, blocks_per_seg=2
     )
     direct = build_index(spark, tdf, block_bits=5, blocks_per_seg=2)
 

@@ -18,12 +18,18 @@ def small_pdf():
 
 
 @pytest.fixture(scope="module")
-def small_engine(spark, small_pdf):
+def small_engine(spark, small_pdf, tmp_path_factory):
+    from atire_spark.build import load_index, write_index
+
     tdf = spark.createDataFrame(small_pdf)
     # small blocks/segments on purpose: exercises the salted block merge
     # AND stop-term splitting into multiple segment rows
     idx = build_index(spark, tdf, block_bits=10, blocks_per_seg=4)
-    return SearchEngine(spark, idx)
+    # materialize once: every test then scans parquet instead of
+    # re-running the whole build lineage per action
+    path = str(tmp_path_factory.mktemp("idx") / "small")
+    write_index(idx, path)
+    return SearchEngine(spark, load_index(spark, path))
 
 
 @pytest.fixture(scope="module")
@@ -158,3 +164,131 @@ class TestRankIdentity:
         # every hit maps back to a real transcript turn
         keys = set(zip(small_pdf["conv_id"], small_pdf["turn_idx"]))
         assert all((c, t) in keys for c, t in zip(mat["conv_id"], mat["turn_idx"]))
+
+
+class TestBoolean:
+    """Boolean retrieval (query_boolean.c grammar + bitstring set ops,
+    atire_api.c:1116-1176) vs the dense-bitstring numpy oracle."""
+
+    QUERIES = [
+        (1, "alpha AND bravo"),
+        (2, "alpha OR term00001"),
+        (3, "alpha NOT bravo"),
+        (4, "alpha XOR bravo"),
+        (5, "(alpha OR bravo) AND term00002"),
+        (6, "term00001 term00002"),  # adjacency → default OR
+        (7, "alpha AND zzznotaterm"),
+        (8, "alpha alpha"),  # repeated leaf scores twice
+        (9, "NOT alpha"),  # leading operator is a plain term
+        (10, "capterm AND term00001 OR omegaterm"),  # left-assoc chain
+    ]
+
+    def test_rank_identity_vs_oracle(self, small_engine, small_oracle):
+        got = small_engine.search_boolean(self.QUERIES, k=10).toPandas()
+        for qid, qtext in self.QUERIES:
+            g = got[got["query_id"] == qid]
+            w = small_oracle.search_boolean(qtext, k=10)
+            assert list(g["docid"]) == list(w["docid"]), qtext
+            assert list(g["rsv_fixed"]) == list(w["rsv_fixed"]), qtext
+
+    def test_and_is_subset_of_or(self, small_engine):
+        both = small_engine.search_boolean(
+            [(1, "alpha AND term00001"), (2, "alpha OR term00001")], k=10000
+        ).toPandas()
+        a = set(both[both["query_id"] == 1]["docid"])
+        o = set(both[both["query_id"] == 2]["docid"])
+        assert a and a < o
+
+    def test_parser_shapes(self):
+        from atire_spark.boolean import Leaf, Node, parse_boolean
+
+        t = parse_boolean("a AND (b OR c) NOT d")
+        assert isinstance(t, Node) and t.op == "NOT"
+        assert t.left.op == "AND" and t.left.right.op == "OR"
+        # mixed-case operators are terms (true_strcmp pairs,
+        # query_boolean.c:176-201)
+        t2 = parse_boolean("a Or b")
+        assert isinstance(t2, Node) and t2.op == "OR"
+        assert [n.term for n in (t2.left.left, t2.left.right, t2.right)] == [
+            "a",
+            "or",
+            "b",
+        ]
+        assert parse_boolean("") is None
+
+
+class TestQuantized:
+    """The reference's -Q mode (memory_index.c:1541-1589) + QaaT
+    block-max pruning (atire_api.c:683-836)."""
+
+    QUERIES = [
+        (1, "alpha"),
+        (2, "term00001 term00002"),
+        (3, "omegaterm term00003"),
+        (4, "capterm term00001 alpha"),
+        (5, "alpha bravo charlie term00042"),
+        (6, "zzznotaterm"),
+    ]
+
+    @pytest.fixture(scope="class")
+    def quant_pdf(self):
+        return make_transcripts(400)
+
+    @pytest.fixture(scope="class")
+    def quant_engine(self, spark, quant_pdf):
+        tdf = spark.createDataFrame(quant_pdf)
+        idx = build_index(spark, tdf, block_bits=9, blocks_per_seg=3, quantize_bits=8)
+        return SearchEngine(spark, idx)
+
+    @pytest.fixture(scope="class")
+    def quant_oracle(self, quant_pdf):
+        return OracleIndex.build(quant_pdf)
+
+    def test_stats_record_quantization(self, quant_engine):
+        assert quant_engine.quantized
+        assert quant_engine.quant_bits == 8
+        row = quant_engine.index.stats.collect()[0]
+        assert row["quant_max"] > row["quant_min"]
+
+    def test_rank_identity_vs_quantized_oracle(self, quant_engine, quant_oracle):
+        got = quant_engine.search_batch(self.QUERIES, k=10).toPandas()
+        for qid, qtext in self.QUERIES:
+            g = got[got["query_id"] == qid]
+            w = quant_oracle.search_quantized(qtext, k=10)
+            assert list(g["docid"]) == list(w["docid"]), qtext
+            assert list(g["rsv_fixed"]) == list(w["rsv_fixed"]), qtext
+
+    def test_impacts_bounded_by_bits(self, quant_engine):
+        assert (
+            quant_engine.index.postings.filter(F.col("max_impact") > 255).count() == 0
+        )
+
+    def test_qaat_exact_equals_taat(self, quant_engine):
+        a = quant_engine.search_batch(self.QUERIES, k=10).toPandas()
+        b = quant_engine.search_qaat(
+            self.QUERIES, k=10, early_termination=None
+        ).toPandas()
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
+
+    def test_qaat_diff_rule_runs_and_reports_stats(self, quant_engine):
+        res, stats = quant_engine.search_qaat(
+            self.QUERIES, k=3, early_termination="diff", return_stats=True
+        )
+        got = res.toPandas()
+        assert stats["total_quantums"] > 0
+        assert stats["processed_quantums"] <= stats["total_quantums"]
+        # the heuristic stop rule must still return full result lists
+        exact = quant_engine.search_batch(self.QUERIES, k=3).toPandas()
+        assert len(got) == len(exact)
+
+    def test_qaat_on_unquantized_resets_termination(self, small_engine):
+        # reference atire_api.c:1854-1857: early termination silently
+        # reset to none on an unquantized index → exact results
+        batch = [(1, "alpha term00001")]
+        a = small_engine.search_batch(batch, k=10).toPandas()
+        b = small_engine.search_qaat(batch, k=10, early_termination="diff").toPandas()
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
