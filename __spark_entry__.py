@@ -415,7 +415,10 @@ def _q_topk_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from atire_spark.corpus import CORPUS_QUERIES
+
     return {
+        **CORPUS_QUERIES,
         "docmap": _q_docmap,
         "collection_stats": _q_collection_stats,
         "term_stats": _q_term_stats,
@@ -431,7 +434,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from atire_spark.corpus import corpus_oracle_sql
+
     return {
+        **corpus_oracle_sql(),
         "docmap": f"""
 WITH {_CORPUS_CTE}
 SELECT docid, conv_id, turn_idx, doc_len FROM docmap

@@ -1,0 +1,746 @@
+"""Large-scale training-data pipeline operators over the documents /
+embeddings tables.
+
+These are the corpus-preparation capabilities a 100 TB transcript
+pipeline needs around the index (dedup before indexing, quality/lang
+filtering, fingerprinting for lineage, similarity search over
+embeddings). They are built Spark-first: every operator below except
+the (deliberately) UDF-based multimodal stub is pure DataFrame API —
+JVM-side, whole-stage-codegen friendly, no Python in the hot path.
+
+Scale notes (the 1000-executor story for each):
+- exact dedup: one hash-partitioned groupBy on md5(text) — the shuffle
+  key is uniform by construction.
+- MinHash-LSH: banding turns the all-pairs O(n²) into per-band-bucket
+  candidate joins; hot buckets (boilerplate shingles) are the skew
+  point — AQE skew-join handles moderate cases, and the band key can
+  be salted by doc-block exactly like the index build's stop-term
+  splitting.
+- SimHash / min-k fingerprints: embarrassingly parallel per row
+  (map-only, no shuffle except the final write).
+- brute-force kNN: broadcast the (tiny) query set, scan-and-score all
+  vectors, per-partition top-k then global top-k — the same bounded
+  shuffle shape as the BM25 scorer.
+- LSH kNN: hyperplane bucketing pre-partitions vectors; the join is
+  bucket-equality (pruned scan), the scale path when queries are many.
+
+Deterministic parity: all hashing is md5-based (identical in Spark and
+DuckDB), all pseudo-randomness (LSH hyperplanes) is closed-form
+integer arithmetic, so every operator has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# same token definition as the index tokenizer's ASCII path / the
+# entry-contract corpus CTE
+TOKS_EXPR = "regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)"
+
+STOPWORDS = [
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "for",
+    "on", "with", "as", "at", "by", "or",
+]
+
+# language marker sets (disjoint on purpose; deterministic tie-break
+# en > de > fr > es, fallback 'und')
+LANG_MARKERS = {
+    "en": ["the", "and", "with", "this", "that"],
+    "de": ["der", "und", "nicht", "das", "ein"],
+    "fr": ["les", "une", "dans", "pour", "avec"],
+    "es": ["los", "una", "por", "como", "pero"],
+}
+
+MINHASH_K = 8
+MINHASH_ROWS_PER_BAND = 2
+MINHASH_SHINGLE = 3
+MINHASH_JACCARD = 0.3
+
+KNN_QUERY_IDS = [0, 1, 2]
+LSH_PLANES = 8
+EMB_DIM = 64
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- dedup
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate detection: md5(text) groups; the lowest doc_id
+    in each group is the keeper. One uniform hash shuffle."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("text")).alias("text_hash")
+    )
+    groups = docs.groupBy("text_hash").agg(
+        F.min("doc_id").alias("keep_doc"), F.count("*").alias("group_size")
+    )
+    return docs.join(groups, "text_hash").select(
+        "doc_id",
+        "text_hash",
+        F.col("group_size").cast("long").alias("group_size"),
+        (F.col("doc_id") == F.col("keep_doc")).alias("is_keeper"),
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str, n: int = MINHASH_SHINGLE) -> DataFrame:
+    """Distinct word n-gram shingles per doc (docs with < n tokens drop
+    out — they have no shingle set to compare)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(TOKS_EXPR).alias("toks"))
+        .filter(F.expr(f"size(toks) >= {n}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(0, size(toks) - {n}),"
+                    f" j -> concat_ws(' ', slice(toks, j + 1, {n}))))"
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, Jaccard-verified.
+
+    shingle → K md5-minhash signatures → bands of R rows → docs
+    sharing a band key are candidates → exact Jaccard over distinct
+    shingle sets filters to >= threshold. The banded join replaces the
+    quadratic all-pairs comparison; signatures are min-aggregations
+    (map-side combinable).
+    """
+    k, r = MINHASH_K, MINHASH_ROWS_PER_BAND
+    sh = _shingles(spark, sf_dir).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sigs = (
+        sh.select(
+            "doc_id",
+            "shingle",
+            F.explode(F.expr(f"sequence(0, {k - 1})")).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(
+                F.concat_ws("|", F.col("i").cast("string"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("sig"))
+    )
+    bands = (
+        sigs.withColumn("band", F.expr(f"CAST(i / {r} AS INT)"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "",
+                *[
+                    F.max(F.when(F.col("i") % r == j, F.col("sig")))
+                    for j in range(r)
+                ],
+            ).alias("bkey")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_int"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_int").cast("long").alias("intersection"),
+            F.col("n_a").cast("long").alias("n_shingles_a"),
+            F.col("n_b").cast("long").alias("n_shingles_b"),
+            (
+                F.col("n_int").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_int")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD)
+    )
+    return out
+
+
+def dedup_minhash_lsh_sql() -> str:
+    k, r, n, thr = MINHASH_K, MINHASH_ROWS_PER_BAND, MINHASH_SHINGLE, MINHASH_JACCARD
+    row_cols = " || ".join(
+        f"max(CASE WHEN i % {r} = {j} THEN sig END)" for j in range(r)
+    )
+    return f"""
+WITH dtoks AS (
+  SELECT doc_id, {TOKS_EXPR.replace("(text", "(text")} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(0, len(toks) - {n - 1}),
+                j -> array_to_string(list_slice(toks, j + 1, j + {n}), ' ')))) AS shingle
+  FROM dtoks WHERE len(toks) >= {n}
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+sigs AS (
+  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || shingle)) AS sig
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {k})) AS i) idx
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, CAST(i / {r} AS INT) AS band, {row_cols} AS bkey
+  FROM sigs GROUP BY doc_id, CAST(i / {r} AS INT)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_int
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_int AS BIGINT) AS intersection,
+       CAST(na.n_sh AS BIGINT) AS n_shingles_a,
+       CAST(nb.n_sh AS BIGINT) AS n_shingles_b,
+       CAST(i.n_int AS DOUBLE)
+         / CAST(na.n_sh + nb.n_sh - i.n_int AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.n_int AS DOUBLE)
+      / CAST(na.n_sh + nb.n_sh - i.n_int AS DOUBLE) >= {thr}
+"""
+
+
+# ----------------------------------------------------------- fingerprints
+_HEX = "0123456789abcdef"
+# hex chars with bit b set, for b = 0..3
+_BIT_CHARS = {
+    b: [c for i, c in enumerate(_HEX) if (i >> b) & 1] for b in range(4)
+}
+
+
+def _simhash_bit_case(nibble: int, bit: int, term_col: str) -> str:
+    chars = ", ".join(f"'{c}'" for c in _BIT_CHARS[bit])
+    return (
+        f"CASE WHEN substr(md5({term_col}), {nibble + 1}, 1) IN ({chars})"
+        f" THEN 1 ELSE -1 END"
+    )
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit tf-weighted SimHash per doc, emitted as four 16-bit
+    words (w0 = bits 0..15 of md5-nibble stream, ... w3 = bits 48..63).
+    Map-only after the per-doc tf aggregation; generated column
+    expressions keep all 64 bit-sums inside one codegen'd groupBy."""
+    tf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(TOKS_EXPR)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sums = tf.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"sum(cnt * ({_simhash_bit_case(b // 4, b % 4, 'term')}))"
+            ).alias(f"s{b}")
+            for b in range(64)
+        ]
+    )
+    words = [
+        sum(
+            (F.when(F.col(f"s{16 * w + j}") > 0, 1).otherwise(0) * (1 << j))
+            for j in range(16)
+        ).cast("long").alias(f"w{w}")
+        for w in range(4)
+    ]
+    return sums.select("doc_id", *words)
+
+
+def simhash_sql() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(cnt * ({_simhash_bit_case(b // 4, b % 4, 'term')})) AS s{b}"
+        for b in range(64)
+    )
+    words = ",\n       ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN s{16 * w + j} > 0 THEN 1 ELSE 0 END) * {1 << j}"
+            for j in range(16)
+        )
+        + f" AS BIGINT) AS w{w}"
+        for w in range(4)
+    )
+    return f"""
+WITH dtoks AS (
+  SELECT doc_id, unnest({TOKS_EXPR}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS cnt FROM dtoks GROUP BY doc_id, term),
+sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id,
+       {words}
+FROM sums
+"""
+
+
+FP_NGRAM = 5
+FP_K = 5
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min-k document fingerprint: the k smallest md5 hashes of the
+    doc's 5-gram shingles, comma-joined — a compact sketch whose
+    overlap estimates containment (winnowing-style). Pure map, no
+    shuffle, no Python."""
+    n, k = FP_NGRAM, FP_K
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size({TOKS_EXPR}) >= {n} THEN "
+            f"concat_ws(',', slice(array_sort(array_distinct(transform("
+            f"sequence(0, size({TOKS_EXPR}) - {n}), "
+            f"j -> md5(concat_ws(' ', slice({TOKS_EXPR}, j + 1, {n})))))), 1, {k})) "
+            f"ELSE '' END"
+        ).alias("fingerprint"),
+    )
+
+
+def doc_fingerprint_sql() -> str:
+    n, k = FP_NGRAM, FP_K
+    return f"""
+SELECT doc_id,
+       CASE WHEN len({TOKS_EXPR}) >= {n} THEN
+         array_to_string(list_slice(list_sort(list_distinct(list_transform(
+           range(0, len({TOKS_EXPR}) - {n - 1}),
+           j -> md5(array_to_string(list_slice({TOKS_EXPR}, j + 1, j + {n}), ' '))))),
+           1, {k}), ',')
+       ELSE '' END AS fingerprint
+FROM documents
+"""
+
+
+# ----------------------------------------------------------- text analysis
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token statistics (the whitespace+regex token counter)."""
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"CAST(size({TOKS_EXPR}) AS BIGINT)").alias("n_tokens"),
+        F.expr(f"CAST(size(array_distinct({TOKS_EXPR})) AS BIGINT)").alias(
+            "n_unique"
+        ),
+        F.expr(
+            f"CASE WHEN size({TOKS_EXPR}) > 0 THEN "
+            f"CAST(aggregate(transform({TOKS_EXPR}, t -> length(t)), 0,"
+            f" (a, x) -> a + x) AS DOUBLE) / CAST(size({TOKS_EXPR}) AS DOUBLE) "
+            f"ELSE 0.0 END"
+        ).alias("avg_token_len"),
+        F.expr(
+            f"CASE WHEN size({TOKS_EXPR}) > 0 THEN "
+            f"CAST(size(filter({TOKS_EXPR}, t -> t rlike '^[0-9]+$')) AS DOUBLE)"
+            f" / CAST(size({TOKS_EXPR}) AS DOUBLE) ELSE 0.0 END"
+        ).alias("digit_ratio"),
+        F.expr(
+            f"CASE WHEN size({TOKS_EXPR}) > 0 THEN "
+            f"CAST(size(filter({TOKS_EXPR}, t -> t IN ({stop}))) AS DOUBLE)"
+            f" / CAST(size({TOKS_EXPR}) AS DOUBLE) ELSE 0.0 END"
+        ).alias("stopword_ratio"),
+    )
+
+
+def token_stats_sql() -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    t = TOKS_EXPR
+    return f"""
+SELECT doc_id,
+       CAST(len({t}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({t})) AS BIGINT) AS n_unique,
+       CASE WHEN len({t}) > 0 THEN
+         CAST(list_reduce(list_transform({t}, t -> length(t)), (a, x) -> a + x)
+              AS DOUBLE) / CAST(len({t}) AS DOUBLE)
+       ELSE 0.0 END AS avg_token_len,
+       CASE WHEN len({t}) > 0 THEN
+         CAST(len(list_filter({t}, t -> regexp_full_match(t, '[0-9]+')))
+              AS DOUBLE) / CAST(len({t}) AS DOUBLE)
+       ELSE 0.0 END AS digit_ratio,
+       CASE WHEN len({t}) > 0 THEN
+         CAST(len(list_filter({t}, t -> t IN ({stop}))) AS DOUBLE)
+              / CAST(len({t}) AS DOUBLE)
+       ELSE 0.0 END AS stopword_ratio
+FROM documents
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality heuristic in [0, 1]:
+    0.4·min(n_tokens,100)/100 + 0.3·min(stopword_ratio·5, 1)
+    + 0.3·(1 − digit_ratio). Length says substance, stopwords say
+    natural language, digits say log spam."""
+    s = token_stats(spark, sf_dir)
+    return s.select(
+        "doc_id",
+        (
+            0.4 * (F.least(F.col("n_tokens"), F.lit(100)).cast("double") / 100.0)
+            + 0.3 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+            + 0.3 * (1.0 - F.col("digit_ratio"))
+        ).alias("quality"),
+    )
+
+
+def quality_score_sql() -> str:
+    return f"""
+WITH s AS ({token_stats_sql()})
+SELECT doc_id,
+       0.4 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)
+       + 0.3 * least(stopword_ratio * 5.0, 1.0)
+       + 0.3 * (1.0 - digit_ratio) AS quality
+FROM s
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID with deterministic priority
+    tie-break (en > de > fr > es, else 'und'); returns the prediction
+    next to the table's labelled lang."""
+    docs = _docs(spark, sf_dir)
+    scores = [
+        F.expr(
+            f"size(filter({TOKS_EXPR}, t -> t IN "
+            f"({', '.join(repr(m) for m in markers)})))"
+        ).alias(f"sc_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    scored = docs.select("doc_id", F.col("lang").alias("labelled_lang"), *scores)
+    best = F.greatest(*[F.col(f"sc_{lang}") for lang in LANG_MARKERS])
+    pred = F.when(best == 0, "und")
+    for lang in LANG_MARKERS:  # dict order is the priority order
+        pred = pred.when(F.col(f"sc_{lang}") == best, lang)
+    return scored.select(
+        "doc_id", "labelled_lang", pred.alias("pred_lang")
+    )
+
+
+def lang_id_sql() -> str:
+    score_cols = ",\n       ".join(
+        f"len(list_filter({TOKS_EXPR}, t -> t IN "
+        f"({', '.join(repr(m) for m in markers)}))) AS sc_{lang}"
+        for lang, markers in LANG_MARKERS.items()
+    )
+    best = "greatest(" + ", ".join(f"sc_{lang}" for lang in LANG_MARKERS) + ")"
+    whens = "\n            ".join(
+        f"WHEN sc_{lang} = {best} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labelled_lang,
+       {score_cols}
+  FROM documents
+)
+SELECT doc_id, labelled_lang,
+       CASE WHEN {best} = 0 THEN 'und'
+            {whens}
+       END AS pred_lang
+FROM scored
+"""
+
+
+# ------------------------------------------------------ similarity search
+def _dot_expr(a: str, b: str) -> str:
+    """Sequential left-fold dot product (same summation order as the
+    SQL oracle's list_reduce, so doubles agree bit-for-bit)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        f" CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def knn_brute_cosine(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k for a broadcast query set: scan all
+    vectors once, score JVM-side, bounded top-k per query. The
+    baseline ANN path — at 10^12 vectors this is the map-side of the
+    same partial-top-k-then-merge shape as the BM25 scorer."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id").isin(KNN_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.crossJoin(F.broadcast(q))
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        F.round(
+            F.expr(
+                f"({_dot_expr('embedding', 'q_emb')})"
+                f" / (sqrt({_dot_expr('embedding', 'embedding')})"
+                f" * sqrt({_dot_expr('q_emb', 'q_emb')}))"
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cosine")
+    )
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),"
+        f" (x, y) -> x + y)"
+    )
+
+
+def knn_brute_cosine_sql(k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id IN ({ids})
+),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(({_duck_dot('e.embedding', 'q.q_emb')})
+               / (sqrt({_duck_dot('e.embedding', 'e.embedding')})
+                  * sqrt({_duck_dot('q.q_emb', 'q.q_emb')})), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC
+         ) AS INTEGER) AS rank,
+         vec_id, cosine
+  FROM scored
+)
+SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
+def _plane_expr(j: int, dialect: str) -> str:
+    """Deterministic pseudo-random hyperplane j over EMB_DIM dims:
+    w[d] = ((1009*j + 9176*d) % 97 - 48) / 48.0."""
+    if dialect == "spark":
+        return (
+            f"transform(sequence(0, {EMB_DIM - 1}), d ->"
+            f" CAST(((1009 * {j} + 9176 * d) % 97 - 48) AS DOUBLE) / 48.0)"
+        )
+    return (
+        f"list_transform(range(0, {EMB_DIM}), d ->"
+        f" CAST(((1009 * {j} + 9176 * d) % 97 - 48) AS DOUBLE) / 48.0)"
+    )
+
+
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Random-hyperplane LSH kNN: 8 sign bits → bucket id; candidates
+    are bucket-equal vectors; exact cosine re-rank inside the bucket.
+    The scale path: the bucket is a pre-computed partition key, so a
+    query touches one bucket's vectors instead of the full scan."""
+    emb = _emb(spark, sf_dir)
+    bucket = sum(
+        (
+            F.when(
+                F.expr(_dot_expr("embedding", _plane_expr(j, "spark"))) > 0, 1
+            ).otherwise(0)
+            * (1 << j)
+        )
+        for j in range(LSH_PLANES)
+    ).cast("int")
+    withb = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = withb.filter(F.col("vec_id").isin(KNN_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = withb.join(
+        F.broadcast(q), F.col("bucket") == F.col("q_bucket")
+    ).select(
+        "q_id",
+        "vec_id",
+        "bucket",
+        F.round(
+            F.expr(
+                f"({_dot_expr('embedding', 'q_emb')})"
+                f" / (sqrt({_dot_expr('embedding', 'embedding')})"
+                f" * sqrt({_dot_expr('q_emb', 'q_emb')}))"
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "bucket", "cosine")
+    )
+
+
+def knn_lsh_bucketed_sql(k: int = 5) -> str:
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    bucket = " + ".join(
+        f"(CASE WHEN ({_duck_dot('embedding', _plane_expr(j, 'duck'))}) > 0"
+        f" THEN 1 ELSE 0 END) * {1 << j}"
+        for j in range(LSH_PLANES)
+    )
+    return f"""
+WITH withb AS (
+  SELECT vec_id, embedding, CAST({bucket} AS INTEGER) AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+  FROM withb WHERE vec_id IN ({ids})
+),
+cand AS (
+  SELECT q.q_id, w.vec_id, w.bucket,
+         round(({_duck_dot('w.embedding', 'q.q_emb')})
+               / (sqrt({_duck_dot('w.embedding', 'w.embedding')})
+                  * sqrt({_duck_dot('q.q_emb', 'q.q_emb')})), 6) AS cosine
+  FROM withb w JOIN q ON w.bucket = q.q_bucket
+),
+ranked AS (
+  SELECT q_id,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC
+         ) AS INTEGER) AS rank,
+         vec_id, bucket, cosine
+  FROM cand
+)
+SELECT q_id, rank, vec_id, bucket, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
+# ------------------------------------------------------------- multimodal
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media plumbing: a binary payload column flows
+    through an Arrow mapInPandas stage that emits typed metadata.
+
+    The decode itself is a STUB (this container has no image/audio
+    libraries): dimensions are a deterministic fake derived from the
+    payload size, clearly marked below. The Spark-side plumbing —
+    binary column in Arrow batches, schema'd UDF output, map-only
+    plan — is the real, tested part; a real decoder slots into
+    ``_fake_decode`` unchanged.
+    """
+    import pandas as pd
+
+    payload = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def _fake_decode(n_bytes: int) -> tuple[int, int, int]:
+        # STUB decode: a real implementation would parse the container
+        # header (PIL / ffmpeg). Deterministic fake keeps the contract
+        # testable without the codec libraries.
+        return 16 + n_bytes % 16, 16 + (n_bytes // 16) % 16, 3
+
+    def fn(batches):
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            dims = n_bytes.map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "width": dims.map(lambda d: d[0]).astype("int32"),
+                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "channels": dims.map(lambda d: d[2]).astype("int32"),
+                }
+            )
+
+    return payload.mapInPandas(
+        fn, schema="doc_id long, n_bytes long, width int, height int, channels int"
+    )
+
+
+def multimodal_meta_sql() -> str:
+    return """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(16 + octet_length(encode(text)) % 16 AS INTEGER) AS width,
+       CAST(16 + (octet_length(encode(text)) // 16) % 16 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels
+FROM documents
+"""
+
+
+def dedup_exact_sql() -> str:
+    return """
+WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+g AS (
+  SELECT text_hash, min(doc_id) AS keep_doc,
+         CAST(count(*) AS BIGINT) AS group_size
+  FROM h GROUP BY text_hash
+)
+SELECT h.doc_id, h.text_hash, g.group_size,
+       h.doc_id = g.keep_doc AS is_keeper
+FROM h JOIN g USING (text_hash)
+"""
+
+
+CORPUS_QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "fingerprint_simhash": simhash,
+    "fingerprint_mink": doc_fingerprint,
+    "text_token_stats": token_stats,
+    "text_quality": quality_score,
+    "text_langid": lang_id,
+    "knn_brute_cosine": knn_brute_cosine,
+    "knn_lsh_bucketed": knn_lsh_bucketed,
+    "multimodal_meta": multimodal_meta,
+}
+
+
+def corpus_oracle_sql() -> dict[str, str]:
+    return {
+        "dedup_exact": dedup_exact_sql(),
+        "dedup_minhash_lsh": dedup_minhash_lsh_sql(),
+        "fingerprint_simhash": simhash_sql(),
+        "fingerprint_mink": doc_fingerprint_sql(),
+        "text_token_stats": token_stats_sql(),
+        "text_quality": quality_score_sql(),
+        "text_langid": lang_id_sql(),
+        "knn_brute_cosine": knn_brute_cosine_sql(),
+        "knn_lsh_bucketed": knn_lsh_bucketed_sql(),
+        "multimodal_meta": multimodal_meta_sql(),
+    }
