@@ -77,29 +77,40 @@ def tokenize_stage(transcripts: DataFrame) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.reset_index(drop=True)
+            n = len(pdf)
             toks, lens = tokenize_batch(pdf["text"])
             flat = toks.explode().dropna()
-            if flat.empty:
-                terms = [[] for _ in range(len(pdf))]
-                tfs = [[] for _ in range(len(pdf))]
-                occs = [[] for _ in range(len(pdf))]
-            else:
-                cnt = (
-                    pd.DataFrame({"row": flat.index, "term": flat.to_numpy()})
-                    .groupby(["row", "term"], sort=True)
-                    .size()
-                    .reset_index(name="occ")
-                )
+            terms: list = [[] for _ in range(n)]
+            tfs: list = [[] for _ in range(n)]
+            occs: list = [[] for _ in range(n)]
+            if not flat.empty:
+                # vectorized per-doc (term, tf) counting: factorize the
+                # token stream, count (row, term_code) pairs with one
+                # np.unique, split on row boundaries. The reference's
+                # per-doc hash (memory_index_one.c) without the hash.
+                row_idx = flat.index.to_numpy(dtype=np.int64)
+                codes, uniq = pd.factorize(flat.to_numpy())
+                uniq = np.asarray(uniq, dtype=object)
+                nu = len(uniq)
+                key = row_idx * nu + codes
+                uk, occ = np.unique(key, return_counts=True)
+                rows = uk // nu
+                terms_flat = uniq[uk % nu]
                 # stored tf saturates (memory_index_hash_node.h:140-143);
                 # collection frequency keeps counting every occurrence
                 # (memory_index_hash_node.h:64-65)
-                cnt["tf"] = np.minimum(cnt["occ"], TF_CAP)
-                t_lists = cnt.groupby("row")["term"].agg(list)
-                f_lists = cnt.groupby("row")["tf"].agg(list)
-                o_lists = cnt.groupby("row")["occ"].agg(list)
-                terms = [t_lists.get(i, []) for i in range(len(pdf))]
-                tfs = [f_lists.get(i, []) for i in range(len(pdf))]
-                occs = [o_lists.get(i, []) for i in range(len(pdf))]
+                tf_flat = np.minimum(occ, TF_CAP).astype(np.int32)
+                bounds = np.flatnonzero(np.diff(rows)) + 1
+                present = rows[np.concatenate(([0], bounds))]
+                for i, (t, f, o) in enumerate(
+                    zip(
+                        np.split(terms_flat, bounds),
+                        np.split(tf_flat, bounds),
+                        np.split(occ.astype(np.int32), bounds),
+                    )
+                ):
+                    r = int(present[i])
+                    terms[r], tfs[r], occs[r] = t, f, o
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],
@@ -111,22 +122,32 @@ def tokenize_stage(transcripts: DataFrame) -> DataFrame:
                 }
             )
 
+    # spread the parse across every core: a small input (one parquet
+    # file, a driver-created frame) often arrives with few partitions
+    sc = transcripts.sparkSession.sparkContext
+    if transcripts.rdd.getNumPartitions() < sc.defaultParallelism:
+        transcripts = transcripts.repartition(sc.defaultParallelism)
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         fn, schema=TOKENIZED_SCHEMA
     )
 
 
 # ---------------------------------------------------------- docid assignment
-def assign_docids(tokenized: DataFrame, num_ranges: int | None = None) -> DataFrame:
-    """Dense 0-based docids by stable (conv_id, turn_idx) order; empty
-    docs are dropped first so they never consume an id
-    (reference atire/index.c:533-540).
+def _sorted_partitions(
+    tokenized: DataFrame, num_ranges: int | None = None
+) -> tuple[DataFrame, dict[int, int], int]:
+    """Range-partition + sort the non-empty tokenized rows by
+    (conv_id, turn_idx) and return (cached partitions, per-partition
+    docid offsets). Empty docs are dropped first so they never consume
+    an id (reference atire/index.c:533-540).
 
-    Scalable two-pass: range-partition + sort, count per partition,
-    then per-partition offset + local index — no global window, no
-    driver collect of data (only P partition counts).
+    Scalable two-pass: count per partition, then per-partition offset +
+    local index — no global window, no driver collect of data (only P
+    partition counts).
     """
-    non_empty = tokenized.filter(F.col("doc_len") > 0)
+    # cache the tokenized rows: the range partitioner's sampling pass
+    # and the sort would otherwise each re-run the tokenizer UDF
+    non_empty = tokenized.filter(F.col("doc_len") > 0).persist()
     n_parts = num_ranges or max(non_empty.sparkSession.sparkContext.defaultParallelism, 4)
     parts = non_empty.repartitionByRange(
         n_parts, "conv_id", "turn_idx"
@@ -144,95 +165,147 @@ def assign_docids(tokenized: DataFrame, num_ranges: int | None = None) -> DataFr
         int(r["pid"]): int(r["cnt"])
         for r in parts.mapInPandas(count_fn, schema="pid int, cnt long").collect()
     }
-    offsets = {}
+    non_empty.unpersist()  # parts now holds the materialized rows
+    offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    return parts, offsets, acc
 
-    def docid_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
-        base = offsets.get(pid, 0)
-        seen = 0
-        for pdf in batches:
-            pdf = pdf.reset_index(drop=True)
-            pdf.insert(0, "docid", base + seen + np.arange(len(pdf), dtype=np.int64))
-            seen += len(pdf)
-            yield pdf
 
-    return parts.mapInPandas(docid_fn, schema="docid long, " + TOKENIZED_SCHEMA)
+def _docid_batches(
+    batches: Iterator[pd.DataFrame], offsets: dict[int, int]
+) -> Iterator[pd.DataFrame]:
+    """Stamp dense docids onto sorted-partition batches."""
+    pid = TaskContext.get().partitionId()
+    base = offsets.get(pid, 0)
+    seen = 0
+    for pdf in batches:
+        pdf = pdf.reset_index(drop=True)
+        pdf.insert(0, "docid", base + seen + np.arange(len(pdf), dtype=np.int64))
+        seen += len(pdf)
+        yield pdf
+
+
+def assign_docids(tokenized: DataFrame, num_ranges: int | None = None) -> DataFrame:
+    """Dense 0-based docids by stable (conv_id, turn_idx) order (full
+    tokenized rows — the checkpointed build materializes these)."""
+    parts, offsets, _ = _sorted_partitions(tokenized, num_ranges)
+
+    def fn(batches):
+        yield from _docid_batches(batches, offsets)
+
+    return parts.mapInPandas(fn, schema="docid long, " + TOKENIZED_SCHEMA)
+
+
+def _docmap_from_parts(parts: DataFrame, offsets: dict[int, int]) -> DataFrame:
+    """docmap via a scalar-only Arrow pass — the token arrays never
+    cross the JVM/Python boundary here."""
+    scalars = parts.select("conv_id", "turn_idx", "doc_len")
+
+    def fn(batches):
+        for pdf in _docid_batches(batches, offsets):
+            yield pdf[["docid", "conv_id", "turn_idx", "doc_len"]]
+
+    return scalars.mapInPandas(fn, schema=DOCMAP_SCHEMA)
 
 
 # ---------------------------------------------------------- postings build
-def _make_segment_fn(schema_cols: list[str]):
-    def make_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, seg_group = key
-        pdf = pdf.sort_values("block")
-        docids = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["docids"]])
-        tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["tfs"]])
-        lens = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["lens"]])
-        seg = impact_order(docids, tfs, lens)
-        row = {
-            "term": term,
-            "seg_group": seg_group,
-            "seg_df": int(docids.size),
-            "seg_cf": int(pdf["cf_b"].sum()),  # uncapped occurrences
-            "first_docid": int(docids[0]),
-            "max_impact": seg.max_impact,
-            "impacts": seg.impacts.tolist(),
-            "doc_counts": seg.doc_counts.tolist(),
-            "offsets": seg.offsets.tolist(),
-            "byte_offsets": seg.byte_offsets.tolist(),
-            "postings": seg.postings,
-            "doc_lens": seg.doc_lens,
-            "n_postings": seg.n_postings,
-        }
-        return pd.DataFrame([row], columns=schema_cols)
-
-    return make_segment
+STAGE1_SCHEMA = (
+    "term string, block long, docids array<long>, tfs array<int>, "
+    "lens array<long>, df_b long, cf_b long"
+)
 
 
 def _stage1(docs: DataFrame, block_bits: int, term_filter=None) -> DataFrame:
-    """(docid, terms[], tfs[], doc_len) rows → per-(term, docid-block)
-    posting arrays. JVM-side collect_list + sort_array keeps the heavy
-    grouping inside whole-stage codegen / Tungsten; per-block lists are
-    bounded by 2**block_bits docs so no single reducer sees an
-    unbounded stop-term list."""
-    tok = docs.select(
-        "docid",
-        "doc_len",
-        F.explode(F.arrays_zip("terms", "tfs", "occs")).alias("p"),
-    ).select(
-        "docid",
-        "doc_len",
-        F.col("p.terms").alias("term"),
-        F.col("p.tfs").alias("tf"),
-        F.col("p.occs").alias("occ"),
-    )
+    """(docid, terms[], tfs[], occs[], doc_len) rows → per-(term,
+    docid-block) posting arrays: **partition-local posting-list
+    construction** (the north_star's map side; reference analogue is
+    one `memory_index` per indexing part, README.md:78-86).
+
+    Each input partition is a contiguous docid range (assign_docids
+    range-partitions by the docid order), so one vectorized numpy pass
+    per Arrow batch groups its postings by (term, block) locally and
+    emits *compact array rows* — the term-partitioned shuffle then
+    moves thousands of array rows, not one row per posting. A
+    stop-term's data arrives as many bounded rows (≤ block size each),
+    which is exactly the salt that keeps reducers balanced.
+
+    A (term, block) pair may span several batches/partitions; rows
+    carry their first docid so the merge re-orders deterministically.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = _group_posting_batch(pdf, block_bits)
+            if out is not None:
+                yield out
+
+    stage1 = docs.select(
+        "docid", "doc_len", "terms", "tfs", "occs"
+    ).mapInPandas(fn, schema=STAGE1_SCHEMA)
     if term_filter is not None:
         # checkpointed builds process deterministic term-hash chunks
-        tok = tok.filter(term_filter("term"))
-    tok = tok.withColumn("block", F.shiftrightunsigned("docid", block_bits))
-
-    plist = F.sort_array(F.collect_list(F.struct("docid", "tf", "doc_len")))
-    stage1 = (
-        tok.groupBy("term", "block")
-        .agg(
-            plist.alias("pl"),
-            F.count("*").alias("df_b"),
-            F.sum("occ").alias("cf_b"),
-        )
-        .select(
-            "term",
-            "block",
-            F.expr("transform(pl, x -> x.docid)").alias("docids"),
-            F.expr("transform(pl, x -> x.tf)").alias("tfs"),
-            F.expr("transform(pl, x -> x.doc_len)").alias("lens"),
-            "df_b",
-            "cf_b",
-        )
-    )
+        stage1 = stage1.filter(term_filter("term"))
     return stage1
+
+
+def _group_posting_batch(pdf: pd.DataFrame, block_bits: int) -> pd.DataFrame | None:
+    """One vectorized pass: batch rows (docid, doc_len, terms[], tfs[],
+    occs[]) → per-(term, block) posting-array rows."""
+    if not len(pdf):
+        return None
+    counts = pdf["terms"].str.len().to_numpy(dtype=np.int64)
+    if counts.sum() == 0:
+        return None
+    terms = np.concatenate(pdf["terms"].to_numpy())
+    tfs = np.concatenate(pdf["tfs"].to_numpy()).astype(np.int64)
+    occs = np.concatenate(pdf["occs"].to_numpy()).astype(np.int64)
+    docids = np.repeat(pdf["docid"].to_numpy(np.int64), counts)
+    lens = np.repeat(pdf["doc_len"].to_numpy(np.int64), counts)
+    codes, uniq = pd.factorize(terms)
+    # group key: (term, block); docids ascending within batch, so a
+    # stable sort on the key keeps postings docid-ordered
+    block = docids >> block_bits
+    nb = int(block.max()) + 1
+    key = codes.astype(np.int64) * nb + block
+    order = np.argsort(key, kind="stable")
+    k_s = key[order]
+    bounds = np.flatnonzero(np.diff(k_s)) + 1
+    starts = np.concatenate(([0], bounds))
+    d_s, t_s, o_s, l_s = docids[order], tfs[order], occs[order], lens[order]
+    cf_b = np.add.reduceat(o_s, starts)
+    df_b = np.diff(np.concatenate((starts, [k_s.size])))
+    return pd.DataFrame(
+        {
+            "term": np.asarray(uniq, dtype=object)[(k_s[starts] // nb)],
+            "block": k_s[starts] % nb,
+            "docids": np.split(d_s, bounds),
+            "tfs": [a.astype(np.int32) for a in np.split(t_s, bounds)],
+            "lens": np.split(l_s, bounds),
+            "df_b": df_b.astype(np.int64),
+            "cf_b": cf_b.astype(np.int64),
+        }
+    )
+
+
+def _stage1_fused(
+    parts: DataFrame, offsets: dict[int, int], block_bits: int
+) -> DataFrame:
+    """Docid stamping + partition-local posting construction fused in
+    one Arrow pass over the sorted partitions — the token arrays cross
+    the JVM/Python boundary exactly once in the whole build."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in _docid_batches(batches, offsets):
+            out = _group_posting_batch(pdf, block_bits)
+            if out is not None:
+                yield out
+
+    return parts.select("doc_len", "terms", "tfs", "occs").mapInPandas(
+        fn, schema=STAGE1_SCHEMA
+    )
 
 
 def build_postings(
@@ -247,67 +320,81 @@ def build_postings(
     UDF: concat (blocks are disjoint, ascending docid ranges) + impact
     ordering + vbyte. Terms wider than one segment group become
     multiple postings rows — stop-term splitting.
-    """
-    stage1 = _stage1(docs, block_bits, term_filter)
 
-    term_stats = stage1.groupBy("term").agg(
-        F.sum("df_b").alias("df"), F.sum("cf_b").alias("cf")
+    Global per-term stats (df, cf) are derived from the *compact*
+    segment rows (sum of seg_df/seg_cf), not by re-aggregating the
+    exploded posting stream — the expensive stage1 shuffle therefore
+    runs exactly once; the stats join is a segments-count-sized
+    self-join (AQE broadcasts it when small).
+    """
+    return segments_from_stage1(
+        _stage1(docs, block_bits, term_filter), blocks_per_seg
     )
 
-    schema_cols = [c.split(" ")[0] for c in POSTINGS_SCHEMA.split(", ")]
-    stage2 = (
-        stage1.withColumn(
-            "seg_group", (F.col("block") / F.lit(blocks_per_seg)).cast("long")
-        )
-        .groupBy("term", "seg_group")
-        .applyInPandas(_make_segment_fn(schema_cols), schema=POSTINGS_SCHEMA)
+
+def segments_from_stage1(
+    stage1: DataFrame, blocks_per_seg: int = 4096
+) -> tuple[DataFrame, DataFrame]:
+    """Term-partitioned merge: hash-shuffle the per-(term, block) array
+    rows on (term, seg_group), then build every segment of a partition
+    in ONE vectorized Arrow pass (mapInPandas + pandas groupby) — the
+    per-group Python overhead of applyInPandas would dominate when the
+    adaptive segmenting produces 10^5+ segments."""
+    keyed = stage1.withColumn(
+        "seg_group", (F.col("block") / F.lit(blocks_per_seg)).cast("long")
+    ).repartition("term", "seg_group")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if not len(pdf):
+            return
+        rows = []
+        for (term, seg_group), g in pdf.groupby(["term", "seg_group"], sort=False):
+            rows.append(_build_segment_row(term, int(seg_group), g))
+            if len(rows) >= 2048:
+                yield pd.DataFrame(rows)
+                rows = []
+        if rows:
+            yield pd.DataFrame(rows)
+
+    stage2 = keyed.mapInPandas(fn, schema=POSTINGS_SCHEMA).persist()
+    term_stats = stage2.groupBy("term").agg(
+        F.sum("seg_df").alias("df"), F.sum("seg_cf").alias("cf")
     )
     postings = stage2.join(term_stats, "term")
     return postings, term_stats
 
 
+def _build_segment_row(term: str, seg_group: int, g: pd.DataFrame) -> dict:
+    """Merge one term's block rows (disjoint ascending docid runs) into
+    one impact-ordered vbyte segment row."""
+    g = g.assign(b0=[a[0] for a in g["docids"]]).sort_values(["block", "b0"])
+    docids = np.concatenate([np.asarray(x, dtype=np.int64) for x in g["docids"]])
+    tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in g["tfs"]])
+    lens = np.concatenate([np.asarray(x, dtype=np.int64) for x in g["lens"]])
+    seg = impact_order(docids, tfs, lens)
+    return {
+        "term": term,
+        "seg_group": seg_group,
+        "seg_df": int(docids.size),
+        "seg_cf": int(g["cf_b"].sum()),  # uncapped occurrences
+        "first_docid": int(docids[0]),
+        "max_impact": seg.max_impact,
+        "impacts": seg.impacts.tolist(),
+        "doc_counts": seg.doc_counts.tolist(),
+        "offsets": seg.offsets.tolist(),
+        "byte_offsets": seg.byte_offsets.tolist(),
+        "postings": seg.postings,
+        "doc_lens": seg.doc_lens,
+        "n_postings": seg.n_postings,
+    }
+
+
 # ------------------------------------------------- quantized postings (-Q)
 QUANT_POSTINGS_SCHEMA = POSTINGS_SCHEMA + ", df long, cf long"
-
-
-def _make_quantized_segment_fn(
-    schema_cols: list[str],
-    n_docs: int,
-    mean_doc_len: float,
-    qmin: float,
-    qmax: float,
-    bits: int,
-):
-    def make_segment(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, seg_group = key
-        pdf = pdf.sort_values("block")
-        docids = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["docids"]])
-        tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["tfs"]])
-        lens = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["lens"]])
-        df_t = int(pdf["df"].iloc[0])
-        rsv = raw_rsv(tfs, lens, df_t, n_docs, mean_doc_len)
-        impacts = quantize_rsv(rsv, qmin, qmax, bits)
-        seg = impact_order(docids, impacts, lens)
-        row = {
-            "term": term,
-            "seg_group": seg_group,
-            "seg_df": int(docids.size),
-            "seg_cf": int(pdf["cf_b"].sum()),
-            "first_docid": int(docids[0]),
-            "max_impact": seg.max_impact,
-            "impacts": seg.impacts.tolist(),
-            "doc_counts": seg.doc_counts.tolist(),
-            "offsets": seg.offsets.tolist(),
-            "byte_offsets": seg.byte_offsets.tolist(),
-            "postings": seg.postings,
-            "doc_lens": seg.doc_lens,
-            "n_postings": seg.n_postings,
-            "df": df_t,
-            "cf": int(pdf["cf"].iloc[0]),
-        }
-        return pd.DataFrame([row], columns=schema_cols)
-
-    return make_segment
 
 
 def build_postings_quantized(
@@ -329,11 +416,31 @@ def build_postings_quantized(
     memory_index.c:1570-1580). stage1 is persisted across the two
     passes.
     """
-    stage1 = _stage1(docs, block_bits, term_filter).persist()
+    return quantized_segments_from_stage1(
+        _stage1(docs, block_bits, term_filter),
+        n_docs,
+        mean_doc_len,
+        blocks_per_seg,
+        bits,
+    )
+
+
+def quantized_segments_from_stage1(
+    stage1: DataFrame,
+    n_docs: int,
+    mean_doc_len: float,
+    blocks_per_seg: int = 4096,
+    bits: int = DEFAULT_QUANT_BITS,
+) -> tuple[DataFrame, DataFrame, float, float]:
+    # stage1 appears twice in the join DAG (directly and under the
+    # stats agg) — persist so it is computed once and served from
+    # cache; joined is then consumed by both the min/max pass and the
+    # segment build
+    stage1 = stage1.persist()
     term_stats = stage1.groupBy("term").agg(
         F.sum("df_b").alias("df"), F.sum("cf_b").alias("cf")
     )
-    joined = stage1.join(term_stats.select("term", "df", "cf"), "term")
+    joined = stage1.join(term_stats.select("term", "df", "cf"), "term").persist()
 
     def minmax_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mn, mx = np.inf, -np.inf
@@ -359,32 +466,83 @@ def build_postings_quantized(
     )
     qmin, qmax = float(mm["mn"]), float(mm["mx"])
 
-    schema_cols = [c.split(" ")[0] for c in QUANT_POSTINGS_SCHEMA.split(", ")]
-    postings = (
-        joined.withColumn(
-            "seg_group", (F.col("block") / F.lit(blocks_per_seg)).cast("long")
-        )
-        .groupBy("term", "seg_group")
-        .applyInPandas(
-            _make_quantized_segment_fn(
-                schema_cols, n_docs, mean_doc_len, qmin, qmax, bits
-            ),
-            schema=QUANT_POSTINGS_SCHEMA,
-        )
-    )
+    keyed = joined.withColumn(
+        "seg_group", (F.col("block") / F.lit(blocks_per_seg)).cast("long")
+    ).repartition("term", "seg_group")
+
+    def seg_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if not len(pdf):
+            return
+        rows = []
+        for (term, seg_group), g in pdf.groupby(["term", "seg_group"], sort=False):
+            g = g.assign(b0=[a[0] for a in g["docids"]]).sort_values(["block", "b0"])
+            docids = np.concatenate([np.asarray(x, np.int64) for x in g["docids"]])
+            tfs = np.concatenate([np.asarray(x, np.int64) for x in g["tfs"]])
+            lens = np.concatenate([np.asarray(x, np.int64) for x in g["lens"]])
+            df_t = int(g["df"].iloc[0])
+            rsv = raw_rsv(tfs, lens, df_t, n_docs, mean_doc_len)
+            impacts = quantize_rsv(rsv, qmin, qmax, bits)
+            seg = impact_order(docids, impacts, lens)
+            rows.append(
+                {
+                    "term": term,
+                    "seg_group": int(seg_group),
+                    "seg_df": int(docids.size),
+                    "seg_cf": int(g["cf_b"].sum()),
+                    "first_docid": int(docids[0]),
+                    "max_impact": seg.max_impact,
+                    "impacts": seg.impacts.tolist(),
+                    "doc_counts": seg.doc_counts.tolist(),
+                    "offsets": seg.offsets.tolist(),
+                    "byte_offsets": seg.byte_offsets.tolist(),
+                    "postings": seg.postings,
+                    "doc_lens": seg.doc_lens,
+                    "n_postings": seg.n_postings,
+                    "df": df_t,
+                    "cf": int(g["cf"].iloc[0]),
+                }
+            )
+            if len(rows) >= 2048:
+                yield pd.DataFrame(rows)
+                rows = []
+        if rows:
+            yield pd.DataFrame(rows)
+
+    postings = keyed.mapInPandas(seg_fn, schema=QUANT_POSTINGS_SCHEMA)
     return postings, term_stats, qmin, qmax
 
 
 # ---------------------------------------------------------------- build
+MAX_SEG_SPAN_DOCS = 1 << 20  # ~1M docs per segment at full scale
+MIN_SEG_SPAN_DOCS = 1 << 10
+
+
+def _adaptive_block_bits(n_docs: int, parallelism: int) -> int:
+    """Segment span targets ~4 segments per core so query-time scoring
+    parallelizes, capped at ~1M docs so a 10^12-doc collection still
+    yields ~10^6 independent docid ranges (not a handful of monster
+    segments) and floored so tiny corpora don't fragment."""
+    target = max(MIN_SEG_SPAN_DOCS, min(MAX_SEG_SPAN_DOCS, n_docs // (4 * parallelism) + 1))
+    return max(int(target - 1).bit_length(), 10)
+
+
 def build_index(
     spark: SparkSession,
     transcripts: DataFrame,
-    block_bits: int = 20,
-    blocks_per_seg: int = 4096,
+    block_bits: int | None = None,
+    blocks_per_seg: int = 1,
     quantize_bits: int | None = None,
 ) -> IndexTables:
     """Full build. Returns lazily-evaluated DataFrames; call
     :func:`write_index` to materialize.
+
+    ``block_bits=None`` (default) sizes segments adaptively from the
+    corpus size and cluster parallelism (:func:`_adaptive_block_bits`);
+    pass an explicit value to pin the layout (tests do).
 
     ``quantize_bits`` switches on the reference's -Q mode: postings
     store pre-scored integer impacts instead of saturated tfs, and the
@@ -393,15 +551,20 @@ def build_index(
     variables (memory_index.c:1562-1580).
     """
     tokenized = tokenize_stage(transcripts)
-    docs = assign_docids(tokenized)
-    docs = docs.persist()
-
-    docmap = docs.select("docid", "conv_id", "turn_idx", "doc_len")
+    parts, offsets, n_total = _sorted_partitions(tokenized)
+    if block_bits is None:
+        block_bits = _adaptive_block_bits(
+            max(n_total, 1), spark.sparkContext.defaultParallelism
+        )
+    # docmap comes from a scalar-only pass; the token arrays cross the
+    # Arrow boundary once, inside the fused docid+stage1 pass
+    docmap = _docmap_from_parts(parts, offsets)
+    stage1 = _stage1_fused(parts, offsets, block_bits)
 
     if quantize_bits is None:
-        postings, term_stats = build_postings(docs, block_bits, blocks_per_seg)
+        postings, term_stats = segments_from_stage1(stage1, blocks_per_seg)
         stats = (
-            docs.agg(
+            docmap.agg(
                 F.count("*").alias("documents"),
                 F.sum("doc_len").alias("collection_len"),
                 (F.sum("doc_len") / F.count("*")).alias("mean_doc_len"),
@@ -417,14 +580,15 @@ def build_index(
         )
         return IndexTables(docmap=docmap, postings=postings, stats=stats)
 
-    # quantized build needs N and mean length up front
-    row = docs.agg(
+    # quantized build needs N and mean length up front (cheap: docmap
+    # is a scalar pass over the cached sorted partitions)
+    row = docmap.agg(
         F.count("*").alias("n"), F.sum("doc_len").alias("s")
     ).collect()[0]
     n_docs, coll_len = int(row["n"]), int(row["s"])
     mean_len = coll_len / n_docs
-    postings, term_stats, qmin, qmax = build_postings_quantized(
-        docs, n_docs, mean_len, block_bits, blocks_per_seg, quantize_bits
+    postings, term_stats, qmin, qmax = quantized_segments_from_stage1(
+        stage1, n_docs, mean_len, blocks_per_seg, quantize_bits
     )
     stats = term_stats.agg(F.count("*").alias("unique_terms")).select(
         F.lit(n_docs).cast("long").alias("documents"),

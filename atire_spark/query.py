@@ -50,7 +50,8 @@ def _segment_contrib(
     n_docs: int,
     mean_len: float,
 ) -> tuple[np.ndarray, np.ndarray] | None:
-    """Decode one matching segment row → (docids, int64 contributions).
+    """Decode one matching segment row → (docids, int64 *unit*
+    contributions — multiply by the query-term weight).
 
     Unquantized BM25: the fixed-point TaaT arithmetic
     (ranking_function_bm25.c:76-130 + search_engine_accumulator.h:76).
@@ -72,11 +73,10 @@ def _segment_contrib(
         row.postings,
         row.doc_lens,
     )
-    weight = int(row.weight)
     if not use_bm25:
-        contrib = np.full(docids.size, weight, dtype=np.int64)
+        contrib = np.ones(docids.size, dtype=np.int64)
     elif quantized:
-        contrib = impacts.astype(np.int64) * weight
+        contrib = impacts.astype(np.int64)
     elif idf == 0.0:
         # conjunctive with a universal term: required hit, zero score
         contrib = np.zeros(docids.size, dtype=np.int64)
@@ -86,7 +86,7 @@ def _segment_contrib(
         ).astype(np.float32)
         tf_d = impacts.astype(np.float64)
         rsv = idf * ((tf_d * (k1 + 1.0)) / (tf_d + priors.astype(np.float64)))
-        contrib = (1 + (rsv * 100.0).astype(np.int64)) * weight
+        contrib = 1 + (rsv * 100.0).astype(np.int64)
     return docids, contrib
 
 
@@ -144,21 +144,21 @@ class SearchEngine:
         (search_engine.c:1491-1511): only documents containing *every*
         distinct query term survive, ranked by the chosen scorer.
         """
-        terms: list[tuple[int, str, int]] = []
+        # query plan: the term set is a pushed-down isin filter on the
+        # (cached) postings scan — no per-query DataFrame, no broadcast
+        # exchange; each matched segment is decoded once and fans out
+        # to every query that contains its term via a closure map
+        qmap: dict[str, list[tuple[int, int]]] = {}
         n_terms_per_q: dict[int, int] = {}
         for qid, text in queries:
             parsed = parse_query(text)
             n_terms_per_q[qid] = len(parsed)
             for term, weight in parsed:
-                terms.append((qid, term, weight))
-        if not terms:
+                qmap.setdefault(term, []).append((qid, weight))
+        if not qmap:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
 
-        terms_df = self.spark.createDataFrame(
-            terms, "query_id long, term string, weight int"
-        )
-        # term filter prunes postings files; broadcast the tiny query set
-        hits = self.postings.join(F.broadcast(terms_df), "term")
+        hits = self.postings.filter(F.col("term").isin(list(qmap)))
 
         n_docs = self.n_docs
         mean_len = self.mean_doc_len
@@ -166,7 +166,9 @@ class SearchEngine:
         use_bm25 = ranker == "bm25"
 
         if grouped:
-            return self._search_grouped(hits, n_terms_per_q, k, use_bm25, conjunctive)
+            return self._search_grouped(
+                hits, qmap, n_terms_per_q, k, use_bm25, conjunctive
+            )
 
         def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -181,12 +183,11 @@ class SearchEngine:
                     if dec is None:
                         continue  # df == N contributes nothing (bm25.c:91-92)
                     docids, contrib = dec
-                    out_qid.append(
-                        np.full(docids.size, int(row.query_id), dtype=np.int64)
-                    )
-                    out_doc.append(docids)
-                    out_contrib.append(contrib)
-                    out_hits.append(np.ones(docids.size, dtype=np.int64))
+                    for qid, weight in qmap[row.term]:
+                        out_qid.append(np.full(docids.size, qid, dtype=np.int64))
+                        out_doc.append(docids)
+                        out_contrib.append(contrib * weight)
+                        out_hits.append(np.ones(docids.size, dtype=np.int64))
                 if out_qid:
                     yield pd.DataFrame(
                         {
@@ -244,6 +245,7 @@ class SearchEngine:
     def _search_grouped(
         self,
         hits: DataFrame,
+        qmap: dict[str, list[tuple[int, int]]],
         n_terms_per_q: dict[int, int],
         k: int,
         use_bm25: bool,
@@ -278,10 +280,11 @@ class SearchEngine:
                     if dec is None:
                         continue
                     docids, contrib = dec
-                    qids.append(np.full(docids.size, int(row.query_id), dtype=np.int64))
-                    docs.append(docids)
-                    contribs.append(contrib)
-                    hit_flags.append(np.ones(docids.size, dtype=np.int64))
+                    for qid, weight in qmap[row.term]:
+                        qids.append(np.full(docids.size, qid, dtype=np.int64))
+                        docs.append(docids)
+                        contribs.append(contrib * weight)
+                        hit_flags.append(np.ones(docids.size, dtype=np.int64))
             if not qids:
                 return
             acc = pd.DataFrame(
@@ -335,7 +338,10 @@ class SearchEngine:
         from atire_spark.boolean import assign_leaf_indexes, eval_tree, parse_boolean
 
         trees: dict[int, object] = {}
-        terms: list[tuple[int, str, int, int]] = []
+        # term → [(query_id, leaf_idx)]: one entry PER LEAF — a term
+        # repeated in two leaves is scored once per leaf
+        # (process_boolean_query walks every leaf separately)
+        lmap: dict[str, list[tuple[int, int]]] = {}
         for qid, text in queries:
             tree = parse_boolean(text)
             if tree is None:
@@ -343,16 +349,10 @@ class SearchEngine:
             leaves = assign_leaf_indexes(tree)
             trees[qid] = tree
             for leaf in leaves:
-                # one entry PER LEAF: a term repeated in two leaves is
-                # scored once per leaf (process_boolean_query walks
-                # every leaf separately)
-                terms.append((qid, leaf.term, 1, leaf.idx))
-        if not terms:
+                lmap.setdefault(leaf.term, []).append((qid, leaf.idx))
+        if not lmap:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
-        terms_df = self.spark.createDataFrame(
-            terms, "query_id long, term string, weight int, leaf_idx int"
-        )
-        hits = self.postings.join(F.broadcast(terms_df), "term")
+        hits = self.postings.filter(F.col("term").isin(list(lmap)))
         n_docs, mean_len = self.n_docs, self.mean_doc_len
         quantized = self.quantized
 
@@ -367,10 +367,11 @@ class SearchEngine:
                     if dec is None:
                         continue  # df==N: no score AND no bits set
                     docids, contrib = dec
-                    qids.append(np.full(docids.size, int(row.query_id), dtype=np.int64))
-                    docs.append(docids)
-                    contribs.append(contrib)
-                    leaf_ids.append(np.full(docids.size, int(row.leaf_idx), np.int64))
+                    for qid, leaf_idx in lmap[row.term]:
+                        qids.append(np.full(docids.size, qid, dtype=np.int64))
+                        docs.append(docids)
+                        contribs.append(contrib)
+                        leaf_ids.append(np.full(docids.size, leaf_idx, np.int64))
             if not qids:
                 return
             acc = pd.DataFrame(
@@ -454,17 +455,14 @@ class SearchEngine:
         """
         if early_termination is not None and not self.quantized:
             early_termination = None  # reference resets + warns
-        terms: list[tuple[int, str, int]] = []
+        qmap: dict[str, list[tuple[int, int]]] = {}
         for qid, text in queries:
             for term, weight in parse_query(text):
-                terms.append((qid, term, weight))
-        if not terms:
+                qmap.setdefault(term, []).append((qid, weight))
+        if not qmap:
             empty = self.spark.createDataFrame([], RESULT_SCHEMA)
             return (empty, {"processed_quantums": 0, "total_quantums": 0}) if return_stats else empty
-        terms_df = self.spark.createDataFrame(
-            terms, "query_id long, term string, weight int"
-        )
-        hits = self.postings.join(F.broadcast(terms_df), "term")
+        hits = self.postings.filter(F.col("term").isin(list(qmap)))
 
         n_docs, mean_len = self.n_docs, self.mean_doc_len
         quantized = self.quantized
@@ -477,12 +475,13 @@ class SearchEngine:
             per_q: dict[int, list] = {}
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
-                    per_q.setdefault(int(row.query_id), []).append(row)
+                    for qid, weight in qmap[row.term]:
+                        per_q.setdefault(qid, []).append((row, weight))
             out = []
             for qid, rows in per_q.items():
                 entries = []
                 total_q = 0
-                for row in rows:
+                for row, weight in rows:
                     impacts = np.asarray(row.impacts, dtype=np.int64)
                     doc_counts = np.asarray(row.doc_counts, dtype=np.int64)
                     byte_offsets = np.asarray(row.byte_offsets, dtype=np.int64)
@@ -506,7 +505,7 @@ class SearchEngine:
                             "blob": row.postings,
                             "lens": lens,
                             "idf": idf,
-                            "w": int(row.weight),
+                            "w": weight,
                             "g": 0,
                         }
                     )

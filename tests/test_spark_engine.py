@@ -192,8 +192,10 @@ class TestBoolean:
             assert list(g["rsv_fixed"]) == list(w["rsv_fixed"]), qtext
 
     def test_and_is_subset_of_or(self, small_engine):
+        # NB: "termNNNNN" is NOT a single token (letter run + digit
+        # run); use genuinely single-token terms that co-occur
         both = small_engine.search_boolean(
-            [(1, "alpha AND term00001"), (2, "alpha OR term00001")], k=10000
+            [(1, "alpha AND omegaterm"), (2, "alpha OR omegaterm")], k=50000
         ).toPandas()
         a = set(both[both["query_id"] == 1]["docid"])
         o = set(both[both["query_id"] == 2]["docid"])
