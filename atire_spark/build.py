@@ -39,7 +39,6 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from atire_spark.kernels.impact import impact_order
 from atire_spark.kernels.quantize import DEFAULT_QUANT_BITS, quantize_rsv, raw_rsv
 from atire_spark.kernels.tokenizer import tokenize_batch
 
@@ -145,14 +144,22 @@ def _sorted_partitions(
     local index — no global window, no driver collect of data (only P
     partition counts).
     """
+    from pyspark import StorageLevel
+
     # cache the tokenized rows: the range partitioner's sampling pass
-    # and the sort would otherwise each re-run the tokenizer UDF
-    non_empty = tokenized.filter(F.col("doc_len") > 0).persist()
+    # and the sort would otherwise each re-run the tokenizer UDF.
+    # DISK_ONLY on purpose: these rows carry the token arrays, and
+    # keeping hundreds of thousands of array objects on the JVM heap
+    # turns every later pass into a GC storm — local disk reads are
+    # cheaper than the collector.
+    non_empty = tokenized.filter(F.col("doc_len") > 0).persist(
+        StorageLevel.DISK_ONLY
+    )
     n_parts = num_ranges or max(non_empty.sparkSession.sparkContext.defaultParallelism, 4)
     parts = non_empty.repartitionByRange(
         n_parts, "conv_id", "turn_idx"
     ).sortWithinPartitions("conv_id", "turn_idx")
-    parts = parts.persist()
+    parts = parts.persist(StorageLevel.DISK_ONLY)
 
     def count_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()
@@ -172,6 +179,62 @@ def _sorted_partitions(
         offsets[pid] = acc
         acc += counts[pid]
     return parts, offsets, acc
+
+
+def _stage_sorted(
+    tokenized: DataFrame, stage_dir: str, num_ranges: int | None = None
+) -> tuple[DataFrame, dict[int, int], int]:
+    """Sort the non-empty tokenized rows by (conv_id, turn_idx) and
+    stage them to parquet with (pid, local_idx) stamped, returning
+    (staged frame, per-pid docid offsets, total docs).
+
+    ``docid = offsets[pid] + local_idx`` is then pure columnar
+    arithmetic — later passes read the staged parquet (column-pruned,
+    GC-free) instead of a JVM object cache, and the staged directory
+    doubles as a durable build checkpoint: the expensive tokenize +
+    global sort never re-runs.
+    """
+    from pyspark import StorageLevel
+
+    # tokenize runs once: cached (disk) across the range-partitioner's
+    # sampling pass and the staging write, then dropped
+    non_empty = tokenized.filter(F.col("doc_len") > 0).persist(
+        StorageLevel.DISK_ONLY
+    )
+    n_parts = num_ranges or max(
+        non_empty.sparkSession.sparkContext.defaultParallelism, 4
+    )
+    parts = non_empty.repartitionByRange(
+        n_parts, "conv_id", "turn_idx"
+    ).sortWithinPartitions("conv_id", "turn_idx")
+
+    def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            pdf.insert(0, "pid", np.int32(pid))
+            pdf.insert(1, "local_idx", seen + np.arange(len(pdf), dtype=np.int64))
+            seen += len(pdf)
+            yield pdf
+
+    spark = tokenized.sparkSession
+    parts.mapInPandas(
+        stamp, schema="pid int, local_idx long, " + TOKENIZED_SCHEMA
+    ).write.mode("overwrite").parquet(stage_dir)
+    non_empty.unpersist()
+
+    staged = spark.read.parquet(stage_dir)
+    counts = {
+        int(r["pid"]): int(r["cnt"])
+        for r in staged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    return staged, offsets, acc
 
 
 def _docid_batches(
@@ -199,16 +262,47 @@ def assign_docids(tokenized: DataFrame, num_ranges: int | None = None) -> DataFr
     return parts.mapInPandas(fn, schema="docid long, " + TOKENIZED_SCHEMA)
 
 
-def _docmap_from_parts(parts: DataFrame, offsets: dict[int, int]) -> DataFrame:
-    """docmap via a scalar-only Arrow pass — the token arrays never
-    cross the JVM/Python boundary here."""
-    scalars = parts.select("conv_id", "turn_idx", "doc_len")
+def _offset_expr(offsets: dict[int, int]):
+    """docid as a columnar expression: offsets[pid] + local_idx."""
+    m = F.create_map(
+        *[F.lit(x) for pid, off in sorted(offsets.items()) for x in (pid, off)]
+    )
+    return (m[F.col("pid")] + F.col("local_idx")).cast("long").alias("docid")
 
-    def fn(batches):
-        for pdf in _docid_batches(batches, offsets):
-            yield pdf[["docid", "conv_id", "turn_idx", "doc_len"]]
 
-    return scalars.mapInPandas(fn, schema=DOCMAP_SCHEMA)
+def _docmap_from_staged(staged: DataFrame, offsets: dict[int, int]) -> DataFrame:
+    """docmap straight off the staged parquet — parquet column pruning
+    reads only the four scalar columns; no Python, no token arrays."""
+    return staged.select(
+        _offset_expr(offsets), "conv_id", "turn_idx", "doc_len"
+    )
+
+
+def _stage1_from_staged(
+    staged: DataFrame, offsets: dict[int, int], block_bits: int
+) -> DataFrame:
+    """Partition-local posting construction over the staged parquet:
+    docid = offsets[pid] + local_idx computed in numpy, one columnar
+    read of the token arrays. Batches are re-sorted by docid (a batch
+    can straddle two staged files when Spark packs small files into
+    one read split)."""
+    off = dict(offsets)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.reset_index(drop=True)
+            base = pdf["pid"].map(off).to_numpy(dtype=np.int64)
+            pdf.insert(0, "docid", base + pdf["local_idx"].to_numpy(np.int64))
+            pdf = pdf.sort_values("docid", kind="stable").reset_index(drop=True)
+            out = _group_posting_batch(pdf, block_bits)
+            if out is not None:
+                yield out
+
+    return staged.select(
+        "pid", "local_idx", "doc_len", "terms", "tfs", "occs"
+    ).mapInPandas(fn, schema=STAGE1_SCHEMA)
 
 
 # ---------------------------------------------------------- postings build
@@ -290,24 +384,6 @@ def _group_posting_batch(pdf: pd.DataFrame, block_bits: int) -> pd.DataFrame | N
     )
 
 
-def _stage1_fused(
-    parts: DataFrame, offsets: dict[int, int], block_bits: int
-) -> DataFrame:
-    """Docid stamping + partition-local posting construction fused in
-    one Arrow pass over the sorted partitions — the token arrays cross
-    the JVM/Python boundary exactly once in the whole build."""
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in _docid_batches(batches, offsets):
-            out = _group_posting_batch(pdf, block_bits)
-            if out is not None:
-                yield out
-
-    return parts.select("doc_len", "terms", "tfs", "occs").mapInPandas(
-        fn, schema=STAGE1_SCHEMA
-    )
-
-
 def build_postings(
     docs: DataFrame,
     block_bits: int = 20,
@@ -340,6 +416,8 @@ def segments_from_stage1(
     in ONE vectorized Arrow pass (mapInPandas + pandas groupby) — the
     per-group Python overhead of applyInPandas would dominate when the
     adaptive segmenting produces 10^5+ segments."""
+    from atire_spark.kernels.segment import build_segments_batch
+
     keyed = stage1.withColumn(
         "seg_group", (F.col("block") / F.lit(blocks_per_seg)).cast("long")
     ).repartition("term", "seg_group")
@@ -348,17 +426,9 @@ def segments_from_stage1(
         chunks = list(batches)
         if not chunks:
             return
-        pdf = pd.concat(chunks, ignore_index=True)
-        if not len(pdf):
-            return
-        rows = []
-        for (term, seg_group), g in pdf.groupby(["term", "seg_group"], sort=False):
-            rows.append(_build_segment_row(term, int(seg_group), g))
-            if len(rows) >= 2048:
-                yield pd.DataFrame(rows)
-                rows = []
-        if rows:
-            yield pd.DataFrame(rows)
+        out = build_segments_batch(pd.concat(chunks, ignore_index=True))
+        if out is not None:
+            yield out[[c.split(" ")[0] for c in POSTINGS_SCHEMA.split(", ")]]
 
     stage2 = keyed.mapInPandas(fn, schema=POSTINGS_SCHEMA).persist()
     term_stats = stage2.groupBy("term").agg(
@@ -366,31 +436,6 @@ def segments_from_stage1(
     )
     postings = stage2.join(term_stats, "term")
     return postings, term_stats
-
-
-def _build_segment_row(term: str, seg_group: int, g: pd.DataFrame) -> dict:
-    """Merge one term's block rows (disjoint ascending docid runs) into
-    one impact-ordered vbyte segment row."""
-    g = g.assign(b0=[a[0] for a in g["docids"]]).sort_values(["block", "b0"])
-    docids = np.concatenate([np.asarray(x, dtype=np.int64) for x in g["docids"]])
-    tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in g["tfs"]])
-    lens = np.concatenate([np.asarray(x, dtype=np.int64) for x in g["lens"]])
-    seg = impact_order(docids, tfs, lens)
-    return {
-        "term": term,
-        "seg_group": seg_group,
-        "seg_df": int(docids.size),
-        "seg_cf": int(g["cf_b"].sum()),  # uncapped occurrences
-        "first_docid": int(docids[0]),
-        "max_impact": seg.max_impact,
-        "impacts": seg.impacts.tolist(),
-        "doc_counts": seg.doc_counts.tolist(),
-        "offsets": seg.offsets.tolist(),
-        "byte_offsets": seg.byte_offsets.tolist(),
-        "postings": seg.postings,
-        "doc_lens": seg.doc_lens,
-        "n_postings": seg.n_postings,
-    }
 
 
 # ------------------------------------------------- quantized postings (-Q)
@@ -466,51 +511,34 @@ def quantized_segments_from_stage1(
     )
     qmin, qmax = float(mm["mn"]), float(mm["mx"])
 
+    from atire_spark.kernels.segment import build_segments_batch
+
     keyed = joined.withColumn(
         "seg_group", (F.col("block") / F.lit(blocks_per_seg)).cast("long")
     ).repartition("term", "seg_group")
+
+    k1, b = 0.9, 0.4  # BM25 defaults (ranking_function_bm25.h:14-15)
+
+    def quantizer(tfs: np.ndarray, lens: np.ndarray, dfs: np.ndarray) -> np.ndarray:
+        # the quantizer's rank() per posting (ranking_function_bm25.c:
+        # 194-209): float32 prior, idf kept even at 0, then trunc-scale
+        tf_d = tfs.astype(np.float64)
+        prior = (
+            k1 * ((1.0 - b) + b * (lens.astype(np.float64) / mean_doc_len))
+        ).astype(np.float32)
+        idf = np.log(np.float64(n_docs) / dfs.astype(np.float64))
+        rsv = idf * ((tf_d * (k1 + 1.0)) / (tf_d + prior.astype(np.float64)))
+        return quantize_rsv(rsv, qmin, qmax, bits)
 
     def seg_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks = list(batches)
         if not chunks:
             return
-        pdf = pd.concat(chunks, ignore_index=True)
-        if not len(pdf):
-            return
-        rows = []
-        for (term, seg_group), g in pdf.groupby(["term", "seg_group"], sort=False):
-            g = g.assign(b0=[a[0] for a in g["docids"]]).sort_values(["block", "b0"])
-            docids = np.concatenate([np.asarray(x, np.int64) for x in g["docids"]])
-            tfs = np.concatenate([np.asarray(x, np.int64) for x in g["tfs"]])
-            lens = np.concatenate([np.asarray(x, np.int64) for x in g["lens"]])
-            df_t = int(g["df"].iloc[0])
-            rsv = raw_rsv(tfs, lens, df_t, n_docs, mean_doc_len)
-            impacts = quantize_rsv(rsv, qmin, qmax, bits)
-            seg = impact_order(docids, impacts, lens)
-            rows.append(
-                {
-                    "term": term,
-                    "seg_group": int(seg_group),
-                    "seg_df": int(docids.size),
-                    "seg_cf": int(g["cf_b"].sum()),
-                    "first_docid": int(docids[0]),
-                    "max_impact": seg.max_impact,
-                    "impacts": seg.impacts.tolist(),
-                    "doc_counts": seg.doc_counts.tolist(),
-                    "offsets": seg.offsets.tolist(),
-                    "byte_offsets": seg.byte_offsets.tolist(),
-                    "postings": seg.postings,
-                    "doc_lens": seg.doc_lens,
-                    "n_postings": seg.n_postings,
-                    "df": df_t,
-                    "cf": int(g["cf"].iloc[0]),
-                }
-            )
-            if len(rows) >= 2048:
-                yield pd.DataFrame(rows)
-                rows = []
-        if rows:
-            yield pd.DataFrame(rows)
+        out = build_segments_batch(
+            pd.concat(chunks, ignore_index=True), quantizer=quantizer
+        )
+        if out is not None:
+            yield out[[c.split(" ")[0] for c in QUANT_POSTINGS_SCHEMA.split(", ")]]
 
     postings = keyed.mapInPandas(seg_fn, schema=QUANT_POSTINGS_SCHEMA)
     return postings, term_stats, qmin, qmax
@@ -536,6 +564,7 @@ def build_index(
     block_bits: int | None = None,
     blocks_per_seg: int = 1,
     quantize_bits: int | None = None,
+    stage_dir: str | None = None,
 ) -> IndexTables:
     """Full build. Returns lazily-evaluated DataFrames; call
     :func:`write_index` to materialize.
@@ -544,22 +573,34 @@ def build_index(
     corpus size and cluster parallelism (:func:`_adaptive_block_bits`);
     pass an explicit value to pin the layout (tests do).
 
+    ``stage_dir`` holds the sorted tokenized staging parquet (a
+    durable intermediate: tokenize + global sort never re-run; it
+    doubles as a coarse checkpoint). Defaults to a temp dir that must
+    outlive the returned lazy DataFrames — after :func:`write_index`
+    it can be deleted.
+
     ``quantize_bits`` switches on the reference's -Q mode: postings
     store pre-scored integer impacts instead of saturated tfs, and the
     stats row records (quantized, quant_bits, quant_min, quant_max) —
     the reference's ``~quantized``/``~quantmax``/``~quantmin`` index
     variables (memory_index.c:1562-1580).
     """
+    import tempfile
+
+    if stage_dir is None:
+        stage_dir = tempfile.mkdtemp(prefix="atire_stage_")
     tokenized = tokenize_stage(transcripts)
-    parts, offsets, n_total = _sorted_partitions(tokenized)
+    staged, offsets, n_total = _stage_sorted(
+        tokenized, f"{stage_dir}/tokenized_sorted"
+    )
     if block_bits is None:
         block_bits = _adaptive_block_bits(
             max(n_total, 1), spark.sparkContext.defaultParallelism
         )
-    # docmap comes from a scalar-only pass; the token arrays cross the
-    # Arrow boundary once, inside the fused docid+stage1 pass
-    docmap = _docmap_from_parts(parts, offsets)
-    stage1 = _stage1_fused(parts, offsets, block_bits)
+    # docmap reads only scalar columns off the staging parquet; the
+    # token arrays are read once, inside the stage1 pass
+    docmap = _docmap_from_staged(staged, offsets)
+    stage1 = _stage1_from_staged(staged, offsets, block_bits)
 
     if quantize_bits is None:
         postings, term_stats = segments_from_stage1(stage1, blocks_per_seg)

@@ -18,6 +18,32 @@ _THRESHOLDS = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
 _MAX_VALUE = (1 << 63) - 1
 
 
+def vbyte_encode_raw(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode to a uint8 buffer, also returning the per-value *end*
+    byte offsets (cumulative). ``buf[ends[i-1]:ends[i]]`` is value i's
+    encoding — callers slice one bulk encode into per-segment streams
+    (vbyte streams concatenate losslessly at value boundaries)."""
+    vals = np.ascontiguousarray(values, dtype=np.uint64)
+    if vals.size == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    if int(vals.max()) > _MAX_VALUE:
+        raise ValueError("vbyte_encode: value out of 63-bit range")
+
+    nbytes = np.searchsorted(_THRESHOLDS, vals, side="right").astype(np.int64) + 1
+    ends = np.cumsum(nbytes)
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    max_len = int(nbytes.max())
+    last_idx = ends - 1
+    for p in range(max_len):
+        mask = nbytes > p
+        idx = last_idx[mask] - p
+        out[idx] = ((vals[mask] >> np.uint64(7 * p)) & np.uint64(0x7F)).astype(
+            np.uint8
+        )
+    out[last_idx] |= 0x80
+    return out, ends
+
+
 def vbyte_encode(values: np.ndarray) -> bytes:
     """Encode a 1-D array of non-negative ints (< 2**63) to vbyte bytes."""
     vals = np.ascontiguousarray(values, dtype=np.uint64)

@@ -20,6 +20,7 @@ def get_spark(
     app: str = "atire_spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Create (or get) a SparkSession.
 
@@ -42,8 +43,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
-    if "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_SUBMIT"):
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_SUBMIT"):
         builder = builder.master(f"local[{cpus}]")
+        # single-JVM local mode: the throughput collector handles the
+        # Arrow-batch allocation pattern better than G1 at high task
+        # counts (measured; real clusters keep their own GC settings)
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", "-XX:+UseParallelGC"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -27,6 +27,17 @@ def main() -> None:
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--ranker", choices=["bm25", "termcount"], default="bm25")
     ap.add_argument("--conjunctive", action="store_true", help="allterms mode")
+    ap.add_argument(
+        "--boolean",
+        action="store_true",
+        help="boolean query mode (AND/OR/NOT/XOR grammar, default op OR)",
+    )
+    ap.add_argument(
+        "--qaat",
+        action="store_true",
+        help="quantum-at-a-time with block-max DIFF early termination "
+        "(quantized index; resets to exact on unquantized)",
+    )
     ap.add_argument("--trec", action="store_true", help="TREC run-file output")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
@@ -58,9 +69,14 @@ def main() -> None:
         ap.error("no queries given")
 
     t0 = time.monotonic()
-    res = eng.search_batch(
-        batch, k=args.k, ranker=args.ranker, conjunctive=args.conjunctive
-    )
+    if args.boolean:
+        res = eng.search_boolean(batch, k=args.k)
+    elif args.qaat:
+        res = eng.search_qaat(batch, k=args.k, early_termination="diff")
+    else:
+        res = eng.search_batch(
+            batch, k=args.k, ranker=args.ranker, conjunctive=args.conjunctive
+        )
     rows = eng.materialize(res).orderBy("query_id", "rank").collect()
     wall = time.monotonic() - t0
 

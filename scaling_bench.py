@@ -1,0 +1,102 @@
+"""Two-cluster-size scaling evidence (the north_rule criterion).
+
+The target rule asks for indexing-throughput scaling efficiency >= 0.8
+from N to 4N executors. The sandbox has no real cluster, so (per the
+driver instruction) the same job runs at two parallelism levels on the
+same input — local[N] and local[4N] — in separate JVMs, and this
+script reports throughput at both plus
+
+    efficiency = throughput(4N) / (4 * throughput(N))
+
+Usage:
+    python scaling_bench.py                # N=8 -> local[8] vs local[32]
+    SPARK_GRAFT_SCALE_CONVS=40000 python scaling_bench.py
+    python scaling_bench.py --worker 8     # (internal) one measured run
+
+Each worker is a fresh ``spark-submit``-equivalent process (one JVM,
+one SparkSession) so the two measurements share nothing but the input
+generator seed. Prints ONE JSON line; also meant to be pasted into
+BENCH.md / BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def worker(cpus: int, n_convs: int, mode: str) -> None:
+    from atire_spark.build import build_index, write_index
+    from atire_spark.session import get_spark
+    from atire_spark.synth import make_transcripts_bench
+
+    if mode == "executors":
+        # N separate executor JVMs x 8 cores each — the faithful
+        # "N vs 4N executors" simulation (each executor has its own
+        # heap and garbage collector, like a real cluster node)
+        n_exec = cpus // 8
+        spark = get_spark(
+            cpus=cpus,
+            shuffle_partitions=cpus,
+            app=f"scale{n_exec}x8",
+            master=f"local-cluster[{n_exec},8,8192]",
+            extra_conf={
+                "spark.executor.memory": "7g",
+                # executor JVMs are fresh processes: ship the package
+                # path like spark-submit --py-files would
+                "spark.executorEnv.PYTHONPATH": os.path.dirname(
+                    os.path.abspath(__file__)
+                ),
+            },
+        )
+    else:
+        spark = get_spark(cpus=cpus, shuffle_partitions=cpus, app=f"scale{cpus}")
+    pdf = make_transcripts_bench(n_convs)
+    tdf = spark.createDataFrame(pdf)
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.monotonic()
+        tables = build_index(spark, tdf)
+        write_index(tables, f"{tmp}/idx")
+        build_sec = time.monotonic() - t0
+    spark.stop()
+    print(json.dumps({"cpus": cpus, "turns": len(pdf), "build_sec": build_sec}))
+
+
+def main() -> None:
+    mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "threads")
+    if "--worker" in sys.argv:
+        worker(int(sys.argv[sys.argv.index("--worker") + 1]),
+               int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "40000")),
+               mode)
+        return
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+    results = {}
+    for cpus in (n, 4 * n):
+        out = subprocess.run(
+            [sys.executable, __file__, "--worker", str(cpus)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    r_n = results[n]["turns"] / results[n]["build_sec"]
+    r_4n = results[4 * n]["turns"] / results[4 * n]["build_sec"]
+    eff = r_4n / (4.0 * r_n)
+    print(json.dumps({
+        "metric": "index_build_scaling",
+        "mode": mode,
+        "n_cores": n,
+        "turns": results[n]["turns"],
+        "build_sec_n": round(results[n]["build_sec"], 1),
+        "build_sec_4n": round(results[4 * n]["build_sec"], 1),
+        "turns_per_sec_n": round(r_n, 1),
+        "turns_per_sec_4n": round(r_4n, 1),
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -183,3 +183,60 @@ class TestBM25:
         c1 = group_contrib(2, 0.5, prior, weight=1)
         c3 = group_contrib(2, 0.5, prior, weight=3)
         assert list(c3) == [3 * x for x in c1]
+
+
+class TestBatchSegmentBuilder:
+    """The vectorized multi-segment builder must be byte-identical to
+    the per-segment impact_order kernel on every layout field."""
+
+    def test_matches_impact_order(self):
+        import numpy as np
+        import pandas as pd
+
+        from atire_spark.kernels.impact import impact_order
+        from atire_spark.kernels.segment import build_segments_batch
+
+        rng = np.random.default_rng(7)
+        rows = []
+        for term in ["aa", "bb", "cc"]:
+            for block in range(4):
+                n = int(rng.integers(1, 30))
+                docs = np.sort(
+                    rng.choice(
+                        np.arange(block * 1000, block * 1000 + 999),
+                        size=n,
+                        replace=False,
+                    )
+                )
+                rows.append(
+                    {
+                        "term": term,
+                        "seg_group": block // 2,
+                        "block": block,
+                        "docids": docs.astype(np.int64),
+                        "tfs": rng.integers(1, 6, size=n).astype(np.int32),
+                        "lens": rng.integers(5, 100, size=n).astype(np.int64),
+                        "df_b": n,
+                        "cf_b": int(rng.integers(n, 3 * n)),
+                    }
+                )
+        pdf = pd.DataFrame(rows)
+        out = build_segments_batch(pdf)
+
+        for (term, sg), g in pdf.groupby(["term", "seg_group"]):
+            g = g.sort_values("block")
+            docids = np.concatenate(list(g["docids"]))
+            tfs = np.concatenate(list(g["tfs"])).astype(np.int64)
+            lens = np.concatenate(list(g["lens"]))
+            seg = impact_order(docids, tfs, lens)
+            row = out[(out.term == term) & (out.seg_group == sg)].iloc[0]
+            assert row["postings"] == seg.postings
+            assert row["doc_lens"] == seg.doc_lens
+            assert list(row["impacts"]) == list(seg.impacts)
+            assert list(row["doc_counts"]) == list(seg.doc_counts)
+            assert list(row["offsets"]) == list(seg.offsets)
+            assert list(row["byte_offsets"]) == list(seg.byte_offsets)
+            assert row["max_impact"] == seg.max_impact
+            assert row["n_postings"] == seg.n_postings
+            assert row["first_docid"] == int(docids[0])
+            assert row["seg_cf"] == int(g["cf_b"].sum())
