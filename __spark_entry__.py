@@ -308,6 +308,59 @@ def _q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.search_batch(TESTDATA_QUERIES, k=TOP_K, conjunctive=True)
 
 
+def _q_termcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.search_batch(TESTDATA_QUERIES, k=TOP_K, ranker="termcount")
+
+
+def _q_inner_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.search_batch(TESTDATA_QUERIES, k=TOP_K, ranker="inner")
+
+
+def _q_lmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.search_batch(TESTDATA_QUERIES, k=TOP_K, ranker="lmd")
+
+
+def _ranker_sql(contrib_expr: str, k: int, extra_cte: str = "", extra_join: str = "") -> str:
+    """Shared scaffolding for the alternative-ranker oracles: same
+    corpus CTE, per-query VALUES, pmod-wrapped uint16 accumulation,
+    rsv desc / docid desc ranking."""
+    return f"""
+WITH {_CORPUS_CTE},
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+){extra_cte},
+scored AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, t.docid,
+         {contrib_expr} AS contrib
+  FROM q
+  JOIN termstats ts USING (term)
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  CROSS JOIN stats s
+  {extra_join}
+),
+acc AS (
+  SELECT query_id, docid,
+         CAST(((sum(contrib) % 65536) + 65536) % 65536 AS BIGINT) AS rsv_fixed
+  FROM scored GROUP BY query_id, docid
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM acc
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_bm25_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _quant_engine(spark, sf_dir)
     return eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
@@ -426,6 +479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25,
         "bm25_topk_k100": _q_bm25_k100,
         "bm25_conjunctive": _q_bm25_conjunctive,
+        "termcount_topk": _q_termcount,
+        "inner_product_topk": _q_inner_product,
+        "lmd_topk": _q_lmd,
         "bm25_quantized_topk": _q_bm25_quantized,
         "qaat_pruned_topk": _q_qaat_pruned,
         "boolean_topk": _q_boolean,
@@ -465,6 +521,34 @@ SELECT term, docid, tf FROM tf
         # ranking_function.c:495-526), global min/max, impact =
         # trunc(scale + 1), query rsv = sum(impact) mod 2^16 — identical
         # expression tree to kernels/quantize.py
+        # termcount (boolean-OR): one point per matching query token
+        "termcount_topk": _ranker_sql("CAST(q.weight AS BIGINT)", TOP_K),
+        # TF·IDF inner product: rsv = tf*idf^2/100
+        # (ranking_function_inner_product.c — the /100 avoids blowing
+        # out the uint16 accumulators), same op order as the engine
+        "inner_product_topk": _ranker_sql(
+            "CAST(q.weight AS BIGINT) * (1 + CAST(trunc("
+            "((CAST(t.tf AS DOUBLE)"
+            " * ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE))"
+            " * ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE)))"
+            " / 100.0) * 100.0) AS BIGINT))",
+            TOP_K,
+        ),
+        # LM Dirichlet u=6750 (ranking_function_lmd.c):
+        # rsv = ln(1 + (tf/u)*(len_C/cf)) - n*ln(1 + len_d/u)
+        "lmd_topk": _ranker_sql(
+            "CAST(q.weight AS BIGINT) * (1 + CAST(trunc(100.0 * ("
+            "ln(1.0 + (CAST(t.tf AS DOUBLE) / 6750.0)"
+            " * (CAST(s.coll_len AS DOUBLE) / CAST(ts.cf AS DOUBLE)))"
+            " - qn.n * ln(1.0 + CAST(d.doc_len AS DOUBLE) / 6750.0)"
+            ")) AS BIGINT))",
+            TOP_K,
+            extra_cte=(
+                ",\nqn AS (SELECT query_id, CAST(sum(weight) AS DOUBLE) AS n"
+                " FROM q GROUP BY query_id)"
+            ),
+            extra_join="JOIN qn ON qn.query_id = q.query_id",
+        ),
         "bm25_quantized_topk": f"""
 WITH {_CORPUS_CTE},
 scored_all AS (

@@ -42,28 +42,55 @@ from atire_spark.kernels.vbyte import vbyte_decode
 RESULT_SCHEMA = "query_id long, rank int, docid long, rsv_fixed long, rsv double"
 
 
+LMD_U = 6750.0  # ranking_function_lmd.h:10
+
+
+def _per_query_contrib(dec, n_query: float) -> tuple[np.ndarray, np.ndarray]:
+    """Resolve a _segment_contrib result to (docids, unit int64
+    contributions) for one query (LM scores depend on query length)."""
+    if dec[0] == "fixed":
+        return dec[1], dec[2]
+    _, docids, a, bb = dec
+    rsv = a - n_query * bb
+    return docids, 1 + (rsv * 100.0).astype(np.int64)
+
+
 def _segment_contrib(
     row,
-    use_bm25: bool,
+    ranker: str,
     conjunctive: bool,
     quantized: bool,
     n_docs: int,
     mean_len: float,
-) -> tuple[np.ndarray, np.ndarray] | None:
-    """Decode one matching segment row → (docids, int64 *unit*
-    contributions — multiply by the query-term weight).
+    coll_len: int = 0,
+):
+    """Decode one matching segment row.
 
-    Unquantized BM25: the fixed-point TaaT arithmetic
-    (ranking_function_bm25.c:76-130 + search_engine_accumulator.h:76).
-    Quantized index: the impact value IS the score and is added
-    directly (ranking_function_impact.c, add_rsv(long)) — no idf skip,
-    no +1/x100. ``termcount`` (use_bm25=False): one point per match.
-    Returns None when the term can be skipped entirely (df==N in
-    unquantized BM25 outside conjunctive mode, bm25.c:91-92).
+    Returns ``("fixed", docids, unit)`` where ``unit`` are int64 unit
+    contributions (multiply by the query-term weight), or
+    ``("lmd", docids, A, B)`` for the query-length-dependent LM ranker
+    (per-query contribution = ``weight * (1 + trunc(100*(A - n*B)))``
+    with n = query term count), or None when the term is skipped.
+
+    Rankers (reference ranking_function_factory.c slots):
+    - ``bm25``      fixed-point TaaT (ranking_function_bm25.c:76-130 +
+      search_engine_accumulator.h:76); df==N contributes nothing
+      (bm25.c:91-92);
+    - ``termcount`` boolean-OR: one point per matching term;
+    - ``inner``     TF·IDF inner product: rsv = tf·idf²/100 — the /100
+      keeps the integer accumulators from blowing out
+      (ranking_function_inner_product.c), no df==N skip;
+    - ``lmd``       LM with Dirichlet smoothing u=6750:
+      rsv = ln(1 + (tf/u)·(len_C/cf_t)) − n·ln(1 + len_d/u)
+      (ranking_function_lmd.c).
+    On a quantized index the impact IS the score, added directly
+    (add_rsv(long)); other rankers are rejected upstream — the
+    reference refuses to change ranker on a quantized index
+    (atire_api.c:472-478).
     """
     k1, b = BM25_K1, BM25_B
     idf = 1.0
-    if use_bm25 and not quantized:
+    if ranker == "bm25" and not quantized:
         idf = float(np.log(np.float64(n_docs) / np.float64(int(row.df))))
         if idf == 0.0 and not conjunctive:
             return None
@@ -73,21 +100,30 @@ def _segment_contrib(
         row.postings,
         row.doc_lens,
     )
-    if not use_bm25:
-        contrib = np.ones(docids.size, dtype=np.int64)
-    elif quantized:
-        contrib = impacts.astype(np.int64)
-    elif idf == 0.0:
-        # conjunctive with a universal term: required hit, zero score
-        contrib = np.zeros(docids.size, dtype=np.int64)
-    else:
-        priors = (
-            k1 * ((1.0 - b) + b * (lens.astype(np.float64) / mean_len))
-        ).astype(np.float32)
+    if quantized:
+        return "fixed", docids, impacts.astype(np.int64)
+    if ranker == "termcount":
+        return "fixed", docids, np.ones(docids.size, dtype=np.int64)
+    if ranker == "inner":
+        idf2 = float(np.log(np.float64(n_docs) / np.float64(int(row.df))))
         tf_d = impacts.astype(np.float64)
-        rsv = idf * ((tf_d * (k1 + 1.0)) / (tf_d + priors.astype(np.float64)))
-        contrib = 1 + (rsv * 100.0).astype(np.int64)
-    return docids, contrib
+        score = (tf_d * idf2 * idf2) / 100.0  # exact reference op order
+        return "fixed", docids, 1 + (score * 100.0).astype(np.int64)
+    if ranker == "lmd":
+        tf_d = impacts.astype(np.float64)
+        lenc_over_cf = np.float64(coll_len) / np.float64(int(row.cf))
+        a = np.log(1.0 + (tf_d / LMD_U) * lenc_over_cf)
+        bb = np.log(1.0 + lens.astype(np.float64) / LMD_U)
+        return "lmd", docids, a, bb
+    if idf == 0.0:
+        # conjunctive bm25 with a universal term: required hit, 0 score
+        return "fixed", docids, np.zeros(docids.size, dtype=np.int64)
+    priors = (
+        k1 * ((1.0 - b) + b * (lens.astype(np.float64) / mean_len))
+    ).astype(np.float32)
+    tf_d = impacts.astype(np.float64)
+    rsv = idf * ((tf_d * (k1 + 1.0)) / (tf_d + priors.astype(np.float64)))
+    return "fixed", docids, 1 + (rsv * 100.0).astype(np.int64)
 
 
 def parse_query(text: str) -> list[tuple[str, int]]:
@@ -107,6 +143,7 @@ class SearchEngine:
         self.index = index
         row = index.stats.collect()[0].asDict()
         self.n_docs = int(row["documents"])
+        self.collection_len = int(row["collection_len"])
         self.mean_doc_len = float(row["mean_doc_len"])
         self.quantized = bool(row.get("quantized", 0))
         self.quant_bits = int(row.get("quant_bits", 0) or 0)
@@ -137,22 +174,34 @@ class SearchEngine:
         ``ranker``:
         - ``"bm25"`` — the default BM25 fixed-point scorer;
         - ``"termcount"`` — the reference's term-count / boolean-OR
-          ranking function (ranking_function_term_count.c via factory
-          id, SURVEY §2.4): rsv = number of matching query terms.
+          ranking function: rsv = number of matching query terms;
+        - ``"inner"`` — TF·IDF inner product
+          (ranking_function_inner_product.c);
+        - ``"lmd"`` — language model with Dirichlet smoothing, u=6750
+          (ranking_function_lmd.c).
+        A quantized index only supports its baked-in scores — the
+        reference refuses other rankers there (atire_api.c:472-478).
 
         ``conjunctive=True`` is the reference's "allterms" mode
         (search_engine.c:1491-1511): only documents containing *every*
         distinct query term survive, ranked by the chosen scorer.
         """
+        if self.quantized and ranker != "bm25":
+            raise ValueError(
+                "cannot set ranking function: the index is quantized "
+                "(atire_api.c:477)"
+            )
         # query plan: the term set is a pushed-down isin filter on the
         # (cached) postings scan — no per-query DataFrame, no broadcast
         # exchange; each matched segment is decoded once and fans out
         # to every query that contains its term via a closure map
         qmap: dict[str, list[tuple[int, int]]] = {}
         n_terms_per_q: dict[int, int] = {}
+        nq: dict[int, float] = {}  # LM term count per query (chain length)
         for qid, text in queries:
             parsed = parse_query(text)
             n_terms_per_q[qid] = len(parsed)
+            nq[qid] = float(sum(w for _, w in parsed))
             for term, weight in parsed:
                 qmap.setdefault(term, []).append((qid, weight))
         if not qmap:
@@ -162,12 +211,12 @@ class SearchEngine:
 
         n_docs = self.n_docs
         mean_len = self.mean_doc_len
+        coll_len = self.collection_len
         quantized = self.quantized
-        use_bm25 = ranker == "bm25"
 
         if grouped:
             return self._search_grouped(
-                hits, qmap, n_terms_per_q, k, use_bm25, conjunctive
+                hits, qmap, nq, n_terms_per_q, k, ranker, conjunctive
             )
 
         def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -178,12 +227,13 @@ class SearchEngine:
                 out_hits: list[np.ndarray] = []
                 for row in pdf.itertuples(index=False):
                     dec = _segment_contrib(
-                        row, use_bm25, conjunctive, quantized, n_docs, mean_len
+                        row, ranker, conjunctive, quantized, n_docs, mean_len,
+                        coll_len,
                     )
                     if dec is None:
                         continue  # df == N contributes nothing (bm25.c:91-92)
-                    docids, contrib = dec
                     for qid, weight in qmap[row.term]:
+                        docids, contrib = _per_query_contrib(dec, nq[qid])
                         out_qid.append(np.full(docids.size, qid, dtype=np.int64))
                         out_doc.append(docids)
                         out_contrib.append(contrib * weight)
@@ -203,7 +253,8 @@ class SearchEngine:
             schema="query_id long, docid long, contrib long, term_hits long",
         )
         accum = scored.groupBy("query_id", "docid").agg(
-            (F.sum("contrib") % ACCUM_MOD).alias("rsv_fixed"),
+            # pmod: LM scores can go negative; uint16 wrap is mod 2^16
+            F.pmod(F.sum("contrib"), F.lit(ACCUM_MOD)).alias("rsv_fixed"),
             F.sum("term_hits").alias("term_hits"),
         )
         if conjunctive:
@@ -246,9 +297,10 @@ class SearchEngine:
         self,
         hits: DataFrame,
         qmap: dict[str, list[tuple[int, int]]],
+        nq: dict[int, float],
         n_terms_per_q: dict[int, int],
         k: int,
-        use_bm25: bool,
+        ranker: str,
         conjunctive: bool,
     ) -> DataFrame:
         """Scale path (default): partition by seg_group so every docid's
@@ -265,6 +317,7 @@ class SearchEngine:
         and is kept for plan comparison, grouped=False).
         """
         n_docs, mean_len = self.n_docs, self.mean_doc_len
+        coll_len = self.collection_len
         quantized = self.quantized
 
         def part_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -275,12 +328,13 @@ class SearchEngine:
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
                     dec = _segment_contrib(
-                        row, use_bm25, conjunctive, quantized, n_docs, mean_len
+                        row, ranker, conjunctive, quantized, n_docs, mean_len,
+                        coll_len,
                     )
                     if dec is None:
                         continue
-                    docids, contrib = dec
                     for qid, weight in qmap[row.term]:
+                        docids, contrib = _per_query_contrib(dec, nq[qid])
                         qids.append(np.full(docids.size, qid, dtype=np.int64))
                         docs.append(docids)
                         contribs.append(contrib * weight)
@@ -363,10 +417,12 @@ class SearchEngine:
             leaf_ids: list[np.ndarray] = []
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
-                    dec = _segment_contrib(row, True, False, quantized, n_docs, mean_len)
+                    dec = _segment_contrib(
+                        row, "bm25", False, quantized, n_docs, mean_len
+                    )
                     if dec is None:
                         continue  # df==N: no score AND no bits set
-                    docids, contrib = dec
+                    _, docids, contrib = dec
                     for qid, leaf_idx in lmap[row.term]:
                         qids.append(np.full(docids.size, qid, dtype=np.int64))
                         docs.append(docids)
