@@ -58,7 +58,11 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         F.concat(
             F.lit("conv"),
-            F.lpad((F.col("doc_id") / 8).cast("long").cast("string"), 6, "0"),
+            # 12-wide zero pad: lpad truncates once doc_id/8 outgrows the
+            # pad width, which would collide conv_ids (~8M docs at width
+            # 6); 12 keeps the id unique + lexicographically ordered at
+            # every scale factor
+            F.lpad((F.col("doc_id") / 8).cast("long").cast("string"), 12, "0"),
         ).alias("conv_id"),
         (F.col("doc_id") % 8).cast("int").alias("turn_idx"),
         F.when(F.col("doc_id") % 3 == 0, "user")
@@ -74,28 +78,33 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _engine(spark: SparkSession, sf_dir: str):
-    """Build (once per sf_dir) and cache the index + engine."""
-    key = sf_dir.rstrip("/")
+def _build_engine(spark: SparkSession, sf_dir: str, key: str, **build_kw):
+    """Build once per (sf_dir, variant): materialize the index to
+    parquet and query THROUGH storage — the term isin filter then
+    prunes files (PushedFilters), which is the shape that scales; an
+    unwritten lazy index would re-run the build per query."""
     if key not in _INDEX_CACHE:
-        from atire_spark.build import build_index
+        import tempfile
+
+        from atire_spark.build import build_index, load_index, write_index
         from atire_spark.query import SearchEngine
 
-        idx = build_index(spark, _transcripts(spark, sf_dir))
-        _INDEX_CACHE[key] = SearchEngine(spark, idx)
+        idx_dir = tempfile.mkdtemp(prefix="atire_entry_idx_")
+        tables = build_index(spark, _transcripts(spark, sf_dir), **build_kw)
+        write_index(tables, idx_dir)
+        _INDEX_CACHE[key] = SearchEngine(spark, load_index(spark, idx_dir))
     return _INDEX_CACHE[key]
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    return _build_engine(spark, sf_dir, sf_dir.rstrip("/"))
 
 
 def _quant_engine(spark: SparkSession, sf_dir: str):
     """Quantized (-Q, 8-bit) index over the same corpus."""
-    key = sf_dir.rstrip("/") + "#quant"
-    if key not in _INDEX_CACHE:
-        from atire_spark.build import build_index
-        from atire_spark.query import SearchEngine
-
-        idx = build_index(spark, _transcripts(spark, sf_dir), quantize_bits=8)
-        _INDEX_CACHE[key] = SearchEngine(spark, idx)
-    return _INDEX_CACHE[key]
+    return _build_engine(
+        spark, sf_dir, sf_dir.rstrip("/") + "#quant", quantize_bits=8
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -103,7 +112,7 @@ def _quant_engine(spark: SparkSession, sf_dir: str):
 _CORPUS_CTE = """
 corpus AS (
   SELECT doc_id,
-         'conv' || lpad(CAST(doc_id // 8 AS VARCHAR), 6, '0') AS conv_id,
+         'conv' || lpad(CAST(doc_id // 8 AS VARCHAR), 12, '0') AS conv_id,
          CAST(doc_id % 8 AS INTEGER) AS turn_idx,
          text
   FROM documents
@@ -323,7 +332,21 @@ def _q_lmd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.search_batch(TESTDATA_QUERIES, k=TOP_K, ranker="lmd")
 
 
-def _ranker_sql(contrib_expr: str, k: int, extra_cte: str = "", extra_join: str = "") -> str:
+def _mk_ranker_query(ranker: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = _engine(spark, sf_dir)
+        return eng.search_batch(TESTDATA_QUERIES, k=TOP_K, ranker=ranker)
+
+    return fn
+
+
+def _ranker_sql(
+    contrib_expr: str,
+    k: int,
+    extra_cte: str = "",
+    extra_join: str = "",
+    extra_where: str = "",
+) -> str:
     """Shared scaffolding for the alternative-ranker oracles: same
     corpus CTE, per-query VALUES, pmod-wrapped uint16 accumulation,
     rsv desc / docid desc ranking."""
@@ -341,6 +364,7 @@ scored AS (
   JOIN docmap d USING (docid)
   CROSS JOIN stats s
   {extra_join}
+  {extra_where}
 ),
 acc AS (
   SELECT query_id, docid,
@@ -366,13 +390,17 @@ def _q_bm25_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
 
 
-def _q_qaat_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Block-max QaaT with the reference's QUANTUM_STOP_DIFF early
-    termination (atire_api.c:759-782) — a heuristic, so it gets the
-    rows-only check (no SQL oracle), like the reference itself which
-    documents it as an effectiveness/efficiency trade."""
+def _q_qaat_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantum-at-a-time traversal in exact mode
+    (early_termination=None): processes every quantum in global
+    impact-descending order — rank-identical to TaaT on the quantized
+    index, so the bm25_quantized SQL oracle certifies the whole QaaT
+    machinery (heap scheduling, per-quantum partial decode,
+    accumulation). The QUANTUM_STOP_DIFF heuristic
+    (atire_api.c:759-782) is exercised separately: pruning stats are
+    reported by bench.py and its rank agreement is pytest-covered."""
     eng = _quant_engine(spark, sf_dir)
-    return eng.search_qaat(TESTDATA_QUERIES, k=TOP_K, early_termination="diff")
+    return eng.search_qaat(TESTDATA_QUERIES, k=TOP_K, early_termination=None)
 
 
 def _q_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,8 +510,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "termcount_topk": _q_termcount,
         "inner_product_topk": _q_inner_product,
         "lmd_topk": _q_lmd,
+        "bm25l_topk": _mk_ranker_query("bm25l"),
+        "bm25plus_topk": _mk_ranker_query("bm25plus"),
+        "lmds_topk": _mk_ranker_query("lmds"),
+        "lmjm_topk": _mk_ranker_query("lmjm"),
+        "dph_topk": _mk_ranker_query("dph"),
+        "dlh13_topk": _mk_ranker_query("dlh13"),
         "bm25_quantized_topk": _q_bm25_quantized,
-        "qaat_pruned_topk": _q_qaat_pruned,
+        "qaat_exact_topk": _q_qaat_exact,
         "boolean_topk": _q_boolean,
         "topk_materialized": _q_topk_materialized,
     }
@@ -549,7 +583,172 @@ SELECT term, docid, tf FROM tf
             ),
             extra_join="JOIN qn ON qn.query_id = q.query_id",
         ),
-        "bm25_quantized_topk": f"""
+        # BM25L δ=0.5 (ranking_function_bm25l.c; Lv & Zhai SIGIR'11):
+        # c' = tf/(1-b+b·len/avg); rsv = ((k1+1)(c'+δ)/(k1+c'+δ))·idf
+        "bm25l_topk": _ranker_sql(
+            "CAST(q.weight AS BIGINT) * (1 + CAST(trunc(("
+            " (((0.9 + 1.0) * ((CAST(t.tf AS DOUBLE)"
+            "   / (1.0 - 0.4 + 0.4 * (CAST(d.doc_len AS DOUBLE) / s.mean_len))) + 0.5))"
+            "  / (0.9 + (CAST(t.tf AS DOUBLE)"
+            "   / (1.0 - 0.4 + 0.4 * (CAST(d.doc_len AS DOUBLE) / s.mean_len))) + 0.5))"
+            " * ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE))"
+            ") * 100.0) AS BIGINT))",
+            TOP_K,
+        ),
+        # BM25+ δ=1 (ranking_function_bm25plus.c; Lv & Zhai CIKM'11)
+        "bm25plus_topk": _ranker_sql(
+            "CAST(q.weight AS BIGINT) * (1 + CAST(trunc(("
+            " ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE))"
+            " * ((((0.9 + 1.0) * CAST(t.tf AS DOUBLE))"
+            "    / (0.9 * (1.0 - 0.4 + 0.4 * (CAST(d.doc_len AS DOUBLE) / s.mean_len))"
+            "       + CAST(t.tf AS DOUBLE))) + 1.0)"
+            ") * 100.0) AS BIGINT))",
+            TOP_K,
+        ),
+        # LM Jelinek-Mercer λ=0.5 (ranking_function_lmjm.c):
+        # rsv = ln(1 + ((1-λ)/λ)·(tf/len)·(|C|/cf)); (1-0.5)/0.5 = 1.0
+        "lmjm_topk": _ranker_sql(
+            "CAST(q.weight AS BIGINT) * (1 + CAST(trunc(("
+            " ln(1.0 + (CAST(t.tf AS DOUBLE) / CAST(d.doc_len AS DOUBLE))"
+            "    * (CAST(s.coll_len AS DOUBLE) / CAST(ts.cf AS DOUBLE)))"
+            ") * 100.0) AS BIGINT))",
+            TOP_K,
+        ),
+        # DPH (ranking_function_dph.c): tf==len makes log2(0) (C UB) —
+        # both sides define such postings to contribute nothing
+        "dph_topk": _ranker_sql(
+            "CAST(q.weight AS BIGINT) * (1 + CAST(trunc(("
+            " 1.0 * (((1.0 - CAST(t.tf AS DOUBLE) / CAST(d.doc_len AS DOUBLE))"
+            "   * (1.0 - CAST(t.tf AS DOUBLE) / CAST(d.doc_len AS DOUBLE)))"
+            "   / (CAST(t.tf AS DOUBLE) + 1.0))"
+            " * (CAST(t.tf AS DOUBLE)"
+            "    * (ln((CAST(t.tf AS DOUBLE) * s.mean_len / CAST(d.doc_len AS DOUBLE))"
+            "          * (CAST(s.n_docs AS DOUBLE) / CAST(ts.cf AS DOUBLE))) / ln(2.0))"
+            "    + 0.5 * (ln(2.0 * pi() * CAST(t.tf AS DOUBLE)"
+            "          * (1.0 - CAST(t.tf AS DOUBLE) / CAST(d.doc_len AS DOUBLE)))"
+            "          / ln(2.0)))"
+            ") * 100.0) AS BIGINT))",
+            TOP_K,
+            extra_where="WHERE t.tf < d.doc_len",
+        ),
+        # DLH13, Terrier form (ranking_function_dlh13.c:94-96)
+        "dlh13_topk": _ranker_sql(
+            "CAST(q.weight AS BIGINT) * (1 + CAST(trunc(("
+            " 1.0 * (CAST(t.tf AS DOUBLE)"
+            "    * (ln((CAST(t.tf AS DOUBLE) * s.mean_len / CAST(d.doc_len AS DOUBLE))"
+            "          * (CAST(s.n_docs AS DOUBLE) / CAST(ts.cf AS DOUBLE))) / ln(2.0))"
+            "    + 0.5 * (ln(2.0 * pi() * CAST(t.tf AS DOUBLE)"
+            "          * (1.0 - CAST(t.tf AS DOUBLE) / CAST(d.doc_len AS DOUBLE)))"
+            "          / ln(2.0)))"
+            " / (CAST(t.tf AS DOUBLE) + 0.5)"
+            ") * 100.0) AS BIGINT))",
+            TOP_K,
+            extra_where="WHERE t.tf < d.doc_len",
+        ),
+        # LMDS u=2500 (ranking_function_lmds.c): the first accumulated
+        # hit of a doc folds in the doc prior |q|·ln(u/(len+u))
+        # (is_zero_rsv, lmds.c:110-115); terms are processed in
+        # ascending-cf order (atire_api.c:961-968), ties by term text
+        # (the reference's qsort tie order is unspecified; both sides
+        # here use the same deterministic tie-break)
+        "lmds_topk": _lmds_sql(TOP_K),
+        "bm25_quantized_topk": _quantized_sql(),
+        # exact-mode QaaT is rank-identical to TaaT over the quantized
+        # index — same oracle certifies the quantum-ordered traversal
+        "qaat_exact_topk": _quantized_sql(),
+        "topk_materialized": f"""
+WITH {_CORPUS_CTE},
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+),
+scored AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, t.docid,
+         CAST(q.weight AS BIGINT) * (1 + CAST(trunc(
+           100.0 * ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE))
+                 * ((CAST(t.tf AS DOUBLE) * (0.9 + 1.0))
+                    / (CAST(t.tf AS DOUBLE)
+                       + CAST(CAST(0.9 * ((1.0 - 0.4)
+                           + 0.4 * (CAST(d.doc_len AS DOUBLE) / s.mean_len))
+                         AS REAL) AS DOUBLE)))) AS BIGINT)) AS contrib
+  FROM q
+  JOIN termstats ts USING (term)
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  CROSS JOIN stats s
+  WHERE ts.df <> s.n_docs AND q.query_id <= 3
+),
+acc AS (
+  SELECT query_id, docid, CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  FROM scored GROUP BY query_id, docid
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM acc
+)
+SELECT r.query_id, r.rank, r.docid, d.conv_id, d.turn_idx, r.rsv_fixed
+FROM ranked r JOIN docmap d USING (docid)
+WHERE r.rank <= {TOP_K}
+""",
+    }
+
+
+def _lmds_sql(k: int) -> str:
+    """LMDS oracle: per-(query, doc) the first term by (cf asc, term
+    asc) contributes ``1 + trunc(100·(rsv + n·prior))`` for one of its
+    occurrences, every other occurrence ``1 + trunc(100·rsv)``."""
+    rsv = (
+        "ln((CAST(t.tf AS DOUBLE) / 2500.0)"
+        " * (CAST(s.coll_len AS DOUBLE) / CAST(ts.cf AS DOUBLE)) + 1.0)"
+    )
+    prior = "ln(2500.0 / (CAST(d.doc_len AS DOUBLE) + 2500.0))"
+    return f"""
+WITH {_CORPUS_CTE},
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+),
+qn AS (SELECT query_id, CAST(sum(weight) AS DOUBLE) AS n FROM q GROUP BY query_id),
+scored AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, t.docid,
+         CAST(q.weight AS BIGINT) AS weight,
+         1 + CAST(trunc(({rsv}) * 100.0) AS BIGINT) AS unit,
+         1 + CAST(trunc((({rsv}) + qn.n * ({prior})) * 100.0) AS BIGINT) AS unit_p,
+         row_number() OVER (
+           PARTITION BY q.query_id, t.docid ORDER BY ts.cf ASC, q.term ASC
+         ) AS rn
+  FROM q
+  JOIN termstats ts USING (term)
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  CROSS JOIN stats s
+  JOIN qn ON qn.query_id = q.query_id
+),
+acc AS (
+  SELECT query_id, docid,
+         CAST(((sum(CASE WHEN rn = 1 THEN unit_p + (weight - 1) * unit
+                         ELSE weight * unit END) % 65536) + 65536) % 65536
+              AS BIGINT) AS rsv_fixed
+  FROM scored GROUP BY query_id, docid
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM acc
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _quantized_sql() -> str:
+    return f"""
 WITH {_CORPUS_CTE},
 scored_all AS (
   SELECT t.term, t.docid,
@@ -591,42 +790,4 @@ ranked AS (
 SELECT query_id, rank, docid, rsv_fixed,
        CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
 FROM ranked WHERE rank <= {TOP_K}
-""",
-        "topk_materialized": f"""
-WITH {_CORPUS_CTE},
-q(query_id, term, weight) AS (
-  VALUES {_query_values_sql()}
-),
-scored AS (
-  SELECT CAST(q.query_id AS BIGINT) AS query_id, t.docid,
-         CAST(q.weight AS BIGINT) * (1 + CAST(trunc(
-           100.0 * ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE))
-                 * ((CAST(t.tf AS DOUBLE) * (0.9 + 1.0))
-                    / (CAST(t.tf AS DOUBLE)
-                       + CAST(CAST(0.9 * ((1.0 - 0.4)
-                           + 0.4 * (CAST(d.doc_len AS DOUBLE) / s.mean_len))
-                         AS REAL) AS DOUBLE)))) AS BIGINT)) AS contrib
-  FROM q
-  JOIN termstats ts USING (term)
-  JOIN tf t USING (term)
-  JOIN docmap d USING (docid)
-  CROSS JOIN stats s
-  WHERE ts.df <> s.n_docs AND q.query_id <= 3
-),
-acc AS (
-  SELECT query_id, docid, CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
-  FROM scored GROUP BY query_id, docid
-),
-ranked AS (
-  SELECT query_id,
-         CAST(row_number() OVER (
-           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
-         ) AS INTEGER) AS rank,
-         docid, rsv_fixed
-  FROM acc
-)
-SELECT r.query_id, r.rank, r.docid, d.conv_id, d.turn_idx, r.rsv_fixed
-FROM ranked r JOIN docmap d USING (docid)
-WHERE r.rank <= {TOP_K}
-""",
-    }
+"""

@@ -85,11 +85,12 @@ def parse_boolean(query: str, default_operator: str = "OR"):
         if tok is None or tok == ")":
             return None
         if tok == "(":
+            # an empty/degenerate group leaves left=None; the loop below
+            # then promotes the next operand to the left slot instead of
+            # building a Node with a None child
             left = parse_expr(depth + 1)
         else:
             left = make_leaf(tok)
-            if left is None:
-                return None
         while True:
             nxt = peek()
             if nxt is None:
@@ -97,11 +98,13 @@ def parse_boolean(query: str, default_operator: str = "OR"):
             if nxt == ")":
                 take()
                 return left
-            if nxt in _OPS:
+            if nxt in _OPS and left is not None:
                 take()
                 op = _OPS[nxt]
             else:
-                op = default_operator  # adjacency → default operator
+                # adjacency → default operator; with no left operand an
+                # operator token is in leading position and is a term
+                op = default_operator
             tok = take()
             if tok is None:
                 return left
@@ -113,7 +116,7 @@ def parse_boolean(query: str, default_operator: str = "OR"):
                 right = make_leaf(tok)
             if right is None:
                 continue
-            left = Node(op, left, right)
+            left = right if left is None else Node(op, left, right)
 
     return parse_expr()
 

@@ -30,7 +30,7 @@ global df (stored per row) and per-posting (tf, doc_len).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Iterator
 
 import numpy as np
@@ -51,6 +51,7 @@ TOKENIZED_SCHEMA = (
 DOCMAP_SCHEMA = "docid long, conv_id string, turn_idx int, doc_len long"
 POSTINGS_SCHEMA = (
     "term string, seg_group long, seg_df long, seg_cf long, first_docid long, "
+    "last_docid long, "
     "max_impact int, impacts array<int>, doc_counts array<int>, offsets array<long>, "
     "byte_offsets array<long>, postings binary, doc_lens binary, n_postings long"
 )
@@ -62,6 +63,14 @@ class IndexTables:
     postings: DataFrame  # + global df, cf joined on
     stats: DataFrame  # single row
     build_log: DataFrame | None = None
+    cached: list = field(default_factory=list)  # persisted intermediates
+
+    def unpersist(self) -> None:
+        """Release the build's persisted intermediates (call after the
+        tables have been materialized, e.g. by :func:`write_index`)."""
+        for df in self.cached:
+            df.unpersist()
+        self.cached.clear()
 
 
 # ----------------------------------------------------------- tokenize
@@ -262,19 +271,26 @@ def assign_docids(tokenized: DataFrame, num_ranges: int | None = None) -> DataFr
     return parts.mapInPandas(fn, schema="docid long, " + TOKENIZED_SCHEMA)
 
 
-def _offset_expr(offsets: dict[int, int]):
-    """docid as a columnar expression: offsets[pid] + local_idx."""
-    m = F.create_map(
-        *[F.lit(x) for pid, off in sorted(offsets.items()) for x in (pid, off)]
-    )
-    return (m[F.col("pid")] + F.col("local_idx")).cast("long").alias("docid")
-
-
 def _docmap_from_staged(staged: DataFrame, offsets: dict[int, int]) -> DataFrame:
     """docmap straight off the staged parquet — parquet column pruning
-    reads only the four scalar columns; no Python, no token arrays."""
-    return staged.select(
-        _offset_expr(offsets), "conv_id", "turn_idx", "doc_len"
+    reads only the four scalar columns; no Python, no token arrays.
+
+    docid = offsets[pid] + local_idx via a broadcast join against the
+    tiny (pid, offset) table: a create_map literal of one entry per
+    range partition would bloat the plan at 10^6 partitions."""
+    spark = staged.sparkSession
+    off = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in sorted(offsets.items())],
+        "pid int, docid_offset long",
+    )
+    return (
+        staged.join(F.broadcast(off), "pid")
+        .select(
+            (F.col("docid_offset") + F.col("local_idx")).cast("long").alias("docid"),
+            "conv_id",
+            "turn_idx",
+            "doc_len",
+        )
     )
 
 
@@ -409,13 +425,17 @@ def build_postings(
 
 
 def segments_from_stage1(
-    stage1: DataFrame, blocks_per_seg: int = 4096
+    stage1: DataFrame, blocks_per_seg: int = 4096, registry: list | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Term-partitioned merge: hash-shuffle the per-(term, block) array
     rows on (term, seg_group), then build every segment of a partition
     in ONE vectorized Arrow pass (mapInPandas + pandas groupby) — the
     per-group Python overhead of applyInPandas would dominate when the
-    adaptive segmenting produces 10^5+ segments."""
+    adaptive segmenting produces 10^5+ segments.
+
+    ``registry`` (if given) collects the persisted intermediate frames
+    so the caller can unpersist once the tables are materialized
+    (IndexTables.unpersist / write_index do this)."""
     from atire_spark.kernels.segment import build_segments_batch
 
     keyed = stage1.withColumn(
@@ -431,6 +451,8 @@ def segments_from_stage1(
             yield out[[c.split(" ")[0] for c in POSTINGS_SCHEMA.split(", ")]]
 
     stage2 = keyed.mapInPandas(fn, schema=POSTINGS_SCHEMA).persist()
+    if registry is not None:
+        registry.append(stage2)
     term_stats = stage2.groupBy("term").agg(
         F.sum("seg_df").alias("df"), F.sum("seg_cf").alias("cf")
     )
@@ -476,6 +498,7 @@ def quantized_segments_from_stage1(
     mean_doc_len: float,
     blocks_per_seg: int = 4096,
     bits: int = DEFAULT_QUANT_BITS,
+    registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame, float, float]:
     # stage1 appears twice in the join DAG (directly and under the
     # stats agg) — persist so it is computed once and served from
@@ -486,6 +509,8 @@ def quantized_segments_from_stage1(
         F.sum("df_b").alias("df"), F.sum("cf_b").alias("cf")
     )
     joined = stage1.join(term_stats.select("term", "df", "cf"), "term").persist()
+    if registry is not None:
+        registry.extend([stage1, joined])
 
     def minmax_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mn, mx = np.inf, -np.inf
@@ -509,7 +534,12 @@ def quantized_segments_from_stage1(
         .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
         .collect()[0]
     )
-    qmin, qmax = float(mm["mn"]), float(mm["mx"])
+    if mm["mn"] is None:
+        # zero postings in the corpus: nothing to quantize; 0/0 keeps
+        # quantize_rsv's degenerate single-score path (impact 1)
+        qmin = qmax = 0.0
+    else:
+        qmin, qmax = float(mm["mn"]), float(mm["mx"])
 
     from atire_spark.kernels.segment import build_segments_batch
 
@@ -602,8 +632,11 @@ def build_index(
     docmap = _docmap_from_staged(staged, offsets)
     stage1 = _stage1_from_staged(staged, offsets, block_bits)
 
+    registry: list = []
     if quantize_bits is None:
-        postings, term_stats = segments_from_stage1(stage1, blocks_per_seg)
+        postings, term_stats = segments_from_stage1(
+            stage1, blocks_per_seg, registry=registry
+        )
         stats = (
             docmap.agg(
                 F.count("*").alias("documents"),
@@ -619,7 +652,9 @@ def build_index(
                 F.lit(0.0).alias("quant_max"),
             )
         )
-        return IndexTables(docmap=docmap, postings=postings, stats=stats)
+        return IndexTables(
+            docmap=docmap, postings=postings, stats=stats, cached=registry
+        )
 
     # quantized build needs N and mean length up front (cheap: docmap
     # is a scalar pass over the cached sorted partitions)
@@ -629,7 +664,7 @@ def build_index(
     n_docs, coll_len = int(row["n"]), int(row["s"])
     mean_len = coll_len / n_docs
     postings, term_stats, qmin, qmax = quantized_segments_from_stage1(
-        stage1, n_docs, mean_len, blocks_per_seg, quantize_bits
+        stage1, n_docs, mean_len, blocks_per_seg, quantize_bits, registry=registry
     )
     stats = term_stats.agg(F.count("*").alias("unique_terms")).select(
         F.lit(n_docs).cast("long").alias("documents"),
@@ -641,7 +676,9 @@ def build_index(
         F.lit(qmin).alias("quant_min"),
         F.lit(qmax).alias("quant_max"),
     )
-    return IndexTables(docmap=docmap, postings=postings, stats=stats)
+    return IndexTables(
+        docmap=docmap, postings=postings, stats=stats, cached=registry
+    )
 
 
 # ---------------------------------------------------------------- storage
@@ -657,6 +694,7 @@ def write_index(tables: IndexTables, path: str, mode: str = "overwrite") -> None
         mode
     ).parquet(f"{path}/postings")
     tables.stats.write.mode(mode).parquet(f"{path}/stats")
+    tables.unpersist()  # build intermediates no longer needed
 
 
 def load_index(spark: SparkSession, path: str) -> IndexTables:

@@ -140,7 +140,6 @@ def build_segments_batch(
             "seg_group": int(seg_groups[gi]),
             "seg_df": pe - ps,
             "seg_cf": int(seg_cf[gi]),
-            "first_docid": int(doc_all[g_pstarts[gi]] if False else 0),
             "max_impact": int(impacts[0]),
             "impacts": impacts.astype(np.int32).tolist(),
             "doc_counts": doc_counts.astype(np.int32).tolist(),
@@ -155,10 +154,17 @@ def build_segments_batch(
             row["cf"] = int(group_cf[gi])
         rows.append(row)
     out = pd.DataFrame(rows)
-    # first docid of the group in DOCID order (not impact order): the
-    # first posting of the group's first row
+    # first/last docid of the group in DOCID order (not impact order):
+    # rows within a group are docid-sorted, so the group's docid range
+    # is [first of first row, last of last row] — the query side uses
+    # the range to size dense accumulator arrays without decoding
+    row_gends = np.concatenate((row_gstarts[1:], [len(pdf)]))
     firsts = np.fromiter(
         (docids_col[i][0] for i in row_gstarts), dtype=np.int64, count=n_groups
     )
+    lasts = np.fromiter(
+        (docids_col[i - 1][-1] for i in row_gends), dtype=np.int64, count=n_groups
+    )
     out["first_docid"] = firsts
+    out["last_docid"] = lasts
     return out

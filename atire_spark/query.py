@@ -43,16 +43,45 @@ RESULT_SCHEMA = "query_id long, rank int, docid long, rsv_fixed long, rsv double
 
 
 LMD_U = 6750.0  # ranking_function_lmd.h:10
+LMDS_U = 2500.0  # ranking_function_lmds.h:13
+LMJM_LAMBDA = 0.5  # ranking_function_lmjm.h:9
+BM25L_DELTA = 0.5  # ranking_function_bm25l.h:16
+BM25PLUS_DELTA = 1.0  # ranking_function_bm25plus.h:16
 
 
-def _per_query_contrib(dec, n_query: float) -> tuple[np.ndarray, np.ndarray]:
+def _log2(x: np.ndarray) -> np.ndarray:
+    """ln(x)/ln(2) — the reference's ANT_log2 (maths.h); written as the
+    ratio (not np.log2) so the SQL oracle's ln(x)/ln(2.0) shares the
+    exact operation order."""
+    return np.log(x) / np.log(2.0)
+
+
+def _per_query_contrib(
+    dec, n_query: float, post: float = 1.0
+) -> tuple[np.ndarray, np.ndarray]:
     """Resolve a _segment_contrib result to (docids, unit int64
-    contributions) for one query (LM scores depend on query length)."""
-    if dec[0] == "fixed":
+    contributions) for one query occurrence.
+
+    ``post`` is the reference's POSTSCALAR (NEXI_term.h:24
+    ``rsv_weight``): the accumulator receives
+    ``1 + trunc(100 * (post * rsv))`` per hit
+    (search_engine_accumulator.h:76 via quantize(postscalar * rsv) at
+    every ranking function's add_rsv call site). Relevance feedback
+    sets it to the expansion term's KL score (atire_api.c:1334-1336);
+    everything else leaves it at 1.
+    """
+    kind = dec[0]
+    if kind == "fixed":
+        # integer impacts (quantized index) / termcount: added straight
+        # into the accumulator, no fixed-point scaling, no postscalar
         return dec[1], dec[2]
+    if kind == "float":
+        _, docids, rsv = dec
+        return docids, 1 + ((rsv * post) * 100.0).astype(np.int64)
+    # LM-Dirichlet: per-query contribution depends on query length
     _, docids, a, bb = dec
     rsv = a - n_query * bb
-    return docids, 1 + (rsv * 100.0).astype(np.int64)
+    return docids, 1 + ((rsv * post) * 100.0).astype(np.int64)
 
 
 def _segment_contrib(
@@ -66,23 +95,47 @@ def _segment_contrib(
 ):
     """Decode one matching segment row.
 
-    Returns ``("fixed", docids, unit)`` where ``unit`` are int64 unit
-    contributions (multiply by the query-term weight), or
-    ``("lmd", docids, A, B)`` for the query-length-dependent LM ranker
-    (per-query contribution = ``weight * (1 + trunc(100*(A - n*B)))``
-    with n = query term count), or None when the term is skipped.
+    Returns one of (docids always parallel to the value arrays):
+    - ``("fixed", docids, unit)`` — integer unit contributions added
+      straight into the accumulator (quantized impacts, termcount);
+    - ``("float", docids, rsv)`` — raw double rsv per posting;
+      :func:`_per_query_contrib` applies the postscalar + fixed-point
+      step ``1 + trunc(100 * post * rsv)``;
+    - ``("lmd", docids, A, B)`` — query-length-dependent LM-Dirichlet,
+      rsv = A − n·B with n = query term count;
+    - ``("lmds", docids, rsv, rsv_prior, cf)`` — LMDS, whose document
+      prior is folded into the FIRST accumulated hit of each doc
+      (ranking_function_lmds.c:110-115 ``is_zero_rsv``): ``rsv_prior``
+      is the first-hit value (needs the per-query length scaling at
+      accumulation time), ``cf`` orders terms (ascending collection
+      frequency — the reference's processing order,
+      atire_api.c:961-968);
+    - ``None`` — the term is skipped entirely.
 
-    Rankers (reference ranking_function_factory.c slots):
-    - ``bm25``      fixed-point TaaT (ranking_function_bm25.c:76-130 +
-      search_engine_accumulator.h:76); df==N contributes nothing
-      (bm25.c:91-92);
+    Rankers (reference ranking_function_factory.c:38-71 slots):
+    - ``bm25``      ranking_function_bm25.c:76-130, k1=0.9 b=0.4,
+      float32 length prior, df==N contributes nothing (bm25.c:91-92);
     - ``termcount`` boolean-OR: one point per matching term;
-    - ``inner``     TF·IDF inner product: rsv = tf·idf²/100 — the /100
-      keeps the integer accumulators from blowing out
-      (ranking_function_inner_product.c), no df==N skip;
-    - ``lmd``       LM with Dirichlet smoothing u=6750:
-      rsv = ln(1 + (tf/u)·(len_C/cf_t)) − n·ln(1 + len_d/u)
-      (ranking_function_lmd.c).
+    - ``inner``     TF·IDF inner product: rsv = tf·idf²/100
+      (ranking_function_inner_product.c);
+    - ``lmd``       LM Dirichlet u=6750 (ranking_function_lmd.c);
+    - ``lmds``      LM Dirichlet, Petri/Culpepper/Moffat form, u=2500
+      (ranking_function_lmds.c);
+    - ``lmjm``      LM Jelinek-Mercer λ=0.5 (ranking_function_lmjm.c):
+      rsv = ln(1 + ((1−λ)/λ)·(tf/len_d)·(len_C/cf));
+    - ``bm25l``     Lv & Zhai SIGIR'11 (ranking_function_bm25l.c),
+      δ=0.5: c' = tf/(1−b+b·len/avg), rsv = idf·(k1+1)(c'+δ)/(k1+c'+δ);
+    - ``bm25plus``  Lv & Zhai CIKM'11 (ranking_function_bm25plus.c),
+      δ=1: rsv = idf·((k1+1)tf/(k1·(1−b+b·len/avg)+tf) + δ);
+    - ``dph``       DPH divergence (ranking_function_dph.c): f=tf/len,
+      norm=(1−f)²/(tf+1), rsv = norm·(tf·log2((tf·avg/len)·(N/cf)) +
+      0.5·log2(2π·tf·(1−f)));
+    - ``dlh13``     DLH13 as Terrier computes it
+      (ranking_function_dlh13.c:94-96): rsv = (tf·log2((tf·avg/len)·
+      (N/cf)) + 0.5·log2(2π·tf·(1−tf/len)))/(tf+0.5).
+    For dph/dlh13 a posting with tf == len_d makes log2(0) → −inf and
+    the reference's cast to short is undefined C; we define such
+    postings to contribute nothing and mirror that in the SQL oracle.
     On a quantized index the impact IS the score, added directly
     (add_rsv(long)); other rankers are rejected upstream — the
     reference refuses to change ranker on a quantized index
@@ -104,26 +157,64 @@ def _segment_contrib(
         return "fixed", docids, impacts.astype(np.int64)
     if ranker == "termcount":
         return "fixed", docids, np.ones(docids.size, dtype=np.int64)
+    tf_d = impacts.astype(np.float64)
+    len_d = lens.astype(np.float64)
     if ranker == "inner":
         idf2 = float(np.log(np.float64(n_docs) / np.float64(int(row.df))))
-        tf_d = impacts.astype(np.float64)
-        score = (tf_d * idf2 * idf2) / 100.0  # exact reference op order
-        return "fixed", docids, 1 + (score * 100.0).astype(np.int64)
+        return "float", docids, (tf_d * idf2 * idf2) / 100.0
     if ranker == "lmd":
-        tf_d = impacts.astype(np.float64)
         lenc_over_cf = np.float64(coll_len) / np.float64(int(row.cf))
         a = np.log(1.0 + (tf_d / LMD_U) * lenc_over_cf)
-        bb = np.log(1.0 + lens.astype(np.float64) / LMD_U)
+        bb = np.log(1.0 + len_d / LMD_U)
         return "lmd", docids, a, bb
+    if ranker == "lmds":
+        idfc = np.float64(coll_len) / np.float64(int(row.cf))
+        rsv = 1.0 * np.log((tf_d / LMDS_U) * idfc + 1.0)
+        # first-hit variant: rsv + |q|·ln(u/(len+u)); |q| applied at
+        # accumulation time, so ship the per-doc prior term
+        prior = np.log(LMDS_U / (len_d + LMDS_U))
+        return "lmds", docids, rsv, prior, int(row.cf)
+    if ranker == "lmjm":
+        oml = (1.0 - LMJM_LAMBDA) / LMJM_LAMBDA
+        idfc = np.float64(coll_len) / np.float64(int(row.cf))
+        return "float", docids, np.log(1.0 + oml * (tf_d / len_d) * idfc)
+    if ranker == "bm25l":
+        idfl = float(np.log(np.float64(n_docs) / np.float64(int(row.df))))
+        c_prime = tf_d / (1.0 - b + b * (len_d / mean_len))
+        f_prime = ((k1 + 1.0) * (c_prime + BM25L_DELTA)) / (
+            k1 + c_prime + BM25L_DELTA
+        )
+        return "float", docids, f_prime * idfl
+    if ranker == "bm25plus":
+        idfp = float(np.log(np.float64(n_docs) / np.float64(int(row.df))))
+        rsv = idfp * (
+            ((k1 + 1.0) * tf_d)
+            / (k1 * (1.0 - b + b * (len_d / mean_len)) + tf_d)
+            + BM25PLUS_DELTA
+        )
+        return "float", docids, rsv
+    if ranker in ("dph", "dlh13"):
+        cf_d = np.float64(int(row.cf))
+        ok = tf_d < len_d  # (1-f) > 0; == makes log2(0), C UB — skip
+        f = tf_d / len_d
+        with np.errstate(divide="ignore", invalid="ignore"):
+            core = tf_d * _log2((tf_d * mean_len / len_d) * (n_docs / cf_d)) + (
+                0.5 * _log2(2.0 * np.pi * tf_d * (1.0 - f))
+            )
+            if ranker == "dph":
+                norm = (1.0 - f) * (1.0 - f) / (tf_d + 1.0)
+                rsv = 1.0 * norm * core
+            else:
+                rsv = 1.0 * core / (tf_d + 0.5)
+        return "float", docids[ok], rsv[ok]
     if idf == 0.0:
         # conjunctive bm25 with a universal term: required hit, 0 score
         return "fixed", docids, np.zeros(docids.size, dtype=np.int64)
     priors = (
-        k1 * ((1.0 - b) + b * (lens.astype(np.float64) / mean_len))
+        k1 * ((1.0 - b) + b * (len_d / mean_len))
     ).astype(np.float32)
-    tf_d = impacts.astype(np.float64)
     rsv = idf * ((tf_d * (k1 + 1.0)) / (tf_d + priors.astype(np.float64)))
-    return "fixed", docids, 1 + (rsv * 100.0).astype(np.int64)
+    return "float", docids, rsv
 
 
 def parse_query(text: str) -> list[tuple[str, int]]:
@@ -138,7 +229,15 @@ def parse_query(text: str) -> list[tuple[str, int]]:
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index: IndexTables, cache: bool = True):
+    def __init__(self, spark: SparkSession, index: IndexTables, cache: bool = False):
+        """``cache=False`` (default) leaves the postings scan on
+        storage so the pushed-down term ``isin`` filter prunes
+        parquet/Iceberg files — at 10^12 docs the postings table cannot
+        fit in cluster memory, and an InMemoryTableScan filters cached
+        batches instead of skipping files. ``cache=True`` is the
+        reference's -M in-memory index mode (search_engine.c:52-55) →
+        executor block-manager cache; only sensible when the whole
+        index fits."""
         self.spark = spark
         self.index = index
         row = index.stats.collect()[0].asDict()
@@ -149,8 +248,6 @@ class SearchEngine:
         self.quant_bits = int(row.get("quant_bits", 0) or 0)
         self.postings = index.postings
         if cache:
-            # the reference's -M in-memory index mode
-            # (search_engine.c:52-55) → executor block-manager cache
             self.postings = self.postings.cache()
 
     # ------------------------------------------------------------------
@@ -164,6 +261,7 @@ class SearchEngine:
         ranker: str = "bm25",
         conjunctive: bool = False,
         grouped: bool = True,
+        parsed_terms: dict[int, list[tuple[str, int, float]]] | None = None,
     ) -> DataFrame:
         """Run a batch of (query_id, text) → top-k DataFrame.
 
@@ -171,39 +269,46 @@ class SearchEngine:
         fixed-point accumulator scaled back to a display double, the
         rank-identical comparable is rsv_fixed).
 
-        ``ranker``:
-        - ``"bm25"`` — the default BM25 fixed-point scorer;
-        - ``"termcount"`` — the reference's term-count / boolean-OR
-          ranking function: rsv = number of matching query terms;
-        - ``"inner"`` — TF·IDF inner product
-          (ranking_function_inner_product.c);
-        - ``"lmd"`` — language model with Dirichlet smoothing, u=6750
-          (ranking_function_lmd.c).
-        A quantized index only supports its baked-in scores — the
-        reference refuses other rankers there (atire_api.c:472-478).
+        ``ranker`` (reference ranking_function_factory.c:38-71):
+        ``bm25`` (default), ``termcount``, ``inner``, ``lmd``,
+        ``lmds``, ``lmjm``, ``bm25l``, ``bm25plus``, ``dph``,
+        ``dlh13`` — formulas in :func:`_segment_contrib`. A quantized
+        index only supports its baked-in scores — the reference
+        refuses other rankers there (atire_api.c:472-478).
 
         ``conjunctive=True`` is the reference's "allterms" mode
         (search_engine.c:1491-1511): only documents containing *every*
         distinct query term survive, ranked by the chosen scorer.
+
+        ``parsed_terms`` overrides query parsing: {query_id: [(term,
+        multiplicity, postscalar)]} — the relevance-feedback path
+        passes expansion terms with their KL score as the postscalar
+        (atire_api.c:1334-1336); normal queries parse from text with
+        postscalar 1.
         """
         if self.quantized and ranker != "bm25":
             raise ValueError(
                 "cannot set ranking function: the index is quantized "
                 "(atire_api.c:477)"
             )
+        if ranker == "lmds" and not grouped:
+            raise ValueError("lmds requires the grouped (default) path")
         # query plan: the term set is a pushed-down isin filter on the
-        # (cached) postings scan — no per-query DataFrame, no broadcast
+        # postings scan — no per-query DataFrame, no broadcast
         # exchange; each matched segment is decoded once and fans out
         # to every query that contains its term via a closure map
-        qmap: dict[str, list[tuple[int, int]]] = {}
+        qmap: dict[str, list[tuple[int, int, float]]] = {}
         n_terms_per_q: dict[int, int] = {}
         nq: dict[int, float] = {}  # LM term count per query (chain length)
         for qid, text in queries:
-            parsed = parse_query(text)
+            if parsed_terms is not None:
+                parsed = parsed_terms.get(qid, [])
+            else:
+                parsed = [(t, w, 1.0) for t, w in parse_query(text)]
             n_terms_per_q[qid] = len(parsed)
-            nq[qid] = float(sum(w for _, w in parsed))
-            for term, weight in parsed:
-                qmap.setdefault(term, []).append((qid, weight))
+            nq[qid] = float(sum(w for _, w, _ in parsed))
+            for term, weight, post in parsed:
+                qmap.setdefault(term, []).append((qid, weight, post))
         if not qmap:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
 
@@ -232,8 +337,8 @@ class SearchEngine:
                     )
                     if dec is None:
                         continue  # df == N contributes nothing (bm25.c:91-92)
-                    for qid, weight in qmap[row.term]:
-                        docids, contrib = _per_query_contrib(dec, nq[qid])
+                    for qid, weight, post in qmap[row.term]:
+                        docids, contrib = _per_query_contrib(dec, nq[qid], post)
                         out_qid.append(np.full(docids.size, qid, dtype=np.int64))
                         out_doc.append(docids)
                         out_contrib.append(contrib * weight)
@@ -296,7 +401,7 @@ class SearchEngine:
     def _search_grouped(
         self,
         hits: DataFrame,
-        qmap: dict[str, list[tuple[int, int]]],
+        qmap: dict[str, list[tuple[int, int, float]]],
         nq: dict[int, float],
         n_terms_per_q: dict[int, int],
         k: int,
@@ -325,6 +430,10 @@ class SearchEngine:
             docs: list[np.ndarray] = []
             contribs: list[np.ndarray] = []
             hit_flags: list[np.ndarray] = []
+            lmds = ranker == "lmds"
+            adjs: list[np.ndarray] = []  # lmds first-hit prior adjustment
+            cfs: list[np.ndarray] = []  # lmds term order: cf asc, term asc
+            terms_: list[np.ndarray] = []
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
                     dec = _segment_contrib(
@@ -333,11 +442,29 @@ class SearchEngine:
                     )
                     if dec is None:
                         continue
-                    for qid, weight in qmap[row.term]:
-                        docids, contrib = _per_query_contrib(dec, nq[qid])
+                    for qid, weight, post in qmap[row.term]:
+                        if lmds:
+                            _, docids, rsv, prior, cf = dec
+                            unit = 1 + ((rsv * post) * 100.0).astype(np.int64)
+                            rsv_p = (rsv + nq[qid] * prior)
+                            unit_p = 1 + ((rsv_p * post) * 100.0).astype(np.int64)
+                            # weight-fold: the first OCCURRENCE carries
+                            # the prior, the remaining w-1 add plain rsv
+                            # contrib assumes this row is the doc's
+                            # first term; adj undoes that if it isn't
+                            contribs.append(unit_p + (weight - 1) * unit)
+                            adjs.append(unit - unit_p)
+                            cfs.append(np.full(docids.size, cf, np.int64))
+                            terms_.append(
+                                np.full(docids.size, row.term, dtype=object)
+                            )
+                        else:
+                            docids, contrib = _per_query_contrib(
+                                dec, nq[qid], post
+                            )
+                            contribs.append(contrib * weight)
                         qids.append(np.full(docids.size, qid, dtype=np.int64))
                         docs.append(docids)
-                        contribs.append(contrib * weight)
                         hit_flags.append(np.ones(docids.size, dtype=np.int64))
             if not qids:
                 return
@@ -349,6 +476,24 @@ class SearchEngine:
                     "hit": np.concatenate(hit_flags),
                 }
             )
+            if lmds:
+                # every row's contrib includes the doc prior; all but
+                # the first term (cf asc, term asc — the reference's
+                # ascending-cf processing order, atire_api.c:961-968)
+                # must take it back out via adj
+                acc["adj"] = np.concatenate(adjs)
+                acc["cf"] = np.concatenate(cfs)
+                acc["term"] = np.concatenate(terms_)
+                acc = acc.sort_values(
+                    ["query_id", "docid", "cf", "term"], kind="stable"
+                ).reset_index(drop=True)
+                first = (
+                    acc.groupby(["query_id", "docid"], sort=False)
+                    .cumcount()
+                    .eq(0)
+                )
+                acc.loc[first, "adj"] = 0
+                acc["contrib"] = acc["contrib"] + acc["adj"]
             agg = (
                 acc.groupby(["query_id", "docid"], sort=False)
                 .agg(rsv_fixed=("contrib", "sum"), th=("hit", "sum"))
@@ -422,7 +567,7 @@ class SearchEngine:
                     )
                     if dec is None:
                         continue  # df==N: no score AND no bits set
-                    _, docids, contrib = dec
+                    docids, contrib = _per_query_contrib(dec, 1.0)
                     for qid, leaf_idx in lmap[row.term]:
                         qids.append(np.full(docids.size, qid, dtype=np.int64))
                         docs.append(docids)
@@ -528,15 +673,26 @@ class SearchEngine:
         def part_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import heapq
 
-            per_q: dict[int, list] = {}
+            # key by (query, seg_group): every seg_group covers a
+            # bounded docid range (first_docid..last_docid, at most one
+            # segment span), so the accumulator is a dense numpy array
+            # over that range — vectorized adds via fancy indexing, no
+            # per-quantum reallocation. Keying the accumulation by the
+            # whole hash partition instead would make the docid span
+            # unbounded at scale (a partition holds many scattered
+            # groups).
+            per_q: dict[tuple[int, int], list] = {}
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
                     for qid, weight in qmap[row.term]:
-                        per_q.setdefault(qid, []).append((row, weight))
+                        per_q.setdefault((qid, int(row.seg_group)), []).append(
+                            (row, weight)
+                        )
             out = []
-            for qid, rows in per_q.items():
+            for (qid, _sg), rows in per_q.items():
                 entries = []
                 total_q = 0
+                lo, hi = None, None
                 for row, weight in rows:
                     impacts = np.asarray(row.impacts, dtype=np.int64)
                     doc_counts = np.asarray(row.doc_counts, dtype=np.int64)
@@ -550,6 +706,9 @@ class SearchEngine:
                         if idf == 0.0:
                             continue  # bm25.c:91-92
                         lens = vbyte_decode(row.doc_lens).astype(np.int64)
+                    f, l = int(row.first_docid), int(row.last_docid)
+                    lo = f if lo is None else min(lo, f)
+                    hi = l if hi is None else max(hi, l)
                     entries.append(
                         {
                             "impacts": impacts,
@@ -571,16 +730,21 @@ class SearchEngine:
                 heap = [(-e["impacts"][0], i) for i, e in enumerate(entries)]
                 heapq.heapify(heap)
                 max_remaining = int(sum(e["impacts"][0] for e in entries))
-                acc = pd.Series(dtype=np.int64)
+                # dense accumulator over the group's docid range — the
+                # reference's accumulator array sliced to this task's
+                # slice of docid space (search_engine_accumulator.h)
+                acc = np.zeros(hi - lo + 1, dtype=np.int64)
+                touched = np.zeros(hi - lo + 1, dtype=bool)
+                n_touched = 0
                 processed = 0
                 while heap:
                     if (
                         et is not None
                         and k >= 2
-                        and acc.size >= k  # heap_is_full (result.h:137)
+                        and n_touched >= k  # heap_is_full (result.h:137)
                         and max_remaining > 0
                     ):
-                        vals = acc.to_numpy()
+                        vals = acc[touched] % ACCUM_MOD  # wrapped uint16 view
                         topv = np.partition(vals, vals.size - k)[vals.size - k :]
                         topv.sort()
                         # diff between (k-1)th and kth largest
@@ -596,9 +760,9 @@ class SearchEngine:
                         int(e["bo"][g + 1]) if g + 1 < e["bo"].size else len(e["blob"])
                     )
                     deltas = vbyte_decode(e["blob"][int(e["bo"][g]) : end_b])
-                    docids = np.cumsum(deltas.astype(np.int64)) - 1
+                    idxs = np.cumsum(deltas.astype(np.int64)) - 1 - lo
                     if quantized:
-                        contrib = np.full(docids.size, impact * e["w"], dtype=np.int64)
+                        acc[idxs] += impact * e["w"]
                     else:
                         lens_g = e["lens"][s : s + c].astype(np.float64)
                         priors = (k1 * ((1.0 - b) + b * (lens_g / mean_len))).astype(
@@ -608,13 +772,13 @@ class SearchEngine:
                         rsv = e["idf"] * (
                             (tf_d * (k1 + 1.0)) / (tf_d + priors.astype(np.float64))
                         )
-                        contrib = (1 + (rsv * 100.0).astype(np.int64)) * e["w"]
-                    # uint16 accumulator wrap applies continuously
-                    acc = (
-                        acc.add(pd.Series(contrib, index=docids), fill_value=0)
-                        .astype(np.int64)
-                        .mod(ACCUM_MOD)
-                    )
+                        # docids within a quantum are unique, so a fancy-
+                        # indexed += is a correct scatter-add
+                        acc[idxs] += (1 + (rsv * 100.0).astype(np.int64)) * e["w"]
+                    fresh = ~touched[idxs]
+                    if fresh.any():
+                        touched[idxs] = True
+                        n_touched += int(fresh.sum())
                     processed += 1
                     max_remaining -= impact
                     e["g"] = g + 1
@@ -622,8 +786,8 @@ class SearchEngine:
                         nxt = int(e["impacts"][e["g"]])
                         max_remaining += nxt
                         heapq.heappush(heap, (-nxt, i))
-                vals = acc.to_numpy() % ACCUM_MOD
-                ids = acc.index.to_numpy()
+                ids = np.flatnonzero(touched) + lo
+                vals = acc[touched] % ACCUM_MOD
                 if ids.size > k:
                     order = np.lexsort((-ids, -vals))[:k]
                     ids, vals = ids[order], vals[order]
