@@ -36,6 +36,22 @@ TESTDATA_QUERIES: list[tuple[int, str]] = [
 ]
 TOP_K = 10
 
+# stemming coverage: plural/suffixed query forms that the S-stripper
+# maps onto the corpus's singular vocabulary (the synthetic corpus has
+# no suffixed terms, so index-side stemming is identity here — it is
+# certified on plural-rich fixtures in pytest; this entry certifies the
+# query-side gate + the full stemmed build/query plumbing)
+STEM_QUERIES: list[tuple[int, str]] = [
+    (1, "joins"),
+    (2, "hashes scans"),
+    (3, "queries rows"),
+    (4, "windows sorts streams"),
+    (5, "the dups"),
+    (6, "DUPS"),
+    (7, "tables groups"),
+    (8, "zzzmissings"),
+]
+
 # boolean grammar coverage (AND/OR/NOT/XOR, brackets, adjacency=OR)
 BOOLEAN_QUERIES: list[tuple[int, str]] = [
     (1, "dup AND spark"),
@@ -104,6 +120,14 @@ def _quant_engine(spark: SparkSession, sf_dir: str):
     """Quantized (-Q, 8-bit) index over the same corpus."""
     return _build_engine(
         spark, sf_dir, sf_dir.rstrip("/") + "#quant", quantize_bits=8
+    )
+
+
+def _stem_engine(spark: SparkSession, sf_dir: str):
+    """S-stripper-stemmed index (reference -ts, stem_s.c); the engine
+    picks up the recorded ~stemmer and stems query terms to match."""
+    return _build_engine(
+        spark, sf_dir, sf_dir.rstrip("/") + "#stem_s", stemmer="s"
     )
 
 
@@ -332,6 +356,138 @@ def _q_lmd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.search_batch(TESTDATA_QUERIES, k=TOP_K, ranker="lmd")
 
 
+def _q_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _stem_engine(spark, sf_dir)
+    return eng.search_batch(STEM_QUERIES, k=TOP_K)
+
+
+_SQL_STEM_DOC = """
+CASE WHEN length(term) <= 3 THEN term
+     WHEN term LIKE '%ies' THEN substr(term, 1, length(term) - 3) || 'y'
+     WHEN term LIKE '%es' THEN substr(term, 1, length(term) - 2)
+     WHEN term LIKE '%s' THEN substr(term, 1, length(term) - 1)
+     ELSE term END
+"""
+
+# query-side gate differs: length >= 3 and first char a lowercase
+# letter (search_engine.c:775-779) vs the index side's length > 3
+_SQL_STEM_QUERY = """
+CASE WHEN length(term) < 3 OR NOT substr(term, 1, 1) BETWEEN 'a' AND 'z'
+          THEN term
+     WHEN term LIKE '%ies' THEN substr(term, 1, length(term) - 3) || 'y'
+     WHEN term LIKE '%es' THEN substr(term, 1, length(term) - 2)
+     WHEN term LIKE '%s' THEN substr(term, 1, length(term) - 1)
+     ELSE term END
+"""
+
+
+def _stemmed_bm25_sql(k: int) -> str:
+    """BM25 over the S-stripper-stemmed corpus: the doc-side stem is a
+    pure-SQL CASE applied inside the toks CTE (independent of the
+    engine's Python stemmer), and the query terms are raw VALUES
+    stemmed by the query-side CASE then re-bagged."""
+    from atire_spark.query import parse_query
+
+    rows = []
+    for qid, text in STEM_QUERIES:
+        for term, weight in parse_query(text):  # RAW terms, no stem
+            rows.append(f"({qid}, '{term}', {weight})")
+    values = ",\n       ".join(rows)
+    stemmed_cte = f"""
+corpus AS (
+  SELECT doc_id,
+         'conv' || lpad(CAST(doc_id // 8 AS VARCHAR), 12, '0') AS conv_id,
+         CAST(doc_id % 8 AS INTEGER) AS turn_idx,
+         text
+  FROM documents
+),
+rawtoks AS (
+  SELECT doc_id, conv_id, turn_idx,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS term
+  FROM corpus
+),
+toks AS (
+  SELECT doc_id, conv_id, turn_idx, {_SQL_STEM_DOC} AS term
+  FROM rawtoks
+),
+doclen AS (
+  SELECT doc_id, conv_id, turn_idx, CAST(count(*) AS BIGINT) AS doc_len
+  FROM toks GROUP BY doc_id, conv_id, turn_idx
+),
+docmap AS (
+  SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS docid,
+         doc_id, conv_id, turn_idx, doc_len
+  FROM doclen
+),
+tf AS (
+  SELECT d.docid, t.term,
+         CAST(least(count(*), 255) AS INTEGER) AS tf,
+         CAST(count(*) AS BIGINT) AS occurrences
+  FROM toks t JOIN docmap d USING (doc_id)
+  GROUP BY d.docid, t.term
+),
+termstats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(occurrences) AS BIGINT) AS cf,
+         CAST(max(tf) AS INTEGER) AS max_impact
+  FROM tf GROUP BY term
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(doc_len) AS BIGINT) AS coll_len,
+         CAST(sum(doc_len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_len
+  FROM docmap
+)"""
+    return f"""
+WITH {stemmed_cte},
+qraw(query_id, term, weight) AS (
+  VALUES {values}
+),
+q AS (
+  SELECT query_id, term, CAST(sum(weight) AS BIGINT) AS weight
+  FROM (SELECT query_id, {_SQL_STEM_QUERY} AS term, weight FROM qraw)
+  GROUP BY query_id, term
+),
+scored AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, t.docid,
+         CASE WHEN ts.df = s.n_docs THEN CAST(0 AS BIGINT)
+              ELSE CAST(q.weight AS BIGINT) * (1 + CAST(trunc(
+                100.0 * ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE))
+                      * ((CAST(t.tf AS DOUBLE) * (0.9 + 1.0))
+                         / (CAST(t.tf AS DOUBLE)
+                            + CAST(CAST(0.9 * ((1.0 - 0.4)
+                                + 0.4 * (CAST(d.doc_len AS DOUBLE) / s.mean_len))
+                              AS REAL) AS DOUBLE)))) AS BIGINT))
+         END AS contrib,
+         CASE WHEN ts.df = s.n_docs THEN 0 ELSE 1 END AS is_hit
+  FROM q
+  JOIN termstats ts USING (term)
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  CROSS JOIN stats s
+),
+acc AS (
+  SELECT query_id, docid,
+         CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  FROM scored
+  WHERE is_hit = 1 OR contrib <> 0
+  GROUP BY query_id, docid
+  HAVING sum(is_hit) > 0
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM acc
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _mk_ranker_query(ranker: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng = _engine(spark, sf_dir)
@@ -510,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "termcount_topk": _q_termcount,
         "inner_product_topk": _q_inner_product,
         "lmd_topk": _q_lmd,
+        "bm25_stemmed_topk": _q_bm25_stemmed,
         "bm25l_topk": _mk_ranker_query("bm25l"),
         "bm25plus_topk": _mk_ranker_query("bm25plus"),
         "lmds_topk": _mk_ranker_query("lmds"),
@@ -583,6 +740,9 @@ SELECT term, docid, tf FROM tf
             ),
             extra_join="JOIN qn ON qn.query_id = q.query_id",
         ),
+        # S-stripper-stemmed index (stem_s.c; ~stemmer recorded,
+        # query terms stemmed by the query-side gate)
+        "bm25_stemmed_topk": _stemmed_bm25_sql(TOP_K),
         # BM25L δ=0.5 (ranking_function_bm25l.c; Lv & Zhai SIGIR'11):
         # c' = tf/(1-b+b·len/avg); rsv = ((k1+1)(c'+δ)/(k1+c'+δ))·idf
         "bm25l_topk": _ranker_sql(

@@ -74,12 +74,19 @@ class IndexTables:
 
 
 # ----------------------------------------------------------- tokenize
-def tokenize_stage(transcripts: DataFrame) -> DataFrame:
+def tokenize_stage(transcripts: DataFrame, stemmer: str | None = None) -> DataFrame:
     """Per-turn tokenization + per-doc term counts, one Arrow pass.
 
     Output: one row per turn with (terms[], tfs[]) already aggregated
     per document (the reference's memory_index_one per-doc hash) and
     doc_len = surviving WORD+NUMBER token count.
+
+    ``stemmer`` ("s" | "porter" | None) applies index-side stemming
+    (index_document.c:103-111: words > 3 chars only, numbers raw) to
+    the batch *vocabulary* — one Python stem call per distinct term
+    per batch, then a vectorized code remap; tf/cf then count stems.
+    doc_len counts pre-stem tokens (terms_in_document is incremented
+    before stemming, index_document.c:85-111).
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -98,6 +105,14 @@ def tokenize_stage(transcripts: DataFrame) -> DataFrame:
                 # per-doc hash (memory_index_one.c) without the hash.
                 row_idx = flat.index.to_numpy(dtype=np.int64)
                 codes, uniq = pd.factorize(flat.to_numpy())
+                if stemmer is not None:
+                    from atire_spark.kernels.stem import stem_unique
+
+                    stemmed = stem_unique(
+                        np.asarray(uniq, dtype=object), stemmer
+                    )
+                    codes2, uniq = pd.factorize(stemmed)
+                    codes = codes2[codes]
                 uniq = np.asarray(uniq, dtype=object)
                 nu = len(uniq)
                 key = row_idx * nu + codes
@@ -595,6 +610,7 @@ def build_index(
     blocks_per_seg: int = 1,
     quantize_bits: int | None = None,
     stage_dir: str | None = None,
+    stemmer: str | None = None,
 ) -> IndexTables:
     """Full build. Returns lazily-evaluated DataFrames; call
     :func:`write_index` to materialize.
@@ -614,12 +630,19 @@ def build_index(
     stats row records (quantized, quant_bits, quant_min, quant_max) —
     the reference's ``~quantized``/``~quantmax``/``~quantmin`` index
     variables (memory_index.c:1562-1580).
+
+    ``stemmer`` ("s" | "porter") stems at index time and records the
+    stemmer name in the stats row — the reference's ``~stemmer`` index
+    variable (memory_index.c:1487-1521); SearchEngine reads it and
+    stems query terms with the same stemmer (search_engine.c:775-779).
     """
     import tempfile
 
+    if stemmer is not None and stemmer not in ("s", "porter"):
+        raise ValueError(f"unknown stemmer {stemmer!r} (use 's' or 'porter')")
     if stage_dir is None:
         stage_dir = tempfile.mkdtemp(prefix="atire_stage_")
-    tokenized = tokenize_stage(transcripts)
+    tokenized = tokenize_stage(transcripts, stemmer=stemmer)
     staged, offsets, n_total = _stage_sorted(
         tokenized, f"{stage_dir}/tokenized_sorted"
     )
@@ -650,6 +673,7 @@ def build_index(
                 F.lit(0).alias("quant_bits"),
                 F.lit(0.0).alias("quant_min"),
                 F.lit(0.0).alias("quant_max"),
+                F.lit(stemmer or "").alias("stemmer"),  # ~stemmer
             )
         )
         return IndexTables(
@@ -675,6 +699,7 @@ def build_index(
         F.lit(quantize_bits).alias("quant_bits"),
         F.lit(qmin).alias("quant_min"),
         F.lit(qmax).alias("quant_max"),
+        F.lit(stemmer or "").alias("stemmer"),  # ~stemmer
     )
     return IndexTables(
         docmap=docmap, postings=postings, stats=stats, cached=registry

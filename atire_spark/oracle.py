@@ -42,6 +42,7 @@ class OracleIndex:
     doc_lens: np.ndarray  # int64 per docid
     postings: dict[str, tuple[np.ndarray, np.ndarray]]  # term -> (docids asc, tfs)
     docmap: pd.DataFrame  # docid, conv_id, turn_idx, doc_len
+    stemmer: str | None = None  # the index's ~stemmer
     priors: np.ndarray = field(init=False)  # float32 per docid
 
     def __post_init__(self) -> None:
@@ -52,8 +53,15 @@ class OracleIndex:
 
     # ------------------------------------------------------------------
     @classmethod
-    def build(cls, transcripts: pd.DataFrame) -> "OracleIndex":
-        """Build from a pandas transcripts frame (conv_id, turn_idx, text)."""
+    def build(
+        cls, transcripts: pd.DataFrame, stemmer: str | None = None
+    ) -> "OracleIndex":
+        """Build from a pandas transcripts frame (conv_id, turn_idx,
+        text); ``stemmer`` applies the index-side gate
+        (index_document.c:103-111) per token — doc_len counts pre-stem
+        tokens."""
+        from atire_spark.kernels.stem import index_stem
+
         df = transcripts.sort_values(["conv_id", "turn_idx"], kind="mergesort")
         docid = 0
         doc_lens: list[int] = []
@@ -65,6 +73,8 @@ class OracleIndex:
             toks = tokenize(text)
             if not toks:
                 continue  # empty doc: no docid consumed
+            if stemmer is not None:
+                toks = [index_stem(t, stemmer) for t in toks]
             for term, tf in Counter(toks).items():
                 lst = post.setdefault(term, ([], []))
                 lst[0].append(docid)
@@ -88,6 +98,7 @@ class OracleIndex:
             doc_lens=lens,
             postings=postings,
             docmap=docmap,
+            stemmer=stemmer,
         )
 
     # ------------------------------------------------------------------
@@ -196,7 +207,9 @@ class OracleIndex:
     # ------------------------------------------------------------------
     def search(self, query: str, k: int = 10) -> pd.DataFrame:
         """BM25 top-k → DataFrame(rank, docid, rsv_fixed)."""
-        terms = tokenize(query)
+        from atire_spark.kernels.stem import query_stem
+
+        terms = [query_stem(t, self.stemmer) for t in tokenize(query)]
         acc = np.zeros(self.n_docs, dtype=np.int64)
         touched = np.zeros(self.n_docs, dtype=bool)
         for term in terms:  # one pass per occurrence, like the reference

@@ -217,19 +217,37 @@ def _segment_contrib(
     return "float", docids, rsv
 
 
-def parse_query(text: str) -> list[tuple[str, int]]:
+def parse_query(text: str, stemmer: str | None = None) -> list[tuple[str, int]]:
     """Query string → [(term, multiplicity)].
 
     The reference parses queries with the same tokenizer as documents
     (NEXI CO grammar, source/nexi.c:434-505; phrases degrade to bags
     because the index stores no positions) and scores a repeated term
     once per occurrence.
+
+    ``stemmer`` applies the query-side stemming gate
+    (search_engine.c:775-779) to each token before bagging — two query
+    terms sharing a stem merge into one entry with multiplicity 2,
+    which adds the identical per-occurrence contribution the reference
+    adds processing them separately.
     """
-    return list(Counter(tokenize(text)).items())
+    if stemmer is None:
+        return list(Counter(tokenize(text)).items())
+    from atire_spark.kernels.stem import query_stem
+
+    return list(
+        Counter(query_stem(t, stemmer) for t in tokenize(text)).items()
+    )
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index: IndexTables, cache: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index: IndexTables,
+        cache: bool = False,
+        stemmer: str | None = "auto",
+    ):
         """``cache=False`` (default) leaves the postings scan on
         storage so the pushed-down term ``isin`` filter prunes
         parquet/Iceberg files — at 10^12 docs the postings table cannot
@@ -237,7 +255,13 @@ class SearchEngine:
         batches instead of skipping files. ``cache=True`` is the
         reference's -M in-memory index mode (search_engine.c:52-55) →
         executor block-manager cache; only sensible when the whole
-        index fits."""
+        index fits.
+
+        ``stemmer="auto"`` follows the index's recorded ``~stemmer``
+        (memory_index.c:1487-1521); passing an explicit stemmer that
+        differs from the index's is rejected — querying a stemmed
+        index with the wrong stemmer silently misses terms in the
+        reference, we refuse instead."""
         self.spark = spark
         self.index = index
         row = index.stats.collect()[0].asDict()
@@ -246,6 +270,16 @@ class SearchEngine:
         self.mean_doc_len = float(row["mean_doc_len"])
         self.quantized = bool(row.get("quantized", 0))
         self.quant_bits = int(row.get("quant_bits", 0) or 0)
+        index_stemmer = row.get("stemmer") or None
+        if stemmer == "auto":
+            self.stemmer = index_stemmer
+        elif stemmer != index_stemmer:
+            raise ValueError(
+                f"index was built with stemmer {index_stemmer!r}, query "
+                f"requested {stemmer!r} (~stemmer mismatch)"
+            )
+        else:
+            self.stemmer = stemmer
         self.postings = index.postings
         if cache:
             self.postings = self.postings.cache()
@@ -304,7 +338,9 @@ class SearchEngine:
             if parsed_terms is not None:
                 parsed = parsed_terms.get(qid, [])
             else:
-                parsed = [(t, w, 1.0) for t, w in parse_query(text)]
+                parsed = [
+                    (t, w, 1.0) for t, w in parse_query(text, self.stemmer)
+                ]
             n_terms_per_q[qid] = len(parsed)
             nq[qid] = float(sum(w for _, w, _ in parsed))
             for term, weight, post in parsed:
@@ -536,6 +572,8 @@ class SearchEngine:
         """
         from atire_spark.boolean import assign_leaf_indexes, eval_tree, parse_boolean
 
+        from atire_spark.kernels.stem import query_stem
+
         trees: dict[int, object] = {}
         # term → [(query_id, leaf_idx)]: one entry PER LEAF — a term
         # repeated in two leaves is scored once per leaf
@@ -548,7 +586,11 @@ class SearchEngine:
             leaves = assign_leaf_indexes(tree)
             trees[qid] = tree
             for leaf in leaves:
-                lmap.setdefault(leaf.term, []).append((qid, leaf.idx))
+                # boolean leaf terms take the same query-side stemming
+                # gate as NEXI terms (process_one_term path)
+                lmap.setdefault(query_stem(leaf.term, self.stemmer), []).append(
+                    (qid, leaf.idx)
+                )
         if not lmap:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         hits = self.postings.filter(F.col("term").isin(list(lmap)))
@@ -658,7 +700,7 @@ class SearchEngine:
             early_termination = None  # reference resets + warns
         qmap: dict[str, list[tuple[int, int]]] = {}
         for qid, text in queries:
-            for term, weight in parse_query(text):
+            for term, weight in parse_query(text, self.stemmer):
                 qmap.setdefault(term, []).append((qid, weight))
         if not qmap:
             empty = self.spark.createDataFrame([], RESULT_SCHEMA)
