@@ -131,6 +131,32 @@ def _stem_engine(spark: SparkSession, sf_dir: str):
     )
 
 
+def _stop_engine(spark: SparkSession, sf_dir: str):
+    """NCBI-stopped index (PRUNE_STOPWORDS_BEFORE_INDEXING): stop
+    tokens still count toward doc length but get no postings."""
+    return _build_engine(
+        spark,
+        sf_dir,
+        sf_dir.rstrip("/") + "#stop_ncbi",
+        stop_before_indexing="ncbi",
+    )
+
+
+def _cull_engine(spark: SparkSession, sf_dir: str):
+    """Serialise-time culling (should_prune, all four predicate
+    classes): cf==1 singletons, rare terms (df <= 30), very frequent
+    terms (df/N >= 0.78), and NCBI stop-list members dropped."""
+    return _build_engine(
+        spark,
+        sf_dir,
+        sf_dir.rstrip("/") + "#cull",
+        cull_cf_singletons=True,
+        cull_df_max=30,
+        cull_df_proportion=0.78,
+        cull_stoplist="ncbi",
+    )
+
+
 # ---------------------------------------------------------------------------
 # shared SQL oracle scaffolding (DuckDB dialect of ANSI SQL)
 _CORPUS_CTE = """
@@ -488,6 +514,85 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _q_bm25_stopped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _stop_engine(spark, sf_dir)
+    return eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
+
+
+def _q_term_culling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _cull_engine(spark, sf_dir)
+    return (
+        eng.index.postings.groupBy("term", "df", "cf")
+        .agg(F.max("max_impact").alias("max_impact"))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+            F.col("max_impact").cast("int").alias("max_impact"),
+        )
+    )
+
+
+def _stop_values_sql() -> str:
+    """The NCBI stop list as a quoted IN-list for the oracle."""
+    from atire_spark.kernels.stopwords import NCBI_STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(NCBI_STOPWORDS) if "'" not in w)
+
+
+def _stopped_bm25_sql(k: int) -> str:
+    """BM25 over the NCBI-stopped index: doc lengths count every
+    token (terms_in_document++ precedes the stop check,
+    index_document.c:61,100), postings exist only for non-stop terms."""
+    return f"""
+WITH {_CORPUS_CTE.replace("tf AS (", f'''stoppedtoks AS (
+  SELECT * FROM toks WHERE term NOT IN ({_stop_values_sql()})
+),
+tf AS (''').replace("FROM toks t JOIN docmap d USING (doc_id)",
+                    "FROM stoppedtoks t JOIN docmap d USING (doc_id)")},
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+),
+scored AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, t.docid,
+         CASE WHEN ts.df = s.n_docs THEN CAST(0 AS BIGINT)
+              ELSE CAST(q.weight AS BIGINT) * (1 + CAST(trunc(
+                100.0 * ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE))
+                      * ((CAST(t.tf AS DOUBLE) * (0.9 + 1.0))
+                         / (CAST(t.tf AS DOUBLE)
+                            + CAST(CAST(0.9 * ((1.0 - 0.4)
+                                + 0.4 * (CAST(d.doc_len AS DOUBLE) / s.mean_len))
+                              AS REAL) AS DOUBLE)))) AS BIGINT))
+         END AS contrib,
+         CASE WHEN ts.df = s.n_docs THEN 0 ELSE 1 END AS is_hit
+  FROM q
+  JOIN termstats ts USING (term)
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  CROSS JOIN stats s
+),
+acc AS (
+  SELECT query_id, docid,
+         CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  FROM scored
+  WHERE is_hit = 1 OR contrib <> 0
+  GROUP BY query_id, docid
+  HAVING sum(is_hit) > 0
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM acc
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _mk_ranker_query(ranker: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng = _engine(spark, sf_dir)
@@ -667,6 +772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inner_product_topk": _q_inner_product,
         "lmd_topk": _q_lmd,
         "bm25_stemmed_topk": _q_bm25_stemmed,
+        "bm25_stopped_topk": _q_bm25_stopped,
+        "term_culling_stats": _q_term_culling,
         "bm25l_topk": _mk_ranker_query("bm25l"),
         "bm25plus_topk": _mk_ranker_query("bm25plus"),
         "lmds_topk": _mk_ranker_query("lmds"),
@@ -743,6 +850,19 @@ SELECT term, docid, tf FROM tf
         # S-stripper-stemmed index (stem_s.c; ~stemmer recorded,
         # query terms stemmed by the query-side gate)
         "bm25_stemmed_topk": _stemmed_bm25_sql(TOP_K),
+        # NCBI stop-before-indexing (index_document.c:100-101)
+        "bm25_stopped_topk": _stopped_bm25_sql(TOP_K),
+        # serialise-time culling (should_prune, memory_index.c:782-798):
+        # surviving dictionary = no predicate fired
+        "term_culling_stats": f"""
+WITH {_CORPUS_CTE}
+SELECT term, df, cf, max_impact
+FROM termstats CROSS JOIN stats
+WHERE NOT (cf = 1
+           OR df <= 30
+           OR CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE) >= 0.78
+           OR term IN ({_stop_values_sql()}))
+""",
         # BM25L δ=0.5 (ranking_function_bm25l.c; Lv & Zhai SIGIR'11):
         # c' = tf/(1-b+b·len/avg); rsv = ((k1+1)(c'+δ)/(k1+c'+δ))·idf
         "bm25l_topk": _ranker_sql(

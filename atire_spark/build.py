@@ -74,7 +74,11 @@ class IndexTables:
 
 
 # ----------------------------------------------------------- tokenize
-def tokenize_stage(transcripts: DataFrame, stemmer: str | None = None) -> DataFrame:
+def tokenize_stage(
+    transcripts: DataFrame,
+    stemmer: str | None = None,
+    stop_before_indexing: str | None = None,
+) -> DataFrame:
     """Per-turn tokenization + per-doc term counts, one Arrow pass.
 
     Output: one row per turn with (terms[], tfs[]) already aggregated
@@ -87,7 +91,18 @@ def tokenize_stage(transcripts: DataFrame, stemmer: str | None = None) -> DataFr
     per batch, then a vectorized code remap; tf/cf then count stems.
     doc_len counts pre-stem tokens (terms_in_document is incremented
     before stemming, index_document.c:85-111).
+
+    ``stop_before_indexing`` ("ncbi" | "puurula") is the reference's
+    PRUNE_STOPWORDS_BEFORE_INDEXING mode (index_document.c:100-101):
+    stopped tokens get no postings but STILL count toward the document
+    length (terms_in_document++ precedes the stop check), and the stop
+    check runs on the normalized token BEFORE stemming.
     """
+    stops = None
+    if stop_before_indexing is not None:
+        from atire_spark.kernels.stopwords import stop_set
+
+        stops = stop_set(stop_before_indexing)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -95,6 +110,10 @@ def tokenize_stage(transcripts: DataFrame, stemmer: str | None = None) -> DataFr
             n = len(pdf)
             toks, lens = tokenize_batch(pdf["text"])
             flat = toks.explode().dropna()
+            if stops is not None and not flat.empty:
+                # length already counted; drop stops from the posting
+                # stream only (vectorized membership on the batch)
+                flat = flat[~flat.isin(stops)]
             terms: list = [[] for _ in range(n)]
             tfs: list = [[] for _ in range(n)]
             occs: list = [[] for _ in range(n)]
@@ -603,6 +622,41 @@ def _adaptive_block_bits(n_docs: int, parallelism: int) -> int:
     return max(int(target - 1).bit_length(), 10)
 
 
+def _cull_predicate(
+    n_docs: int,
+    cull_cf_singletons: bool,
+    cull_df_max: int | None,
+    cull_df_proportion: float | None,
+    cull_stoplist: str | None,
+):
+    """Serialise-time term culling (should_prune, memory_index.c:
+    782-798): a term is DROPPED when any enabled predicate fires —
+    cf == 1 (PRUNE_CF_SINGLETONS), df <= n (PRUNE_DF_SINGLETONS),
+    df/N >= p (PRUNE_DF_FREQUENTS), or stop-list membership
+    (PRUNE_NCBI_STOPLIST / PRUNE_PUURULA_STOPLIST). Returns a KEEP
+    column expression over (term, df, cf), or None if no culling."""
+    preds = []
+    if cull_cf_singletons:
+        preds.append(F.col("cf") == 1)
+    if cull_df_max is not None:
+        preds.append(F.col("df") <= int(cull_df_max))
+    if cull_df_proportion is not None:
+        preds.append(
+            (F.col("df").cast("double") / F.lit(float(n_docs)))
+            >= float(cull_df_proportion)
+        )
+    if cull_stoplist is not None:
+        from atire_spark.kernels.stopwords import stop_set
+
+        preds.append(F.col("term").isin(list(stop_set(cull_stoplist))))
+    if not preds:
+        return None
+    drop = preds[0]
+    for p in preds[1:]:
+        drop = drop | p
+    return ~drop
+
+
 def build_index(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -611,6 +665,11 @@ def build_index(
     quantize_bits: int | None = None,
     stage_dir: str | None = None,
     stemmer: str | None = None,
+    stop_before_indexing: str | None = None,
+    cull_cf_singletons: bool = False,
+    cull_df_max: int | None = None,
+    cull_df_proportion: float | None = None,
+    cull_stoplist: str | None = None,
 ) -> IndexTables:
     """Full build. Returns lazily-evaluated DataFrames; call
     :func:`write_index` to materialize.
@@ -635,6 +694,14 @@ def build_index(
     stemmer name in the stats row — the reference's ``~stemmer`` index
     variable (memory_index.c:1487-1521); SearchEngine reads it and
     stems query terms with the same stemmer (search_engine.c:775-779).
+
+    ``stop_before_indexing`` removes stop-list tokens before posting
+    construction (PRUNE_STOPWORDS_BEFORE_INDEXING — see
+    :func:`tokenize_stage` for the doc-length subtlety); the
+    ``cull_*`` knobs drop whole terms at serialise time
+    (should_prune, memory_index.c:782-798) — doc lengths and
+    collection stats are unaffected by culling, exactly like the
+    reference where ~length is written before the prune runs.
     """
     import tempfile
 
@@ -642,7 +709,9 @@ def build_index(
         raise ValueError(f"unknown stemmer {stemmer!r} (use 's' or 'porter')")
     if stage_dir is None:
         stage_dir = tempfile.mkdtemp(prefix="atire_stage_")
-    tokenized = tokenize_stage(transcripts, stemmer=stemmer)
+    tokenized = tokenize_stage(
+        transcripts, stemmer=stemmer, stop_before_indexing=stop_before_indexing
+    )
     staged, offsets, n_total = _stage_sorted(
         tokenized, f"{stage_dir}/tokenized_sorted"
     )
@@ -656,10 +725,23 @@ def build_index(
     stage1 = _stage1_from_staged(staged, offsets, block_bits)
 
     registry: list = []
+    keep = _cull_predicate(
+        max(n_total, 1),
+        cull_cf_singletons,
+        cull_df_max,
+        cull_df_proportion,
+        cull_stoplist,
+    )
     if quantize_bits is None:
         postings, term_stats = segments_from_stage1(
             stage1, blocks_per_seg, registry=registry
         )
+        if keep is not None:
+            # culling drops the term's postings AND its dictionary row
+            # (serialise skips the node entirely); lengths/stats keep
+            # the pre-cull values like the reference's ~length
+            postings = postings.filter(keep)
+            term_stats = term_stats.filter(keep)
         stats = (
             docmap.agg(
                 F.count("*").alias("documents"),
@@ -690,6 +772,12 @@ def build_index(
     postings, term_stats, qmin, qmax = quantized_segments_from_stage1(
         stage1, n_docs, mean_len, blocks_per_seg, quantize_bits, registry=registry
     )
+    if keep is not None:
+        # quantization bounds (min/max rsv) are computed over ALL terms
+        # before the prune, as in the reference's serialise order
+        # (rsv_all_nodes runs before should_prune per node)
+        postings = postings.filter(keep)
+        term_stats = term_stats.filter(keep)
     stats = term_stats.agg(F.count("*").alias("unique_terms")).select(
         F.lit(n_docs).cast("long").alias("documents"),
         F.lit(coll_len).cast("long").alias("collection_len"),
