@@ -52,6 +52,19 @@ STEM_QUERIES: list[tuple[int, str]] = [
     (8, "zzzmissings"),
 ]
 
+# NEXI CO grammar coverage: +/- signs (parsed, scored as bare terms),
+# phrases (degrade to bags), punctuation stopping the scan
+NEXI_QUERIES: list[tuple[int, str]] = [
+    (1, "+dup"),
+    (2, "-dup"),
+    (3, "dup + spark"),
+    (4, "hash, join"),  # comma stops the CO scan → only "hash"
+    (5, '"hash join" merge'),
+    (6, "spark -dup window"),
+    (7, "the; spark"),  # semicolon stops → only "the"
+    (8, "+DUP -THE"),
+]
+
 # boolean grammar coverage (AND/OR/NOT/XOR, brackets, adjacency=OR)
 BOOLEAN_QUERIES: list[tuple[int, str]] = [
     (1, "dup AND spark"),
@@ -216,7 +229,9 @@ def _query_values_sql() -> str:
     return ",\n       ".join(rows)
 
 
-def _bm25_sql(k: int, conjunctive: bool = False) -> str:
+def _bm25_sql(
+    k: int, conjunctive: bool = False, values_sql: str | None = None
+) -> str:
     conj_filter = (
         """
 , req AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms FROM q GROUP BY query_id)
@@ -231,7 +246,7 @@ def _bm25_sql(k: int, conjunctive: bool = False) -> str:
     return f"""
 WITH {_CORPUS_CTE},
 q(query_id, term, weight) AS (
-  VALUES {_query_values_sql()}
+  VALUES {values_sql or _query_values_sql()}
 ),
 scored AS (
   SELECT CAST(q.query_id AS BIGINT) AS query_id, t.docid,
@@ -514,6 +529,417 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+FB_DOCS = 10  # == TOP_K so the examined docs are exactly the sorted
+FB_TERMS = 5  # top-k, matching the reference's partial-sort window
+
+
+def _q_feedback_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.search_feedback(
+        TESTDATA_QUERIES,
+        _transcripts(spark, sf_dir),
+        k=TOP_K,
+        feedback_documents=FB_DOCS,
+        feedback_terms=FB_TERMS,
+    )
+
+
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.more_like_this(
+        0, _transcripts(spark, sf_dir), k=TOP_K, terms=10
+    )
+
+
+_BM25_CONTRIB = """
+            100.0 * ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE))
+                  * ((CAST(t.tf AS DOUBLE) * (0.9 + 1.0))
+                     / (CAST(t.tf AS DOUBLE)
+                        + CAST(CAST(0.9 * ((1.0 - 0.4)
+                            + 0.4 * (CAST(d.doc_len AS DOUBLE) / s.mean_len))
+                          AS REAL) AS DOUBLE)))
+"""
+
+_BM25_RSV = """
+            ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE))
+                  * ((CAST(t.tf AS DOUBLE) * (0.9 + 1.0))
+                     / (CAST(t.tf AS DOUBLE)
+                        + CAST(CAST(0.9 * ((1.0 - 0.4)
+                            + 0.4 * (CAST(d.doc_len AS DOUBLE) / s.mean_len))
+                          AS REAL) AS DOUBLE)))
+"""
+
+
+def _kl_ctes(fbdocs_src: str) -> str:
+    """Shared CTE block: pseudo-doc word tokens of the docs in
+    ``fbdocs_src`` (query_id, docid) → per-query top-KL terms.
+    Mirrors _kl_select: TT_WORD only (letters), q = cf/|C| or 1/|C|,
+    kl = p·ln(p/q), ties by term asc."""
+    return f"""
+fbtoks AS (
+  SELECT f.query_id,
+         unnest(regexp_extract_all(lower(c.text), '[a-z]+')) AS term
+  FROM {fbdocs_src} f
+  JOIN docmap d USING (docid)
+  JOIN corpus c USING (doc_id)
+),
+plen AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS plen
+  FROM fbtoks GROUP BY query_id
+),
+ptf AS (
+  SELECT query_id, term, CAST(count(*) AS BIGINT) AS ptf
+  FROM fbtoks GROUP BY query_id, term
+),
+kl AS (
+  SELECT p.query_id, p.term,
+         (CAST(p.ptf AS DOUBLE) / CAST(l.plen AS DOUBLE))
+           * ln((CAST(p.ptf AS DOUBLE) / CAST(l.plen AS DOUBLE))
+                / (CASE WHEN ts.cf IS NULL
+                        THEN 1.0 / CAST(s.coll_len AS DOUBLE)
+                        ELSE CAST(ts.cf AS DOUBLE) / CAST(s.coll_len AS DOUBLE)
+                   END)) AS kl
+  FROM ptf p
+  JOIN plen l USING (query_id)
+  LEFT JOIN termstats ts USING (term)
+  CROSS JOIN stats s
+)"""
+
+
+def _feedback_sql(k: int, fb_docs: int, fb_terms: int) -> str:
+    """Full blind-KL chain in SQL: initial BM25 ranking → top-fb_docs
+    pseudo-doc → KL terms → expanded re-query with the KL score as the
+    per-term postscalar (1 + trunc((rsv·post)·100))."""
+    return f"""
+WITH {_CORPUS_CTE},
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+),
+scored0 AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, t.docid,
+         CASE WHEN ts.df = s.n_docs THEN CAST(0 AS BIGINT)
+              ELSE CAST(q.weight AS BIGINT)
+                   * (1 + CAST(trunc({_BM25_CONTRIB}) AS BIGINT))
+         END AS contrib,
+         CASE WHEN ts.df = s.n_docs THEN 0 ELSE 1 END AS is_hit
+  FROM q
+  JOIN termstats ts USING (term)
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  CROSS JOIN stats s
+),
+acc0 AS (
+  SELECT query_id, docid, CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  FROM scored0
+  WHERE is_hit = 1 OR contrib <> 0
+  GROUP BY query_id, docid
+  HAVING sum(is_hit) > 0
+),
+ranked0 AS (
+  SELECT query_id, docid, rsv_fixed,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS rank
+  FROM acc0
+),
+fbdocs AS (
+  SELECT query_id, docid FROM ranked0 WHERE rank <= {fb_docs}
+),
+{_kl_ctes("fbdocs")},
+fbterms AS (
+  SELECT query_id, term, kl FROM (
+    SELECT query_id, term, kl,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY kl DESC, term ASC
+           ) AS rn
+    FROM kl
+  ) WHERE rn <= {fb_terms}
+),
+hasfb AS (SELECT DISTINCT query_id FROM fbterms),
+exq AS (
+  SELECT query_id, term, CAST(weight AS BIGINT) AS weight, 1.0 AS post
+  FROM q
+  UNION ALL
+  SELECT query_id, term, CAST(1 AS BIGINT) AS weight, kl AS post
+  FROM fbterms
+),
+scored AS (
+  SELECT CAST(e.query_id AS BIGINT) AS query_id, t.docid,
+         CASE WHEN ts.df = s.n_docs THEN CAST(0 AS BIGINT)
+              ELSE e.weight
+                   * (1 + CAST(trunc(({_BM25_RSV} * e.post) * 100.0) AS BIGINT))
+         END AS contrib,
+         CASE WHEN ts.df = s.n_docs THEN 0 ELSE 1 END AS is_hit
+  FROM exq e
+  JOIN termstats ts USING (term)
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  CROSS JOIN stats s
+),
+acc AS (
+  SELECT query_id, docid,
+         CAST(((sum(contrib) % 65536) + 65536) % 65536 AS BIGINT) AS rsv_fixed
+  FROM scored
+  WHERE is_hit = 1 OR contrib <> 0
+  GROUP BY query_id, docid
+  HAVING sum(is_hit) > 0
+),
+final AS (
+  SELECT query_id, docid, rsv_fixed FROM acc
+  WHERE query_id IN (SELECT query_id FROM hasfb)
+  UNION ALL
+  SELECT query_id, docid, rsv_fixed FROM ranked0
+  WHERE query_id NOT IN (SELECT query_id FROM hasfb) AND rank <= {k}
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM final
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _more_like_this_sql(k: int, docid: int = 0, terms: int = 10) -> str:
+    """More-like-this: top-``terms`` KL terms of one doc run as a
+    plain query (weight 1, postscalar 1)."""
+    return f"""
+WITH {_CORPUS_CTE},
+fbdocs AS (SELECT CAST(1 AS BIGINT) AS query_id, CAST({docid} AS BIGINT) AS docid),
+{_kl_ctes("fbdocs")},
+keyterms AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term, kl,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY kl DESC, term ASC
+           ) AS rn
+    FROM kl
+  ) WHERE rn <= {terms}
+),
+scored AS (
+  SELECT CAST(e.query_id AS BIGINT) AS query_id, t.docid,
+         CASE WHEN ts.df = s.n_docs THEN CAST(0 AS BIGINT)
+              ELSE 1 + CAST(trunc({_BM25_CONTRIB}) AS BIGINT)
+         END AS contrib,
+         CASE WHEN ts.df = s.n_docs THEN 0 ELSE 1 END AS is_hit
+  FROM keyterms e
+  JOIN termstats ts USING (term)
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  CROSS JOIN stats s
+),
+acc AS (
+  SELECT query_id, docid, CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  FROM scored
+  WHERE is_hit = 1 OR contrib <> 0
+  GROUP BY query_id, docid
+  HAVING sum(is_hit) > 0
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM acc
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation metrics (evaluator.c protocol) over the BM25 run
+    with deterministic graded qrels derived from the corpus: docs
+    containing 'dup' are relevant with grade = tf, docs containing
+    'window' are judged irrelevant. Metrics rounded to 9 dp so the
+    engine/oracle float-sum orders cannot ulp-diverge the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from atire_spark.eval import (
+        bpref,
+        mean_average_precision,
+        precision_at,
+        success_at,
+    )
+
+    eng = _engine(spark, sf_dir)
+    results = eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
+
+    def decode_fn(batches):
+        from atire_spark.kernels.impact import decode_segment
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                d, t, _ = decode_segment(
+                    np.asarray(row.impacts),
+                    np.asarray(row.doc_counts),
+                    row.postings,
+                    None,
+                )
+                yield pd.DataFrame(
+                    {
+                        "docid": d,
+                        "tf": t.astype(np.int64),
+                        "term": np.full(d.size, row.term, dtype=object),
+                    }
+                )
+
+    tfd = eng.postings.filter(F.col("term").isin(["dup", "window"])).mapInPandas(
+        decode_fn, schema="docid long, tf long, term string"
+    )
+    rel = tfd.groupBy("docid").agg(
+        F.max(
+            F.when(F.col("term") == "dup", F.col("tf")).otherwise(F.lit(0))
+        ).alias("relevance")
+    )
+    qids = spark.createDataFrame(
+        [(q,) for q, _ in TESTDATA_QUERIES], "query_id long"
+    )
+    qrels = qids.crossJoin(rel).select(
+        "query_id", "docid", F.col("relevance").cast("int").alias("relevance")
+    )
+    out = (
+        mean_average_precision(results, qrels)
+        .join(precision_at(results, qrels, 10), "query_id")
+        .join(success_at(results, qrels, 10), "query_id")
+        .join(bpref(results, qrels), "query_id")
+    )
+    return out.select(
+        "query_id",
+        F.round("average_precision", 9).alias("average_precision"),
+        F.round("precision_at_10", 9).alias("precision_at_10"),
+        F.round("success_at_10", 9).alias("success_at_10"),
+        F.round("bpref", 9).alias("bpref"),
+    )
+
+
+def _eval_metrics_sql(k: int) -> str:
+    return f"""
+WITH {_CORPUS_CTE},
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+),
+scored AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, t.docid,
+         CASE WHEN ts.df = s.n_docs THEN CAST(0 AS BIGINT)
+              ELSE CAST(q.weight AS BIGINT)
+                   * (1 + CAST(trunc({_BM25_CONTRIB}) AS BIGINT))
+         END AS contrib,
+         CASE WHEN ts.df = s.n_docs THEN 0 ELSE 1 END AS is_hit
+  FROM q
+  JOIN termstats ts USING (term)
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  CROSS JOIN stats s
+),
+acc AS (
+  SELECT query_id, docid, CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  FROM scored
+  WHERE is_hit = 1 OR contrib <> 0
+  GROUP BY query_id, docid
+  HAVING sum(is_hit) > 0
+),
+results AS (
+  SELECT query_id, docid, rank FROM (
+    SELECT query_id, docid,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+           ) AS rank
+    FROM acc
+  ) WHERE rank <= {k}
+),
+rel AS (
+  SELECT docid,
+         max(CASE WHEN term = 'dup' THEN tf ELSE 0 END) AS relevance
+  FROM tf WHERE term IN ('dup', 'window') GROUP BY docid
+),
+qrels AS (
+  SELECT qq.query_id, r.docid, r.relevance
+  FROM (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id FROM q) qq
+  CROSS JOIN rel r
+),
+topic AS (
+  SELECT query_id,
+         sum(CASE WHEN relevance > 0 THEN 1 ELSE 0 END) AS n_rel,
+         sum(CASE WHEN relevance = 0 THEN 1 ELSE 0 END) AS n_nonrel
+  FROM qrels GROUP BY query_id
+),
+j AS (
+  SELECT r.query_id, r.rank, r.docid,
+         coalesce(qr.relevance, 0) AS rel,
+         CASE WHEN qr.docid IS NOT NULL THEN 1 ELSE 0 END AS judged
+  FROM results r
+  LEFT JOIN qrels qr ON qr.query_id = r.query_id AND qr.docid = r.docid
+),
+ap AS (
+  SELECT query_id, sum(found * 1.0 / rank) AS p_sum FROM (
+    SELECT query_id, rank, rel,
+           sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY query_id ORDER BY rank) AS found
+    FROM j
+  ) WHERE rel > 0 GROUP BY query_id
+),
+p10 AS (
+  SELECT query_id,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS found,
+         count(*) AS examined
+  FROM j WHERE rank <= 10 GROUP BY query_id
+),
+bp AS (
+  SELECT query_id,
+         sum(1.0 - (least(nonrel_before, n_rel) * 1.0)
+                   / least(n_rel, n_nonrel)) AS pref_sum
+  FROM (
+    SELECT j.query_id, j.rank, j.rel, t.n_rel, t.n_nonrel,
+           coalesce(sum(CASE WHEN j.rel = 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY j.query_id ORDER BY j.rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS nonrel_before
+    FROM j JOIN topic t USING (query_id) WHERE j.judged = 1
+  ) WHERE rel > 0 GROUP BY query_id
+)
+SELECT t.query_id,
+       round(coalesce(ap.p_sum, 0) / t.n_rel, 9) AS average_precision,
+       round(coalesce(p10.found, 0) * 1.0
+             / greatest(least(coalesce(p10.examined, 0), 10), 1), 9)
+         AS precision_at_10,
+       CASE WHEN coalesce(p10.found, 0) > 0 THEN 1.0 ELSE 0.0 END
+         AS success_at_10,
+       round(CASE WHEN t.n_nonrel = 0 THEN 1.0
+                  ELSE coalesce(bp.pref_sum, 0) / t.n_rel END, 9) AS bpref
+FROM topic t
+LEFT JOIN ap USING (query_id)
+LEFT JOIN p10 USING (query_id)
+LEFT JOIN bp USING (query_id)
+WHERE t.n_rel > 0
+"""
+
+
+def _q_nexi_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.search_batch(NEXI_QUERIES, k=TOP_K)
+
+
+# HAND-WRITTEN expected parses (not generated from the engine's parser,
+# so the oracle independently pins the CO-grammar semantics):
+_NEXI_EXPECTED_VALUES = """(1, 'dup', 1),
+       (2, 'dup', 1),
+       (3, 'dup', 1), (3, 'spark', 1),
+       (4, 'hash', 1),
+       (5, 'hash', 1), (5, 'join', 1), (5, 'merge', 1),
+       (6, 'spark', 1), (6, 'dup', 1), (6, 'window', 1),
+       (7, 'the', 1),
+       (8, 'dup', 1), (8, 'the', 1)"""
+
+
 def _q_bm25_stopped(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _stop_engine(spark, sf_dir)
     return eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
@@ -773,6 +1199,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmd_topk": _q_lmd,
         "bm25_stemmed_topk": _q_bm25_stemmed,
         "bm25_stopped_topk": _q_bm25_stopped,
+        "nexi_signed_topk": _q_nexi_signed,
+        "bm25_feedback_kl_topk": _q_feedback_kl,
+        "more_like_this_topk": _q_more_like_this,
+        "eval_metrics": _q_eval_metrics,
         "term_culling_stats": _q_term_culling,
         "bm25l_topk": _mk_ranker_query("bm25l"),
         "bm25plus_topk": _mk_ranker_query("bm25plus"),
@@ -852,6 +1282,17 @@ SELECT term, docid, tf FROM tf
         "bm25_stemmed_topk": _stemmed_bm25_sql(TOP_K),
         # NCBI stop-before-indexing (index_document.c:100-101)
         "bm25_stopped_topk": _stopped_bm25_sql(TOP_K),
+        # NEXI signed terms / phrases / punctuation-stop (nexi.c:437-505)
+        # — VALUES are the hand-derived expected parses
+        "nexi_signed_topk": _bm25_sql(TOP_K, values_sql=_NEXI_EXPECTED_VALUES),
+        # blind KL relevance feedback (atire_api.c:1553-1600 +
+        # relevance_feedback_blind_kl.c): full chain in SQL
+        "bm25_feedback_kl_topk": _feedback_sql(TOP_K, FB_DOCS, FB_TERMS),
+        # .morelike (atire.c:488-504, extract_query_terms)
+        "more_like_this_topk": _more_like_this_sql(TOP_K),
+        # evaluation metrics (evaluator.c:126-260; MAP/P@n/S@n/bpref —
+        # nDCG and ERR are pytest-certified with hand values)
+        "eval_metrics": _eval_metrics_sql(TOP_K),
         # serialise-time culling (should_prune, memory_index.c:782-798):
         # surviving dictionary = no predicate fired
         "term_culling_stats": f"""

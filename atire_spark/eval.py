@@ -1,0 +1,309 @@
+"""IR effectiveness metrics over result + qrel DataFrames.
+
+Re-expression of the reference's evaluator (/root/reference/source/
+evaluator.c:126-260 metric registry; per-metric semantics cited per
+function below). The reference evaluates one ranked list at a time
+against bsearch'd qrels; here every metric is a single grouped
+DataFrame computation over ALL queries at once — joins + window
+functions, no per-row Python — so a million-query evaluation run is
+one shuffle.
+
+Inputs:
+- ``results``: (query_id, rank, docid, ...) — rank 1-based, as
+  produced by SearchEngine;
+- ``qrels``: (query_id, docid, relevance) — graded relevance, the
+  reference's ``relevant_characters`` (0 = judged irrelevant;
+  unjudged documents are simply absent).
+
+All metrics honor the reference's evaluation depth ``precision_point``
+(default: no cap → the full result list; "@n" caps like evaluator.c's
+``MAP@n`` suffixes) and average over the queries present in ``qrels``
+— a topic with no relevant documents scores 0 and is excluded from
+the valid-count, exactly like the ``*valid`` flag in evaluate().
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _joined(results: DataFrame, qrels: DataFrame, depth: int | None) -> DataFrame:
+    r = results.select("query_id", "rank", "docid")
+    if depth is not None:
+        r = r.filter(F.col("rank") <= depth)
+    return r.join(
+        qrels.select(
+            "query_id", "docid", F.col("relevance").cast("long").alias("rel")
+        ),
+        ["query_id", "docid"],
+        "left",
+    ).fillna({"rel": 0})
+
+
+def _topic_stats(qrels: DataFrame) -> DataFrame:
+    """Per-topic relevant/nonrelevant judged counts (relevant_topic
+    setup, evaluation.c)."""
+    return qrels.groupBy("query_id").agg(
+        F.sum((F.col("relevance") > 0).cast("long")).alias("n_rel"),
+        F.sum((F.col("relevance") == 0).cast("long")).alias("n_nonrel"),
+        F.max("relevance").cast("long").alias("max_judgement"),
+    )
+
+
+def mean_average_precision(
+    results: DataFrame, qrels: DataFrame, depth: int | None = None
+) -> DataFrame:
+    """MAP (evaluation_mean_average_precision.c:18-61): per query,
+    sum over relevant retrieved docs of (found_so_far / rank), divided
+    by the TOTAL number of relevant docs in the qrels (not just the
+    retrieved ones). Returns (query_id, average_precision) — average
+    the column for the mean."""
+    j = _joined(results, qrels, depth)
+    w = Window.partitionBy("query_id").orderBy("rank")
+    per_doc = j.withColumn(
+        "found", F.sum((F.col("rel") > 0).cast("long")).over(w)
+    ).filter(F.col("rel") > 0)
+    ap = per_doc.groupBy("query_id").agg(
+        F.sum(F.col("found").cast("double") / F.col("rank")).alias("p_sum")
+    )
+    return (
+        _topic_stats(qrels)
+        .filter(F.col("n_rel") > 0)
+        .join(ap, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("p_sum"), F.lit(0.0)) / F.col("n_rel")).alias(
+                "average_precision"
+            ),
+        )
+    )
+
+
+def precision_at(results: DataFrame, qrels: DataFrame, n: int) -> DataFrame:
+    """P@n (evaluation_precision_at_n.c): relevant in the first n /
+    min(returned, n) — the reference divides by the number of results
+    actually examined when fewer than n were returned."""
+    j = _joined(results, qrels, n)
+    agg = j.groupBy("query_id").agg(
+        F.sum((F.col("rel") > 0).cast("long")).alias("found"),
+        F.count("*").alias("examined"),
+    )
+    return (
+        _topic_stats(qrels)
+        .join(agg, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("found"), F.lit(0)).cast("double")
+                / F.greatest(
+                    F.least(F.coalesce(F.col("examined"), F.lit(0)), F.lit(n)),
+                    F.lit(1),
+                )
+            ).alias(f"precision_at_{n}"),
+        )
+    )
+
+
+def success_at(results: DataFrame, qrels: DataFrame, n: int) -> DataFrame:
+    """S@n (evaluation_success_at_n.c): 1 if any relevant doc appears
+    in the first n results."""
+    j = _joined(results, qrels, n)
+    agg = j.groupBy("query_id").agg(
+        F.max((F.col("rel") > 0).cast("long")).alias("hit")
+    )
+    return (
+        _topic_stats(qrels)
+        .join(agg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hit"), F.lit(0)).cast("double").alias(
+                f"success_at_{n}"
+            ),
+        )
+    )
+
+
+def bpref(
+    results: DataFrame,
+    qrels: DataFrame,
+    depth: int | None = None,
+    minimum: float = 0.0,
+) -> DataFrame:
+    """Binary preference (evaluation_binary_preference.c:16-60):
+
+    per relevant retrieved doc, add
+    ``1 - (minimum + min(nonrel_seen_before_it, R)) / (minimum + min(R, N))``
+    then divide by R (R/N = judged relevant/nonrelevant counts).
+    A topic with no judged nonrelevant docs scores a perfect 1.
+    """
+    j = _joined(results, qrels, depth)
+    # only JUDGED docs drive bpref: nonrel_seen counts judged-irrelevant
+    judged = j.join(
+        qrels.select("query_id", "docid").distinct(), ["query_id", "docid"]
+    )
+    w = Window.partitionBy("query_id").orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    per_doc = judged.withColumn(
+        "nonrel_before",
+        F.coalesce(F.sum((F.col("rel") == 0).cast("long")).over(w), F.lit(0)),
+    ).filter(F.col("rel") > 0)
+    ts = _topic_stats(qrels).filter(F.col("n_rel") > 0)
+    contrib = per_doc.join(ts, "query_id").groupBy("query_id").agg(
+        F.sum(
+            1.0
+            - (
+                (F.lit(minimum) + F.least(F.col("nonrel_before"), F.col("n_rel")))
+                / (F.lit(minimum) + F.least(F.col("n_rel"), F.col("n_nonrel")))
+            )
+        ).alias("pref_sum")
+    )
+    return ts.join(contrib, "query_id", "left").select(
+        "query_id",
+        F.when(F.col("n_nonrel") == 0, F.lit(1.0))
+        .otherwise(
+            F.coalesce(F.col("pref_sum"), F.lit(0.0)) / F.col("n_rel")
+        )
+        .alias("bpref"),
+    )
+
+
+def ndcg(
+    results: DataFrame,
+    qrels: DataFrame,
+    depth: int | None = None,
+    trec_mode: bool = True,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """nDCG (evaluation_normalised_discounted_cumulative_gain.c +
+    evaluation_discounted_cumulative_gain.c):
+
+    gain(rel, rank) = (2^rel − 1) · (1−α)^rank   [TREC mode]
+                    =  rel        · (1−α)^rank   [nDCGt mode]
+    discount(rank)  = ln(2)/ln(rank+2)           [TREC mode]
+                    = 1/log2(2+rank)             [nDCGt mode]
+    with rank 0-based; α defaults to 0.5, i.e. (1-α)^rank halves each
+    position exactly as the reference's default alpha does. The ideal
+    gain sorts the topic's relevance grades descending and applies the
+    same gain·discount at the same depth.
+    """
+    decay = 1.0 - alpha
+
+    def gain_col(rel, rank0):
+        g = (
+            (F.pow(F.lit(2.0), rel) - 1.0)
+            if trec_mode
+            else rel.cast("double")
+        )
+        return g * F.pow(F.lit(decay), rank0)
+
+    def discount_col(rank0):
+        if trec_mode:
+            return F.lit(math.log(2.0)) / F.log(rank0 + 2.0)
+        return 1.0 / (F.log(2.0 + rank0) / F.lit(math.log(2.0)))
+
+    j = _joined(results, qrels, depth).filter(F.col("rel") > 0)
+    rank0 = (F.col("rank") - 1).cast("double")
+    dcg = j.groupBy("query_id").agg(
+        F.sum(gain_col(F.col("rel"), rank0) * discount_col(rank0)).alias("dcg")
+    )
+    # ideal: relevance grades sorted descending, same formula
+    wi = Window.partitionBy("query_id").orderBy(F.col("relevance").desc())
+    ideal = (
+        qrels.filter(F.col("relevance") > 0)
+        .withColumn("irank0", (F.row_number().over(wi) - 1).cast("double"))
+    )
+    if depth is not None:
+        ideal = ideal.filter(F.col("irank0") < depth)
+    idcg = ideal.groupBy("query_id").agg(
+        F.sum(
+            gain_col(F.col("relevance").cast("long"), F.col("irank0"))
+            * discount_col(F.col("irank0"))
+        ).alias("idcg")
+    )
+    return (
+        _topic_stats(qrels)
+        .filter(F.col("n_rel") > 0)
+        .join(dcg, "query_id", "left")
+        .join(idcg, "query_id")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")).alias("ndcg"),
+        )
+    )
+
+
+def expected_reciprocal_rank(
+    results: DataFrame, qrels: DataFrame, depth: int | None = None
+) -> DataFrame:
+    """ERR (evaluation_expected_reciprocal_rank.c:16-50):
+    r_i = (2^rel − 1)/2^max_judgement; ERR = Σ r_i·decay/(rank),
+    decay *= (1 − r_i) over the ranked judged docs.
+
+    The sequential decay product is expressed as a window: decay at
+    rank i = Π over earlier judged docs of (1 − r_j) =
+    exp(Σ ln(1 − r_j)) — docs with r == 1 zero the decay afterwards.
+    """
+    j = _joined(results, qrels, depth)
+    judged = j.join(
+        qrels.select("query_id", "docid").distinct(), ["query_id", "docid"]
+    )
+    ts = _topic_stats(qrels)
+    r = judged.join(ts, "query_id").withColumn(
+        "r",
+        (F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0)
+        / F.pow(F.lit(2.0), F.col("max_judgement").cast("double")),
+    )
+    w = Window.partitionBy("query_id").orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # ln(1-r) of earlier docs; a saturated earlier doc (r==1) makes the
+    # log -inf → exp gives decay 0, which is the right limit
+    r = r.withColumn(
+        "decay",
+        F.coalesce(F.exp(F.sum(F.log(1.0 - F.col("r"))).over(w)), F.lit(1.0)),
+    )
+    err = r.groupBy("query_id").agg(
+        F.sum(F.col("r") * F.col("decay") / F.col("rank")).alias("err_sum")
+    )
+    return (
+        ts.filter(F.col("n_rel") > 0)
+        .join(err, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("err_sum"), F.lit(0.0)).alias("err"),
+        )
+    )
+
+
+def evaluate(
+    results: DataFrame,
+    qrels: DataFrame,
+    metrics: tuple[str, ...] = ("MAP", "P@10", "S@10", "bpref", "nDCG", "ERR"),
+    depth: int | None = None,
+) -> DataFrame:
+    """One row per query with every requested metric — the reference's
+    ``-m<metric>`` multi-metric evaluation (evaluator.c:126-260)."""
+    out = None
+    for m in metrics:
+        if m == "MAP":
+            df = mean_average_precision(results, qrels, depth)
+        elif m.startswith("P@"):
+            df = precision_at(results, qrels, int(m[2:]))
+        elif m.startswith("S@"):
+            df = success_at(results, qrels, int(m[2:]))
+        elif m == "bpref":
+            df = bpref(results, qrels, depth)
+        elif m == "nDCG":
+            df = ndcg(results, qrels, depth)
+        elif m == "nDCGt":
+            df = ndcg(results, qrels, depth, trec_mode=False)
+        elif m == "ERR":
+            df = expected_reciprocal_rank(results, qrels, depth)
+        else:
+            raise ValueError(f"unknown metric {m!r}")
+        out = df if out is None else out.join(df, "query_id", "outer")
+    return out.orderBy("query_id")

@@ -25,6 +25,7 @@ deployment.
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 from typing import Iterator
 
@@ -217,27 +218,83 @@ def _segment_contrib(
     return "float", docids, rsv
 
 
-def parse_query(text: str, stemmer: str | None = None) -> list[tuple[str, int]]:
-    """Query string → [(term, multiplicity)].
+from dataclasses import dataclass as _dataclass
 
-    The reference parses queries with the same tokenizer as documents
-    (NEXI CO grammar, source/nexi.c:434-505; phrases degrade to bags
-    because the index stores no positions) and scores a repeated term
-    once per occurrence.
+# NEXI CO scan tokens: letter runs, digit runs, or one non-space char
+# (the reference's parser emits punctuation one char at a time,
+# parser.c:339-346)
+_NEXI_TOKEN_RE = re.compile(r"[^\W\d_]+|\d+|\S", re.UNICODE)
+
+
+@_dataclass
+class NEXITerm:
+    """One parsed CO query term (reference NEXI_term.h:15-31)."""
+
+    term: str
+    sign: int = 0  # +1 / -1 for "+term" / "-term", else 0
+    tf_weight: float = 1.0  # PRESCALAR (always 1 from the parser)
+    rsv_weight: float = 1.0  # POSTSCALAR (feedback sets KL scores)
+
+
+def parse_nexi(text: str) -> list[NEXITerm]:
+    """NEXI CO parse (reference nexi.c:437-505 ``read_CO``):
+
+    - ``+``/``-`` single-char tokens set the sign of the NEXT term
+      (nexi.c:453-465); the sign is *recorded* but ranked search
+      scores the bare term — atire_api.c:909 exposes get_sign() for
+      subclasses and the TaaT loop never reads it;
+    - a double-quote starts a phrase (nexi.c:410-431 ``read_phrase``);
+      with no positions in the index a phrase degrades to its bag of
+      terms;
+    - any other punctuation token sets ``more = FALSE``
+      (nexi.c:470-479): the CO scan STOPS — "hash, join" parses to
+      just "hash", faithfully;
+    - terms are lowercased words / raw digit runs (the document
+      tokenizer's normalization), NEXI_term weights default to 1
+      (nexi.c:64 get_NEXI_term).
+    """
+    out: list[NEXITerm] = []
+    sign = 0
+    in_phrase = False
+    for tok in _NEXI_TOKEN_RE.findall(text or ""):
+        first = tok[0]
+        if first.isalpha() or first.isdigit():
+            out.append(NEXITerm(term=tok.lower(), sign=sign))
+            sign = 0
+            continue
+        if tok == '"':
+            # opening quote begins a phrase scan; closing quote ends it
+            in_phrase = not in_phrase
+            sign = 0
+            continue
+        if not in_phrase and tok == "+":
+            sign = 1
+            continue
+        if not in_phrase and tok == "-":
+            sign = -1
+            continue
+        break  # non-term token: more = FALSE (nexi.c:470-479)
+    return out
+
+
+def parse_query(text: str, stemmer: str | None = None) -> list[tuple[str, int]]:
+    """Query string → [(term, multiplicity)] via the NEXI CO scan.
+
+    Phrases degrade to bags (no positions in the index) and a repeated
+    term is scored once per occurrence — bagging with multiplicity
+    adds the identical contribution the reference adds processing each
+    chain entry separately. Signs are parsed (not silently eaten) but
+    do not change ranked scoring, like the reference.
 
     ``stemmer`` applies the query-side stemming gate
-    (search_engine.c:775-779) to each token before bagging — two query
-    terms sharing a stem merge into one entry with multiplicity 2,
-    which adds the identical per-occurrence contribution the reference
-    adds processing them separately.
+    (search_engine.c:775-779) to each token before bagging.
     """
+    terms = (t.term for t in parse_nexi(text))
     if stemmer is None:
-        return list(Counter(tokenize(text)).items())
+        return list(Counter(terms).items())
     from atire_spark.kernels.stem import query_stem
 
-    return list(
-        Counter(query_stem(t, stemmer) for t in tokenize(text)).items()
-    )
+    return list(Counter(query_stem(t, stemmer) for t in terms).items())
 
 
 class SearchEngine:
@@ -872,6 +929,155 @@ class SearchEngine:
             "total_quantums": int(m["tq"] or 0),
         }
         return results, stats
+
+    # ------------------------------------------------------------------
+    def _kl_select(
+        self, texts: list[str], terms_wanted: int
+    ) -> list[tuple[str, float]]:
+        """Blind-KL expansion-term selection over a pseudo-document.
+
+        Reference chain: populate() re-indexes the feedback documents
+        into one ANT_memory_index_one (relevance_feedback.c:92-115,
+        lengths and term frequencies ACCUMULATE across the documents),
+        kl_divergence scores every term (memory_index_one.c:431-453;
+        term_divergence_kl.c: p·ln(p/q) with q = cf/|C|, or 1/|C| for
+        unseen terms), top_n_terms keeps the best by kl descending
+        (memory_index_one.c:500-551; the reference's qsort tie order
+        is unspecified — both we and the SQL oracle break ties by term
+        ascending).
+
+        Only TT_WORD tokens enter the pseudo-document
+        (relevance_feedback.c:73-87 ``add_to_index``); a stemmed
+        engine stems tokens of length ≥ 3 (the add_to_index gate).
+        The per-term cf lookups are the reference's dictionary probes —
+        a vocabulary-sized scalar read, not a data collect.
+        """
+        import math
+
+        from atire_spark.kernels.stem import query_stem
+
+        toks: list[str] = []
+        for text in texts:
+            for t in tokenize(text):
+                if t[0].isdigit():
+                    continue  # numbers are not TT_WORD
+                toks.append(query_stem(t, self.stemmer))
+        if not toks:
+            return []
+        plen = len(toks)
+        tfs = Counter(toks)
+        cf_rows = (
+            self.postings.filter(F.col("term").isin(list(tfs)))
+            .select("term", "cf")
+            .distinct()
+            .collect()
+        )
+        cf = {r["term"]: int(r["cf"]) for r in cf_rows}
+        out = []
+        for t, f in tfs.items():
+            px = f / plen
+            c = cf.get(t, 0)
+            if c:
+                qx = c / self.collection_len
+            else:
+                qx = 1.0 / self.collection_len
+            out.append((t, px * math.log(px / qx)))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:terms_wanted]
+
+    def _fetch_texts(
+        self, results: DataFrame, documents: DataFrame, max_rank: int
+    ) -> dict[int, list[str]]:
+        """Top-ranked docs' raw text per query — the reference's
+        get_document() loop over the doc repository
+        (relevance_feedback.c:95-115); here the transcripts table IS
+        the repository. Collects max_rank × n_queries small text rows
+        (the reference also materializes each doc into RAM)."""
+        rows = (
+            results.filter(F.col("rank") <= max_rank)
+            .join(self.index.docmap, "docid")
+            .join(documents, ["conv_id", "turn_idx"])
+            .select("query_id", "rank", "text")
+            .collect()
+        )
+        texts: dict[int, list[tuple[int, str]]] = {}
+        for r in rows:
+            texts.setdefault(int(r["query_id"]), []).append(
+                (int(r["rank"]), r["text"])
+            )
+        return {
+            qid: [t for _, t in sorted(pairs)] for qid, pairs in texts.items()
+        }
+
+    def search_feedback(
+        self,
+        queries: list[tuple[int, str]],
+        documents: DataFrame,
+        k: int = 10,
+        feedback_documents: int = 17,
+        feedback_terms: int = 5,
+        ranker: str = "bm25",
+    ) -> DataFrame:
+        """Blind relevance feedback (reference ATIRE_API::feedback,
+        atire_api.c:1553-1600, BLIND_KL feedbacker):
+
+        1. run the query, take the top ``feedback_documents`` docs
+           (reference defaults 17 docs / 5 terms,
+           ant_param_block.c:57-58);
+        2. re-index their text as one pseudo-document and pick the
+           ``feedback_terms`` highest-KL terms (:meth:`_kl_select`);
+        3. append them to the query with ``rsv_weight`` (POSTSCALAR) =
+           the term's KL score (query_object_with_feedback_to_NEXI_
+           query, atire_api.c:1330-1340) and re-search.
+
+        ``documents`` is the transcripts table (the doc repository).
+        With no feedback terms (queries with no hits) the initial
+        results stand, as in the reference (atire_api.c:1578-1580).
+        """
+        kk = max(k, feedback_documents)
+        initial = self.search_batch(queries, k=kk, ranker=ranker)
+        texts = self._fetch_texts(initial, documents, feedback_documents)
+        parsed: dict[int, list[tuple[str, int, float]]] = {}
+        any_fb = False
+        for qid, text in queries:
+            base = [
+                (t, w, 1.0) for t, w in parse_query(text, self.stemmer)
+            ]
+            fb = self._kl_select(texts.get(qid, []), feedback_terms)
+            if fb:
+                any_fb = True
+            parsed[qid] = base + [(t, 1, kl) for t, kl in fb]
+        if not any_fb:
+            return initial.filter(F.col("rank") <= k)
+        return self.search_batch(
+            queries, k=k, ranker=ranker, parsed_terms=parsed
+        )
+
+    def more_like_this(
+        self,
+        docid: int,
+        documents: DataFrame,
+        k: int = 10,
+        terms: int = 10,
+        ranker: str = "bm25",
+    ) -> DataFrame:
+        """".morelike docid" (reference atire.c:488-504 →
+        extract_query_terms, atire_api.c:1930-1950): the top ``terms``
+        KL terms of one document become a plain query (weight 1, no
+        postscalar)."""
+        rows = (
+            self.index.docmap.filter(F.col("docid") == int(docid))
+            .join(documents, ["conv_id", "turn_idx"])
+            .select("text")
+            .collect()
+        )
+        key_terms = self._kl_select([r["text"] for r in rows], terms)
+        if not key_terms:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        parsed = {1: [(t, 1, 1.0) for t, _ in key_terms]}
+        return self.search_batch(
+            [(1, "")], k=k, ranker=ranker, parsed_terms=parsed
+        )
 
     # ------------------------------------------------------------------
     def materialize(self, results: DataFrame) -> DataFrame:

@@ -1,0 +1,121 @@
+"""Evaluation metrics vs hand-computed values (reference semantics:
+evaluator.c registry + per-metric files, see eval.py docstrings)."""
+
+import pytest
+
+RESULTS = [
+    # query_id, rank, docid
+    (1, 1, 10),
+    (1, 2, 11),
+    (1, 3, 12),
+    (1, 4, 13),
+    (1, 5, 14),
+    # query 2: no relevant retrieved
+    (2, 1, 20),
+    (2, 2, 21),
+]
+QRELS = [
+    # query_id, docid, relevance (graded; 0 = judged irrelevant)
+    (1, 10, 2),
+    (1, 12, 1),
+    (1, 13, 0),
+    (1, 99, 1),  # relevant but never retrieved
+    (2, 30, 1),  # query 2 has 1 relevant doc, not retrieved
+    (2, 20, 0),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    r = spark.createDataFrame(RESULTS, "query_id long, rank int, docid long")
+    q = spark.createDataFrame(QRELS, "query_id long, docid long, relevance int")
+    return r, q
+
+
+def _one(df, qid, col):
+    rows = {int(r["query_id"]): r[col] for r in df.collect()}
+    return rows[qid]
+
+
+def test_map(spark, frames):
+    from atire_spark.eval import mean_average_precision
+
+    r, q = frames
+    df = mean_average_precision(r, q)
+    # q1: hits at rank 1 (1/1) and rank 3 (2/3), / 3 relevant total
+    assert _one(df, 1, "average_precision") == pytest.approx((1 + 2 / 3) / 3)
+    assert _one(df, 2, "average_precision") == 0.0
+
+
+def test_p_and_s_at_10(spark, frames):
+    from atire_spark.eval import precision_at, success_at
+
+    r, q = frames
+    p = precision_at(r, q, 10)
+    # 2 relevant in the 5 examined; reference divides by min(examined, n)
+    assert _one(p, 1, "precision_at_10") == pytest.approx(2 / 5)
+    assert _one(p, 2, "precision_at_10") == 0.0
+    s = success_at(r, q, 10)
+    assert _one(s, 1, "success_at_10") == 1.0
+    assert _one(s, 2, "success_at_10") == 0.0
+
+
+def test_bpref(spark, frames):
+    from atire_spark.eval import bpref
+
+    r, q = frames
+    df = bpref(r, q)
+    # R=3, N=1, denom = min(3,1) = 1; both relevant retrieved docs see
+    # 0 judged-nonrelevant above them → (1 + 1)/3
+    assert _one(df, 1, "bpref") == pytest.approx(2 / 3)
+    assert _one(df, 2, "bpref") == 0.0
+
+
+def test_ndcg(spark, frames):
+    import math
+
+    from atire_spark.eval import ndcg
+
+    r, q = frames
+    df = ndcg(r, q)
+    ln2 = math.log(2.0)
+    dcg = (2**2 - 1) * 0.5**0 * (ln2 / math.log(2.0)) + (
+        (2**1 - 1) * 0.5**2 * (ln2 / math.log(4.0))
+    )
+    idcg = (
+        (2**2 - 1) * 1.0 * (ln2 / math.log(2.0))
+        + (2**1 - 1) * 0.5 * (ln2 / math.log(3.0))
+        + (2**1 - 1) * 0.25 * (ln2 / math.log(4.0))
+    )
+    assert _one(df, 1, "ndcg") == pytest.approx(dcg / idcg)
+    assert _one(df, 2, "ndcg") == 0.0
+
+
+def test_err(spark, frames):
+    from atire_spark.eval import expected_reciprocal_rank
+
+    r, q = frames
+    df = expected_reciprocal_rank(r, q)
+    # max judgement 2 → r = (2^rel - 1)/4; judged docs at ranks 1,3,4
+    r1 = (2**2 - 1) / 4  # 0.75
+    r3 = (2**1 - 1) / 4  # 0.25
+    want = r1 * 1.0 / 1 + r3 * (1 - r1) / 3  # rank-4 doc has r=0
+    assert _one(df, 1, "err") == pytest.approx(want)
+    assert _one(df, 2, "err") == 0.0
+
+
+def test_evaluate_combined(spark, frames):
+    from atire_spark.eval import evaluate
+
+    r, q = frames
+    df = evaluate(r, q).toPandas()
+    assert set(df.columns) >= {
+        "query_id",
+        "average_precision",
+        "precision_at_10",
+        "success_at_10",
+        "bpref",
+        "ndcg",
+        "err",
+    }
+    assert len(df) == 2
