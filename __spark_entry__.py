@@ -754,6 +754,327 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+RERANK_FPK = 30  # first-pass depth for the two-stage rerank entry
+
+
+def _q_bm25_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.search_rerank(
+        TESTDATA_QUERIES,
+        _transcripts(spark, sf_dir),
+        k=TOP_K,
+        first_pass_k=RERANK_FPK,
+    )
+
+
+def _rerank_sql(k: int, fpk: int) -> str:
+    """Two-stage rerank oracle (atire_api.c:1716-1767): first-pass
+    BM25 top-fpk, re-scored inside the subcollection with its own
+    N / mean length / df; mini docids = rank order, ties larger
+    minidoc first."""
+    return f"""
+WITH {_CORPUS_CTE},
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+),
+scored0 AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, t.docid,
+         CASE WHEN ts.df = s.n_docs THEN CAST(0 AS BIGINT)
+              ELSE CAST(q.weight AS BIGINT)
+                   * (1 + CAST(trunc({_BM25_CONTRIB}) AS BIGINT))
+         END AS contrib,
+         CASE WHEN ts.df = s.n_docs THEN 0 ELSE 1 END AS is_hit
+  FROM q
+  JOIN termstats ts USING (term)
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  CROSS JOIN stats s
+),
+acc0 AS (
+  SELECT query_id, docid, CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  FROM scored0
+  WHERE is_hit = 1 OR contrib <> 0
+  GROUP BY query_id, docid
+  HAVING sum(is_hit) > 0
+),
+ranked0 AS (
+  SELECT query_id, docid,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS rank
+  FROM acc0
+),
+minidocs AS (
+  SELECT query_id, docid, rank - 1 AS minidoc
+  FROM ranked0 WHERE rank <= {fpk}
+),
+ministats AS (
+  SELECT m.query_id, CAST(count(*) AS BIGINT) AS n_sub,
+         CAST(sum(d.doc_len) AS DOUBLE) / count(*) AS mean_sub
+  FROM minidocs m JOIN docmap d USING (docid)
+  GROUP BY m.query_id
+),
+minitf AS (
+  SELECT m.query_id, m.minidoc, m.docid, t.term, t.tf, d.doc_len
+  FROM minidocs m
+  JOIN tf t USING (docid)
+  JOIN docmap d USING (docid)
+),
+minidf AS (
+  SELECT query_id, term, CAST(count(*) AS BIGINT) AS df_sub
+  FROM minitf GROUP BY query_id, term
+),
+rescored AS (
+  SELECT mt.query_id, mt.minidoc, mt.docid,
+         CASE WHEN md.df_sub = ms.n_sub THEN CAST(0 AS BIGINT)
+              ELSE CAST(q.weight AS BIGINT) * (1 + CAST(trunc(
+                100.0 * ln(CAST(ms.n_sub AS DOUBLE) / CAST(md.df_sub AS DOUBLE))
+                      * ((CAST(mt.tf AS DOUBLE) * (0.9 + 1.0))
+                         / (CAST(mt.tf AS DOUBLE)
+                            + CAST(CAST(0.9 * ((1.0 - 0.4)
+                                + 0.4 * (CAST(mt.doc_len AS DOUBLE) / ms.mean_sub))
+                              AS REAL) AS DOUBLE)))) AS BIGINT))
+         END AS contrib,
+         CASE WHEN md.df_sub = ms.n_sub THEN 0 ELSE 1 END AS is_hit
+  FROM q
+  JOIN minitf mt ON mt.query_id = q.query_id AND mt.term = q.term
+  JOIN minidf md ON md.query_id = mt.query_id AND md.term = mt.term
+  JOIN ministats ms ON ms.query_id = mt.query_id
+),
+racc AS (
+  SELECT query_id, minidoc, docid,
+         CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  FROM rescored
+  WHERE is_hit = 1 OR contrib <> 0
+  GROUP BY query_id, minidoc, docid
+  HAVING sum(is_hit) > 0
+),
+rranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, minidoc DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM racc
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM rranked WHERE rank <= {k}
+"""
+
+
+SNIPPET_TERMS = ["hash", "join", "dup", "spark"]
+SNIPPET_WINDOW = 12
+SNIPPET_LEN = 80
+CLOUD_TERMS = 5
+
+
+def _q_snippet_beginning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atire_spark.snippets import snippet_beginning
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return snippet_beginning(docs.select("doc_id", "text"), SNIPPET_LEN)
+
+
+def _q_snippet_window_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atire_spark.snippets import snippet_window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return snippet_window(
+        docs.select("doc_id", "text"),
+        {t: 1.0 for t in SNIPPET_TERMS},
+        SNIPPET_WINDOW,
+    )
+
+
+def _q_snippet_window_tficf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atire_spark.snippets import snippet_window, tficf_weights
+
+    eng = _engine(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wts = tficf_weights(
+        SNIPPET_TERMS,
+        eng.postings.select("term", "cf"),
+        eng.collection_len,
+    )
+    return snippet_window(
+        docs.select("doc_id", "text"), wts, SNIPPET_WINDOW
+    )
+
+
+def _q_snippet_kl_cloud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atire_spark.snippets import snippet_kl_cloud
+
+    eng = _engine(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return snippet_kl_cloud(
+        docs.select("doc_id", "text"),
+        eng.postings.select("term", "cf"),
+        eng.collection_len,
+        CLOUD_TERMS,
+    )
+
+
+def _snippet_window_sql(weights_expr: str) -> str:
+    """Shared window-snippet oracle: parallel-unnest token positions,
+    windowed weight sum, earliest-best window, tokens re-joined."""
+    return f"""
+WITH {_CORPUS_CTE},
+tokpos AS (
+  SELECT doc_id, unnest(tl) AS term, unnest(range(0, len(tl))) AS pos
+  FROM (
+    SELECT doc_id,
+           regexp_extract_all(lower(text), '[a-z]+|[0-9]+') AS tl
+    FROM documents
+  )
+),
+weighted AS (
+  SELECT t.doc_id, t.pos, t.term, {weights_expr} AS weight
+  FROM tokpos t
+),
+win AS (
+  SELECT doc_id, pos AS start,
+         sum(weight) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {SNIPPET_WINDOW - 1} FOLLOWING
+         ) AS score
+  FROM weighted
+),
+best AS (
+  SELECT doc_id, start, round(score, 9) AS score FROM (
+    SELECT doc_id, start, score,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, start ASC
+           ) AS rn
+    FROM win
+  ) WHERE rn = 1 AND score > 0
+)
+SELECT b.doc_id, b.start, b.score,
+       string_agg(t.term, ' ' ORDER BY t.pos) AS snippet
+FROM best b JOIN tokpos t USING (doc_id)
+WHERE t.pos >= b.start AND t.pos < b.start + {SNIPPET_WINDOW}
+GROUP BY b.doc_id, b.start, b.score
+"""
+
+
+def _snippet_kl_cloud_sql() -> str:
+    return f"""
+WITH {_CORPUS_CTE},
+wtoks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+wtf AS (SELECT doc_id, term, count(*) AS tf FROM wtoks GROUP BY doc_id, term),
+wlen AS (SELECT doc_id, count(*) AS dlen FROM wtoks GROUP BY doc_id),
+kl AS (
+  SELECT f.doc_id, f.term,
+         (CAST(f.tf AS DOUBLE) / l.dlen)
+           * ln((CAST(f.tf AS DOUBLE) / l.dlen)
+                / (CASE WHEN ts.cf IS NULL
+                        THEN 1.0 / CAST(s.coll_len AS DOUBLE)
+                        ELSE CAST(ts.cf AS DOUBLE) / CAST(s.coll_len AS DOUBLE)
+                   END)) AS kl
+  FROM wtf f
+  JOIN wlen l USING (doc_id)
+  LEFT JOIN termstats ts USING (term)
+  CROSS JOIN stats s
+)
+SELECT doc_id, string_agg(term, ' ' ORDER BY kl DESC, term ASC) AS cloud
+FROM (
+  SELECT doc_id, term, kl,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY kl DESC, term ASC
+         ) AS rn
+  FROM kl
+) WHERE rn <= {CLOUD_TERMS}
+GROUP BY doc_id
+"""
+
+
+# single-term queries for the reference's single-term top-k prune
+ST_QUERIES: list[tuple[int, str]] = [
+    (1, "spark"),
+    (2, "dup"),
+    (3, "the"),
+    (4, "join"),
+    (5, "window"),
+]
+TRIM_K = 20  # -K read-side trim exercised by bm25_trimmed_topk
+
+
+def _q_single_term_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-term top-k prune (atire_api.c:989-997): each 1-term
+    query decodes only its k highest-impact postings (mid-quantum
+    cut), then ranks those."""
+    eng = _engine(spark, sf_dir)
+    return eng.search_batch(ST_QUERIES, k=TOP_K, single_term_prune=True)
+
+
+def _q_bm25_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side trim point (-K query side, search_engine.c:938-963):
+    every term decodes only its first TRIM_K postings in global
+    impact order."""
+    eng = _engine(spark, sf_dir)
+    return eng.search_batch(
+        TESTDATA_QUERIES, k=TOP_K, trim_postings_k=TRIM_K
+    )
+
+
+def _trimmed_bm25_sql(k: int, trim: int, values_sql: str) -> str:
+    """BM25 with the per-(query, term) read trim: the first ``trim``
+    postings in (impact desc, docid asc) order — the same global
+    quantum order the engine's mid-quantum cut realizes."""
+    return f"""
+WITH {_CORPUS_CTE},
+q(query_id, term, weight) AS (
+  VALUES {values_sql}
+),
+trimmed AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, q.weight, t.term,
+         t.docid, t.tf
+  FROM q JOIN tf t USING (term)
+  QUALIFY row_number() OVER (
+    PARTITION BY q.query_id, t.term ORDER BY t.tf DESC, t.docid ASC
+  ) <= {trim}
+),
+scored AS (
+  SELECT tr.query_id, tr.docid,
+         CASE WHEN ts.df = s.n_docs THEN CAST(0 AS BIGINT)
+              ELSE CAST(tr.weight AS BIGINT) * (1 + CAST(trunc(
+                100.0 * ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE))
+                      * ((CAST(tr.tf AS DOUBLE) * (0.9 + 1.0))
+                         / (CAST(tr.tf AS DOUBLE)
+                            + CAST(CAST(0.9 * ((1.0 - 0.4)
+                                + 0.4 * (CAST(d.doc_len AS DOUBLE) / s.mean_len))
+                              AS REAL) AS DOUBLE)))) AS BIGINT))
+         END AS contrib,
+         CASE WHEN ts.df = s.n_docs THEN 0 ELSE 1 END AS is_hit
+  FROM trimmed tr
+  JOIN termstats ts ON ts.term = tr.term
+  JOIN docmap d USING (docid)
+  CROSS JOIN stats s
+),
+acc AS (
+  SELECT query_id, docid, CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  FROM scored
+  WHERE is_hit = 1 OR contrib <> 0
+  GROUP BY query_id, docid
+  HAVING sum(is_hit) > 0
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM acc
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evaluation metrics (evaluator.c protocol) over the BM25 run
     with deterministic graded qrels derived from the corpus: docs
@@ -1203,6 +1524,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_feedback_kl_topk": _q_feedback_kl,
         "more_like_this_topk": _q_more_like_this,
         "eval_metrics": _q_eval_metrics,
+        "bm25_single_term_pruned": _q_single_term_pruned,
+        "bm25_trimmed_topk": _q_bm25_trimmed,
+        "snippet_beginning": _q_snippet_beginning,
+        "snippet_window_tf": _q_snippet_window_tf,
+        "snippet_window_tficf": _q_snippet_window_tficf,
+        "snippet_kl_cloud": _q_snippet_kl_cloud,
+        "bm25_rerank_topk": _q_bm25_rerank,
         "term_culling_stats": _q_term_culling,
         "bm25l_topk": _mk_ranker_query("bm25l"),
         "bm25plus_topk": _mk_ranker_query("bm25plus"),
@@ -1293,6 +1621,41 @@ SELECT term, docid, tf FROM tf
         # evaluation metrics (evaluator.c:126-260; MAP/P@n/S@n/bpref —
         # nDCG and ERR are pytest-certified with hand values)
         "eval_metrics": _eval_metrics_sql(TOP_K),
+        # single-term top-k prune (atire_api.c:989-997)
+        "bm25_single_term_pruned": _trimmed_bm25_sql(
+            TOP_K,
+            TOP_K,
+            ",\n       ".join(f"({q}, '{t}', 1)" for q, t in ST_QUERIES),
+        ),
+        # -K read-side trim (search_engine.c:938-963)
+        "bm25_trimmed_topk": _trimmed_bm25_sql(
+            TOP_K, TRIM_K, _query_values_sql()
+        ),
+        # snippets (snippet_factory.c:19-46; token-window adaptation
+        # documented in snippets.py)
+        "snippet_beginning": f"""
+SELECT doc_id,
+       substr(trim(regexp_replace(text, '\\s+', ' ', 'g')), 1, {SNIPPET_LEN})
+         AS snippet
+FROM documents
+""",
+        "snippet_window_tf": _snippet_window_sql(
+            "CASE WHEN t.term IN ("
+            + ", ".join(f"'{t}'" for t in SNIPPET_TERMS)
+            + ") THEN 1.0 ELSE 0.0 END"
+        ),
+        "snippet_window_tficf": _snippet_window_sql(
+            "CASE WHEN t.term IN ("
+            + ", ".join(f"'{t}'" for t in SNIPPET_TERMS)
+            + ") THEN ln(CAST((SELECT coll_len FROM stats) AS DOUBLE)"
+            " / CAST((SELECT cf FROM termstats"
+            "         WHERE termstats.term = t.term) AS DOUBLE))"
+            " ELSE 0.0 END"
+        ),
+        "snippet_kl_cloud": _snippet_kl_cloud_sql(),
+        # two-stage rerank over the top-k in-memory subcollection
+        # (atire_api.c:1716-1767)
+        "bm25_rerank_topk": _rerank_sql(TOP_K, RERANK_FPK),
         # serialise-time culling (should_prune, memory_index.c:782-798):
         # surviving dictionary = no predicate fired
         "term_culling_stats": f"""

@@ -93,6 +93,7 @@ def _segment_contrib(
     n_docs: int,
     mean_len: float,
     coll_len: int = 0,
+    take_counts: np.ndarray | None = None,
 ):
     """Decode one matching segment row.
 
@@ -154,6 +155,20 @@ def _segment_contrib(
         row.postings,
         row.doc_lens,
     )
+    if take_counts is not None:
+        # partial decode to the trim point (search_engine.c:1040-1070):
+        # keep the first take_counts[g] postings of each quantum g —
+        # the crossing quantum is cut mid-stream, later quantums get 0
+        counts = np.asarray(row.doc_counts, dtype=np.int64)
+        tk = np.minimum(np.asarray(take_counts, dtype=np.int64), counts)
+        starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+        pos = np.arange(docids.size, dtype=np.int64) - np.repeat(starts, counts)
+        keep = pos < np.repeat(tk, counts)
+        docids, impacts = docids[keep], impacts[keep]
+        if lens is not None:
+            lens = lens[keep]
+        if docids.size == 0:
+            return None
     if quantized:
         return "fixed", docids, impacts.astype(np.int64)
     if ranker == "termcount":
@@ -345,6 +360,56 @@ class SearchEngine:
     def search_one(self, query: str, k: int = 10) -> DataFrame:
         return self.search_batch([(1, query)], k)
 
+    def _trim_takes(
+        self, hits: DataFrame, wanted: dict[str, set[int]]
+    ) -> dict[tuple[str, int, int], np.ndarray]:
+        """Per-(term, seg_group) quantum take-counts realizing the
+        reference's partial read to the trim point
+        (search_engine.c:1040-1070): walk the term's quantums in
+        GLOBAL impact-descending order (within an impact value the
+        segments' docid ranges ascend), decode whole quantums until
+        the trim point, truncating the crossing quantum mid-stream.
+
+        Only segment METADATA (impacts[], doc_counts[]) is collected —
+        the reference likewise reads the whole impact header before
+        deciding where to stop; posting bytes stay distributed.
+        """
+        meta = (
+            hits.filter(F.col("term").isin(list(wanted)))
+            .select("term", "seg_group", "impacts", "doc_counts")
+            .collect()
+        )
+        per_term: dict[str, list] = {}
+        for r in meta:
+            per_term.setdefault(r["term"], []).append(r)
+        takes: dict[tuple[str, int, int], np.ndarray] = {}
+        for term, rows in per_term.items():
+            quanta = []  # (impact, seg_group, quantum_idx, count)
+            for r in rows:
+                sg = int(r["seg_group"])
+                for gi, (imp, cnt) in enumerate(
+                    zip(r["impacts"], r["doc_counts"])
+                ):
+                    quanta.append((int(imp), sg, gi, int(cnt)))
+            quanta.sort(key=lambda x: (-x[0], x[1], x[2]))
+            for trim in wanted[term]:
+                remaining = trim
+                take_map: dict[tuple[int, int], int] = {}
+                for imp, sg, gi, cnt in quanta:
+                    t = min(cnt, max(remaining, 0))
+                    take_map[(sg, gi)] = t
+                    remaining -= cnt
+                for r in rows:
+                    sg = int(r["seg_group"])
+                    takes[(term, trim, sg)] = np.asarray(
+                        [
+                            take_map[(sg, gi)]
+                            for gi in range(len(r["impacts"]))
+                        ],
+                        dtype=np.int64,
+                    )
+        return takes
+
     def search_batch(
         self,
         queries: list[tuple[int, str]],
@@ -353,6 +418,8 @@ class SearchEngine:
         conjunctive: bool = False,
         grouped: bool = True,
         parsed_terms: dict[int, list[tuple[str, int, float]]] | None = None,
+        trim_postings_k: int | None = None,
+        single_term_prune: bool = False,
     ) -> DataFrame:
         """Run a batch of (query_id, text) → top-k DataFrame.
 
@@ -376,6 +443,16 @@ class SearchEngine:
         passes expansion terms with their KL score as the postscalar
         (atire_api.c:1334-1336); normal queries parse from text with
         postscalar 1.
+
+        ``trim_postings_k`` is the reference's read-side trim
+        (-K query side, search_engine.c:938-963): each term decodes
+        only its first ``trim`` postings in global impact order, the
+        crossing quantum cut mid-stream. ``single_term_prune=True``
+        additionally trims 1-term queries at ``k``
+        (atire_api.c:989-997). Both are results-changing heuristics
+        (documents past the trim point get no score); the reference
+        applies the single-term prune unconditionally — here it is
+        opt-in so the default path stays exact-evaluation.
         """
         if self.quantized and ranker != "bm25":
             raise ValueError(
@@ -391,6 +468,7 @@ class SearchEngine:
         qmap: dict[str, list[tuple[int, int, float]]] = {}
         n_terms_per_q: dict[int, int] = {}
         nq: dict[int, float] = {}  # LM term count per query (chain length)
+        parsed_by_q: dict[int, list[tuple[str, int, float]]] = {}
         for qid, text in queries:
             if parsed_terms is not None:
                 parsed = parsed_terms.get(qid, [])
@@ -398,6 +476,7 @@ class SearchEngine:
                 parsed = [
                     (t, w, 1.0) for t, w in parse_query(text, self.stemmer)
                 ]
+            parsed_by_q[qid] = parsed
             n_terms_per_q[qid] = len(parsed)
             nq[qid] = float(sum(w for _, w, _ in parsed))
             for term, weight, post in parsed:
@@ -407,6 +486,33 @@ class SearchEngine:
 
         hits = self.postings.filter(F.col("term").isin(list(qmap)))
 
+        # read-side trim points (search_engine.c:938-963): the global
+        # -K read trim (``trim_postings_k``) plus the single-term
+        # top-k prune (atire_api.c:989-997 — a 1-term query reads only
+        # min(trim, k) postings off the impact-ordered list)
+        trim_for: dict[tuple[int, str], int] = {}
+        for qid, plist in parsed_by_q.items():
+            eff = trim_postings_k
+            if (
+                single_term_prune
+                and len(plist) == 1
+                and plist[0][1] == 1  # one chain entry, not a repeat
+            ):
+                eff = k if eff is None else min(eff, k)
+            if eff is not None:
+                for term, _w, _p in plist:
+                    trim_for[(qid, term)] = eff
+        takes: dict[tuple[str, int, int], np.ndarray] = {}
+        if trim_for:
+            if not grouped:
+                raise ValueError(
+                    "read-side trims require the grouped (default) path"
+                )
+            wanted: dict[str, set[int]] = {}
+            for (qid, term), tr in trim_for.items():
+                wanted.setdefault(term, set()).add(tr)
+            takes = self._trim_takes(hits, wanted)
+
         n_docs = self.n_docs
         mean_len = self.mean_doc_len
         coll_len = self.collection_len
@@ -414,7 +520,8 @@ class SearchEngine:
 
         if grouped:
             return self._search_grouped(
-                hits, qmap, nq, n_terms_per_q, k, ranker, conjunctive
+                hits, qmap, nq, n_terms_per_q, k, ranker, conjunctive,
+                trim_for, takes,
             )
 
         def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -500,6 +607,8 @@ class SearchEngine:
         k: int,
         ranker: str,
         conjunctive: bool,
+        trim_for: dict[tuple[int, str], int] | None = None,
+        takes: dict[tuple[str, int, int], np.ndarray] | None = None,
     ) -> DataFrame:
         """Scale path (default): partition by seg_group so every docid's
         full accumulation completes inside one task, emit only the
@@ -529,13 +638,31 @@ class SearchEngine:
             terms_: list[np.ndarray] = []
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
-                    dec = _segment_contrib(
-                        row, ranker, conjunctive, quantized, n_docs, mean_len,
-                        coll_len,
-                    )
-                    if dec is None:
-                        continue
+                    # one decode per distinct trim value of this
+                    # segment (None = full decode); trims are rare
+                    decs: dict[int | None, object] = {}
                     for qid, weight, post in qmap[row.term]:
+                        tr = (
+                            trim_for.get((qid, row.term))
+                            if trim_for
+                            else None
+                        )
+                        if tr not in decs:
+                            tk = (
+                                takes.get(
+                                    (row.term, tr, int(row.seg_group))
+                                )
+                                if tr is not None
+                                else None
+                            )
+                            decs[tr] = _segment_contrib(
+                                row, ranker, conjunctive, quantized,
+                                n_docs, mean_len, coll_len,
+                                take_counts=tk,
+                            )
+                        dec = decs[tr]
+                        if dec is None:
+                            continue
                         if lmds:
                             _, docids, rsv, prior, cf = dec
                             unit = 1 + ((rsv * post) * 100.0).astype(np.int64)
@@ -1052,6 +1179,109 @@ class SearchEngine:
         return self.search_batch(
             queries, k=k, ranker=ranker, parsed_terms=parsed
         )
+
+    def search_rerank(
+        self,
+        queries: list[tuple[int, str]],
+        documents: DataFrame,
+        k: int = 10,
+        first_pass_k: int = 100,
+    ) -> DataFrame:
+        """Two-stage retrieval (reference ATIRE_API::rerank,
+        atire_api.c:1716-1767): the first pass ranks the full index;
+        the top ``first_pass_k`` documents are re-indexed as a fresh
+        in-memory subcollection — its OWN N, mean length, df/cf — and
+        the query is re-scored there.
+
+        Faithful details: mini docids are assigned in first-pass rank
+        order (index counts from 1, search from 0 → mini docid =
+        rank−1, atire_api.c:1751); ties in the reranked list therefore
+        put the INITIALLY-LOWER-ranked doc first (larger docid wins);
+        a term occurring in every subcollection doc has idf 0 and
+        contributes nothing (bm25.c:91-92) — a single-term query whose
+        results all contain the term reranks to empty, like the
+        reference. The k-bounded doc fetch matches the reference's RAM
+        materialization of the top-k documents.
+        """
+        from atire_spark.kernels.stem import index_stem
+
+        initial = self.search_batch(queries, k=first_pass_k)
+        rows = (
+            initial.join(self.index.docmap, "docid")
+            .join(documents, ["conv_id", "turn_idx"])
+            .select("query_id", "rank", "docid", "text")
+            .collect()
+        )
+        per_q: dict[int, list[tuple[int, int, str]]] = {}
+        for r in rows:
+            per_q.setdefault(int(r["query_id"]), []).append(
+                (int(r["rank"]), int(r["docid"]), r["text"])
+            )
+        k1, b = BM25_K1, BM25_B
+        out: list[tuple[int, int, int, int, float]] = []
+        for qid, text in queries:
+            docs = sorted(per_q.get(qid, []))
+            if not docs:
+                continue
+            # mini index over the subcollection (docids = rank order)
+            tfs: list[Counter] = []
+            lens: list[int] = []
+            for _rank, _docid, doc_text in docs:
+                toks = tokenize(doc_text)
+                if self.stemmer is not None:
+                    toks = [index_stem(t, self.stemmer) for t in toks]
+                lens.append(len(toks))
+                tfs.append(Counter(toks))
+            n_sub = len(docs)
+            mean_sub = sum(lens) / n_sub
+            acc = np.zeros(n_sub, dtype=np.int64)
+            touched = np.zeros(n_sub, dtype=bool)
+            for term, weight in parse_query(text, self.stemmer):
+                hit = [
+                    (i, min(c[term], 255)) for i, c in enumerate(tfs) if term in c
+                ]
+                if not hit:
+                    continue
+                df_sub = len(hit)
+                idf = float(np.log(np.float64(n_sub) / np.float64(df_sub)))
+                if idf == 0.0:
+                    continue  # df == N in the subcollection
+                ids = np.asarray([i for i, _ in hit], dtype=np.int64)
+                tf_d = np.asarray([t for _, t in hit], dtype=np.float64)
+                prior = (
+                    k1
+                    * (
+                        (1.0 - b)
+                        + b
+                        * (
+                            np.asarray(
+                                [lens[i] for i, _ in hit], dtype=np.float64
+                            )
+                            / mean_sub
+                        )
+                    )
+                ).astype(np.float32)
+                rsv = idf * (
+                    (tf_d * (k1 + 1.0)) / (tf_d + prior.astype(np.float64))
+                )
+                acc[ids] += (1 + (rsv * 100.0).astype(np.int64)) * weight
+                touched[ids] = True
+            cand = np.flatnonzero(touched)
+            if cand.size == 0:
+                continue
+            vals = acc[cand] % ACCUM_MOD
+            order = np.lexsort((-cand, -vals))[: min(k, cand.size)]
+            for rnk, idx in enumerate(cand[order], start=1):
+                out.append(
+                    (
+                        qid,
+                        rnk,
+                        docs[int(idx)][1],  # original docid
+                        int(vals[order[rnk - 1]]),
+                        int(vals[order[rnk - 1]]) / 100.0,
+                    )
+                )
+        return self.spark.createDataFrame(out, RESULT_SCHEMA)
 
     def more_like_this(
         self,
