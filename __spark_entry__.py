@@ -1354,6 +1354,7 @@ def _ranker_sql(
     extra_cte: str = "",
     extra_join: str = "",
     extra_where: str = "",
+    agg: str = "sum",
 ) -> str:
     """Shared scaffolding for the alternative-ranker oracles: same
     corpus CTE, per-query VALUES, pmod-wrapped uint16 accumulation,
@@ -1376,7 +1377,7 @@ scored AS (
 ),
 acc AS (
   SELECT query_id, docid,
-         CAST(((sum(contrib) % 65536) + 65536) % 65536 AS BIGINT) AS rsv_fixed
+         CAST((({agg}(contrib) % 65536) + 65536) % 65536 AS BIGINT) AS rsv_fixed
   FROM scored GROUP BY query_id, docid
 ),
 ranked AS (
@@ -1538,6 +1539,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmjm_topk": _mk_ranker_query("lmjm"),
         "dph_topk": _mk_ranker_query("dph"),
         "dlh13_topk": _mk_ranker_query("dlh13"),
+        "bose_gl2_topk": _mk_ranker_query("bose"),
+        "divergence_ineb2_topk": _mk_ranker_query("divergence"),
+        "dfree_topk": _mk_ranker_query("dfree"),
+        "dfi_topk": _mk_ranker_query("dfi"),
+        "dfi_idf_topk": _mk_ranker_query("dfi_idf"),
+        "dfiw_topk": _mk_ranker_query("dfiw"),
+        "dfiw_idf_topk": _mk_ranker_query("dfiw_idf"),
+        "tflodop_topk": _mk_ranker_query("tflodop"),
+        "kbtfidf_topk": _mk_ranker_query("kbtfidf"),
+        "docid_asc_topk": _mk_ranker_query("docid_asc"),
+        "docid_desc_topk": _mk_ranker_query("docid_desc"),
         "bm25_quantized_topk": _q_bm25_quantized,
         "qaat_exact_topk": _q_qaat_exact,
         "boolean_topk": _q_boolean,
@@ -1736,6 +1748,109 @@ WHERE NOT (cf = 1
         # (the reference's qsort tie order is unspecified; both sides
         # here use the same deterministic tie-break)
         "lmds_topk": _lmds_sql(TOP_K),
+        # Bose-Einstein GL2 (ranking_function_bose_einstein.c:76-96)
+        "bose_gl2_topk": _ranker_sql(
+            "CAST(q.weight AS BIGINT) * (1 + CAST(trunc(("
+            " (ln(1.0 + CAST(ts.cf AS DOUBLE) / CAST(s.n_docs AS DOUBLE))"
+            "  + (CAST(t.tf AS DOUBLE)"
+            "     * ln(1.0 + s.mean_len / CAST(d.doc_len AS DOUBLE)))"
+            "    * ln(1.0 + CAST(s.n_docs AS DOUBLE) / CAST(ts.cf AS DOUBLE)))"
+            " / ((CAST(t.tf AS DOUBLE)"
+            "     * ln(1.0 + s.mean_len / CAST(d.doc_len AS DOUBLE))) + 1.0)"
+            ") * 100.0) AS BIGINT))",
+            TOP_K,
+        ),
+        # DFR I(ne)B2 (ranking_function_divergence.c:46-75)
+        "divergence_ineb2_topk": _ranker_sql(
+            "CAST(q.weight AS BIGINT) * (1 + CAST(trunc(("
+            " (CAST(t.tf AS DOUBLE)"
+            "  * (ln(1.0 + s.mean_len / CAST(d.doc_len AS DOUBLE)) / ln(2.0)))"
+            " * (ln((CAST(s.n_docs AS DOUBLE) + 1.0)"
+            "       / (CAST(s.n_docs AS DOUBLE)"
+            "          * (1.0 - pow((CAST(s.n_docs AS DOUBLE) - 1.0)"
+            "                        / CAST(s.n_docs AS DOUBLE),"
+            "                       CAST(ts.cf AS DOUBLE))) + 0.5)) / ln(2.0))"
+            " * ((CAST(ts.cf AS DOUBLE) + 1.0)"
+            "    / (CAST(ts.df AS DOUBLE)"
+            "       * ((CAST(t.tf AS DOUBLE)"
+            "           * (ln(1.0 + s.mean_len / CAST(d.doc_len AS DOUBLE))"
+            "              / ln(2.0))) + 1.0)))"
+            ") * 100.0) AS BIGINT))",
+            TOP_K,
+        ),
+        # DFRee (ranking_function_dfree.c:20-45)
+        "dfree_topk": _ranker_sql(
+            "CAST(q.weight AS BIGINT) * (1 + CAST(trunc(("
+            " 1.0 * (CAST(t.tf AS DOUBLE)"
+            "   * (ln(((CAST(t.tf AS DOUBLE) + 1.0) / (CAST(d.doc_len AS DOUBLE) + 1.0))"
+            "         / (CAST(t.tf AS DOUBLE) / CAST(d.doc_len AS DOUBLE))) / ln(2.0)))"
+            " * (CAST(t.tf AS DOUBLE)"
+            "     * (-(ln((CAST(t.tf AS DOUBLE) / CAST(d.doc_len AS DOUBLE))"
+            "             * (CAST(s.coll_len AS DOUBLE) / CAST(t.tf AS DOUBLE))) / ln(2.0)))"
+            "    + (CAST(t.tf AS DOUBLE) + 1.0)"
+            "      * (ln(((CAST(t.tf AS DOUBLE) + 1.0) / (CAST(d.doc_len AS DOUBLE) + 1.0))"
+            "            * (CAST(s.coll_len AS DOUBLE) / CAST(t.tf AS DOUBLE))) / ln(2.0))"
+            "    + 0.5 * (ln(((CAST(t.tf AS DOUBLE) + 1.0) / (CAST(d.doc_len AS DOUBLE) + 1.0))"
+            "                / (CAST(t.tf AS DOUBLE) / CAST(d.doc_len AS DOUBLE))) / ln(2.0)))"
+            ") * 100.0) AS BIGINT))",
+            TOP_K,
+        ),
+        # DFI family (ranking_function_dfi*.c): postings with
+        # tf <= ef = cf·len/|C| contribute nothing
+        "dfi_topk": _ranker_sql(
+            _DFI_CONTRIB.replace("_TAIL_", ""), TOP_K, extra_where=_DFI_WHERE
+        ),
+        "dfi_idf_topk": _ranker_sql(
+            _DFI_CONTRIB.replace(
+                "_TAIL_",
+                " * (ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE)) / ln(2.0))",
+            ),
+            TOP_K,
+            extra_where=_DFI_WHERE,
+        ),
+        "dfiw_topk": _ranker_sql(
+            _DFI_CONTRIB.replace(
+                "_TAIL_",
+                " * (-(ln(CAST(t.tf AS DOUBLE) / CAST(d.doc_len AS DOUBLE)) / ln(2.0)))",
+            ),
+            TOP_K,
+            extra_where=_DFI_WHERE,
+        ),
+        "dfiw_idf_topk": _ranker_sql(
+            _DFI_CONTRIB.replace(
+                "_TAIL_",
+                " * (ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE)) / ln(2.0))"
+                " * (-(ln(CAST(t.tf AS DOUBLE) / CAST(d.doc_len AS DOUBLE)) / ln(2.0)))",
+            ),
+            TOP_K,
+            extra_where=_DFI_WHERE,
+        ),
+        # TFlodop b=0.1 δ=0.1 (ranking_function_tflodop.c:73-89)
+        "tflodop_topk": _ranker_sql(
+            "CAST(q.weight AS BIGINT) * (1 + CAST(trunc(("
+            " (1 + ln(1 + ln(CAST(t.tf AS DOUBLE)"
+            "   / (1 - 0.1 + 0.1 * (CAST(d.doc_len AS DOUBLE) / s.mean_len))"
+            "   + 0.1)))"
+            " * ln((CAST(s.n_docs AS DOUBLE) + 1) / CAST(ts.df AS DOUBLE))"
+            ") * 100.0) AS BIGINT))",
+            TOP_K,
+        ),
+        # kbtfidf k=5 b=5−e (ranking_function_kbtfidf.c:139,160-163)
+        "kbtfidf_topk": _ranker_sql(
+            "CAST(q.weight AS BIGINT) * (1 + CAST(trunc(("
+            " (ln(5.0 * CAST(t.tf AS DOUBLE) - 2.281718171540955)"
+            "  * ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE))"
+            "  * ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE))) / 100.0"
+            ") * 100.0) AS BIGINT))",
+            TOP_K,
+        ),
+        # docid rankers (ranking_function_docid.c): positional set_rsv
+        "docid_asc_topk": _ranker_sql(
+            "CAST(s.n_docs - t.docid AS BIGINT)", TOP_K, agg="max"
+        ),
+        "docid_desc_topk": _ranker_sql(
+            "CAST(t.docid + 1 AS BIGINT)", TOP_K, agg="max"
+        ),
         "bm25_quantized_topk": _quantized_sql(),
         # exact-mode QaaT is rank-identical to TaaT over the quantized
         # index — same oracle certifies the quantum-ordered traversal
@@ -1778,6 +1893,24 @@ FROM ranked r JOIN docmap d USING (docid)
 WHERE r.rank <= {TOP_K}
 """,
     }
+
+
+# DFI base contribution; _TAIL_ is replaced per variant (idf / w / both)
+_DFI_CONTRIB = (
+    "CAST(q.weight AS BIGINT) * (1 + CAST(trunc(("
+    " (ln((CAST(t.tf AS DOUBLE)"
+    "      - CAST(ts.cf AS DOUBLE)"
+    "        * (CAST(d.doc_len AS DOUBLE) / CAST(s.coll_len AS DOUBLE)))"
+    "     / sqrt(CAST(ts.cf AS DOUBLE)"
+    "            * (CAST(d.doc_len AS DOUBLE) / CAST(s.coll_len AS DOUBLE)))"
+    "     + 1) / ln(2.0))_TAIL_"
+    ") * 100.0) AS BIGINT))"
+)
+_DFI_WHERE = (
+    "WHERE CAST(t.tf AS DOUBLE)"
+    " - CAST(ts.cf AS DOUBLE)"
+    "   * (CAST(d.doc_len AS DOUBLE) / CAST(s.coll_len AS DOUBLE)) > 0"
+)
 
 
 def _lmds_sql(k: int) -> str:

@@ -209,6 +209,76 @@ def _segment_contrib(
             + BM25PLUS_DELTA
         )
         return "float", docids, rsv
+    if ranker == "bose":
+        # Bose-Einstein GL2 (ranking_function_bose_einstein.c:76-96)
+        cf_d = np.float64(int(row.cf))
+        left = float(np.log(1.0 + cf_d / np.float64(n_docs)))
+        right = float(np.log(1.0 + np.float64(n_docs) / cf_d))
+        tf_prime = tf_d * np.log(1.0 + mean_len / len_d)
+        return "float", docids, (left + tf_prime * right) / (tf_prime + 1.0)
+    if ranker == "divergence":
+        # DFR I(ne)B2 (ranking_function_divergence.c:46-75)
+        big_f = np.float64(int(row.cf))
+        nd = np.float64(n_docs)
+        ne = nd * (1.0 - np.power((nd - 1.0) / nd, big_f))
+        inf_right = float(_log2((nd + 1.0) / (ne + 0.5)))
+        tf_prime = tf_d * _log2(1.0 + mean_len / len_d)
+        rsv = tf_prime * inf_right * (
+            (big_f + 1.0) / (np.float64(int(row.df)) * (tf_prime + 1.0))
+        )
+        return "float", docids, rsv
+    if ranker == "dfree":
+        # DFRee (ranking_function_dfree.c:20-45)
+        prior = tf_d / len_d
+        posterior = (tf_d + 1.0) / (len_d + 1.0)
+        ipc = np.float64(coll_len) / tf_d
+        norm = tf_d * _log2(posterior / prior)
+        score = 1.0 * norm * (
+            tf_d * (-_log2(prior * ipc))
+            + (tf_d + 1.0) * (+_log2(posterior * ipc))
+            + 0.5 * _log2(posterior / prior)
+        )
+        return "float", docids, score
+    if ranker in ("dfi", "dfi_idf", "dfiw", "dfiw_idf"):
+        # DFI family (ranking_function_dfi*.c): ef = cf·len/|C|,
+        # base = log2((tf−ef)/sqrt(ef) + 1); only tf−ef > 0 scores
+        cf_d = np.float64(int(row.cf))
+        ef = cf_d * (len_d / np.float64(coll_len))
+        ok = (tf_d - ef) > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rsv = _log2((tf_d - ef) / np.sqrt(ef) + 1)
+            if ranker in ("dfi_idf", "dfiw_idf"):
+                rsv = rsv * float(
+                    _log2(np.float64(n_docs) / np.float64(int(row.df)))
+                )
+            if ranker in ("dfiw", "dfiw_idf"):
+                rsv = rsv * -_log2(tf_d / len_d)
+        return "float", docids[ok], rsv[ok]
+    if ranker == "tflodop":
+        # TFlodop (ranking_function_tflodop.c:73-89), b=0.1 δ=0.1
+        idft = float(
+            np.log((np.float64(n_docs) + 1) / np.float64(int(row.df)))
+        )
+        tf_part = 1 + np.log(
+            1 + np.log(tf_d / (1 - 0.1 + 0.1 * (len_d / mean_len)) + 0.1)
+        )
+        return "float", docids, tf_part * idft
+    if ranker == "kbtfidf":
+        # kbtfidf (ranking_function_kbtfidf.c:139,160-163): rsv =
+        # (ln(k·tf − b)·idf²)/100, k=5, b=2.281718171540955 (= 5−e,
+        # so tf=1 scores exactly idf²)
+        idfk = float(np.log(np.float64(n_docs) / np.float64(int(row.df))))
+        raw = np.log(5.0 * tf_d - 2.281718171540955) * idfk * idfk
+        return "float", docids, raw / 100.0
+    if ranker in ("docid_asc", "docid_desc"):
+        # docid rankers (ranking_function_docid.c): set_rsv, not
+        # add_rsv — the accumulation uses MAX, the value is purely
+        # positional: N−docid (ascending output) or docid+1
+        if ranker == "docid_asc":
+            vals = (np.int64(n_docs) - docids).astype(np.int64)
+        else:
+            vals = (docids + 1).astype(np.int64)
+        return "fixed", docids, vals
     if ranker in ("dph", "dlh13"):
         cf_d = np.float64(int(row.cf))
         ok = tf_d < len_d  # (1-f) > 0; == makes log2(0), C UB — skip
@@ -557,9 +627,14 @@ class SearchEngine:
             score_fn,
             schema="query_id long, docid long, contrib long, term_hits long",
         )
+        contrib_agg = (
+            F.max("contrib")
+            if ranker in ("docid_asc", "docid_desc")
+            else F.sum("contrib")
+        )
         accum = scored.groupBy("query_id", "docid").agg(
             # pmod: LM scores can go negative; uint16 wrap is mod 2^16
-            F.pmod(F.sum("contrib"), F.lit(ACCUM_MOD)).alias("rsv_fixed"),
+            F.pmod(contrib_agg, F.lit(ACCUM_MOD)).alias("rsv_fixed"),
             F.sum("term_hits").alias("term_hits"),
         )
         if conjunctive:
@@ -682,7 +757,12 @@ class SearchEngine:
                             docids, contrib = _per_query_contrib(
                                 dec, nq[qid], post
                             )
-                            contribs.append(contrib * weight)
+                            if ranker in ("docid_asc", "docid_desc"):
+                                # set_rsv semantics: positional value,
+                                # no query-weight multiplication
+                                contribs.append(contrib)
+                            else:
+                                contribs.append(contrib * weight)
                         qids.append(np.full(docids.size, qid, dtype=np.int64))
                         docs.append(docids)
                         hit_flags.append(np.ones(docids.size, dtype=np.int64))
@@ -714,9 +794,14 @@ class SearchEngine:
                 )
                 acc.loc[first, "adj"] = 0
                 acc["contrib"] = acc["contrib"] + acc["adj"]
+            # docid rankers use the reference's set_rsv (overwrite)
+            # semantics: identical per-term values, MAX == the value
+            contrib_agg = (
+                "max" if ranker in ("docid_asc", "docid_desc") else "sum"
+            )
             agg = (
                 acc.groupby(["query_id", "docid"], sort=False)
-                .agg(rsv_fixed=("contrib", "sum"), th=("hit", "sum"))
+                .agg(rsv_fixed=("contrib", contrib_agg), th=("hit", "sum"))
                 .reset_index()
             )
             agg["rsv_fixed"] = agg["rsv_fixed"] % ACCUM_MOD
