@@ -224,48 +224,106 @@ def _sorted_partitions(
     return parts, offsets, acc
 
 
+def _range_bounds(
+    transcripts: DataFrame, n_buckets: int
+) -> list[tuple[str, int]]:
+    """Range-bucket bounds over (conv_id, turn_idx), sampled from the
+    RAW transcripts. repartitionByRange on the tokenized frame would
+    run its sampling pass over the token arrays (an extra
+    materialization of the expensive columns); sampling the two key
+    columns of the raw input costs one cheap column-pruned scan."""
+    n = transcripts.count()
+    if n == 0:
+        return []
+    frac = min(1.0, (n_buckets * 128.0) / n)
+    rows = (
+        transcripts.select("conv_id", "turn_idx")
+        .sample(fraction=frac, seed=13)
+        .collect()
+    )
+    keys = sorted((r["conv_id"], int(r["turn_idx"])) for r in rows)
+    if not keys:
+        return []
+    bounds: list[tuple[str, int]] = []
+    for i in range(1, n_buckets):
+        b = keys[min(int(len(keys) * i / n_buckets), len(keys) - 1)]
+        if not bounds or b != bounds[-1]:
+            bounds.append(b)
+    return bounds
+
+
 def _stage_sorted(
-    tokenized: DataFrame, stage_dir: str, num_ranges: int | None = None
+    tokenized: DataFrame,
+    stage_dir: str,
+    num_ranges: int | None = None,
+    bounds: list[tuple[str, int]] | None = None,
 ) -> tuple[DataFrame, dict[int, int], int]:
-    """Sort the non-empty tokenized rows by (conv_id, turn_idx) and
-    stage them to parquet with (pid, local_idx) stamped, returning
-    (staged frame, per-pid docid offsets, total docs).
+    """Bucket + sort the non-empty tokenized rows by (conv_id,
+    turn_idx) and stage them to parquet with (pid, local_idx) stamped,
+    returning (staged frame, per-bucket docid offsets, total docs).
+
+    ``pid`` is an ORDERED range-bucket id (bucket i's keys all sort
+    before bucket i+1's), assigned vectorized against the sampled
+    ``bounds``; rows hash-shuffle on it (a bucket never splits), sort
+    within partitions by (pid, conv_id, turn_idx), and stream to
+    parquet in ONE pass — the tokenizer output is materialized exactly
+    once, with no repartitionByRange sampling pass or JVM/disk cache
+    roundtrip of the token arrays.
 
     ``docid = offsets[pid] + local_idx`` is then pure columnar
     arithmetic — later passes read the staged parquet (column-pruned,
-    GC-free) instead of a JVM object cache, and the staged directory
-    doubles as a durable build checkpoint: the expensive tokenize +
-    global sort never re-runs.
+    GC-free), and the staged directory doubles as a durable build
+    checkpoint: tokenize + global sort never re-run.
     """
-    from pyspark import StorageLevel
+    spark = tokenized.sparkSession
+    n_parts = num_ranges or max(spark.sparkContext.defaultParallelism, 4)
+    bnds = bounds or []
+    bkeys = [(str(c), int(t)) for c, t in bnds]
 
-    # tokenize runs once: cached (disk) across the range-partitioner's
-    # sampling pass and the staging write, then dropped
-    non_empty = tokenized.filter(F.col("doc_len") > 0).persist(
-        StorageLevel.DISK_ONLY
-    )
-    n_parts = num_ranges or max(
-        non_empty.sparkSession.sparkContext.defaultParallelism, 4
-    )
-    parts = non_empty.repartitionByRange(
-        n_parts, "conv_id", "turn_idx"
-    ).sortWithinPartitions("conv_id", "turn_idx")
-
-    def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
-        seen = 0
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pdf = pdf.reset_index(drop=True)
-            pdf.insert(0, "pid", np.int32(pid))
-            pdf.insert(1, "local_idx", seen + np.arange(len(pdf), dtype=np.int64))
-            seen += len(pdf)
+            if not len(pdf):
+                continue
+            conv = pdf["conv_id"].to_numpy()
+            turn = pdf["turn_idx"].to_numpy()
+            bucket = np.zeros(len(pdf), dtype=np.int32)
+            for c, t in bkeys:
+                bucket += ((conv > c) | ((conv == c) & (turn >= t))).astype(
+                    np.int32
+                )
+            pdf = pdf.copy()
+            pdf.insert(0, "pid", bucket)
             yield pdf
 
-    spark = tokenized.sparkSession
+    non_empty = tokenized.filter(F.col("doc_len") > 0)
+    parts = (
+        non_empty.mapInPandas(assign, schema="pid int, " + TOKENIZED_SCHEMA)
+        .repartition(n_parts, "pid")
+        .sortWithinPartitions("pid", "conv_id", "turn_idx")
+    )
+
+    def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-bucket running index; a hash partition may hold several
+        # whole buckets and a bucket may span Arrow batches
+        seen: dict[int, int] = {}
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            b = pdf["pid"].to_numpy()
+            idx = np.zeros(len(pdf), dtype=np.int64)
+            if len(pdf):
+                change = np.flatnonzero(np.diff(b)) + 1
+                starts = np.concatenate(([0], change))
+                ends = np.concatenate((change, [len(b)]))
+                for s, e in zip(starts, ends):
+                    base = seen.get(int(b[s]), 0)
+                    idx[s:e] = base + np.arange(e - s, dtype=np.int64)
+                    seen[int(b[s])] = base + int(e - s)
+            pdf.insert(1, "local_idx", idx)
+            yield pdf
+
     parts.mapInPandas(
         stamp, schema="pid int, local_idx long, " + TOKENIZED_SCHEMA
     ).write.mode("overwrite").parquet(stage_dir)
-    non_empty.unpersist()
 
     staged = spark.read.parquet(stage_dir)
     counts = {
@@ -333,9 +391,15 @@ def _stage1_from_staged(
 ) -> DataFrame:
     """Partition-local posting construction over the staged parquet:
     docid = offsets[pid] + local_idx computed in numpy, one columnar
-    read of the token arrays. Batches are re-sorted by docid (a batch
-    can straddle two staged files when Spark packs small files into
-    one read split)."""
+    read of the token arrays.
+
+    Batches are processed PER BUCKET (pid), docid-sorted: each emitted
+    stage1 row must cover a contiguous docid range disjoint from every
+    other row of the same (term, block) — the merge concatenates rows
+    in first-docid order and delta-encodes, so interleaved ranges
+    would produce negative deltas. A bucket is a contiguous docid
+    range by construction; a hash partition (and hence an Arrow batch)
+    may hold several non-adjacent buckets, so the batch splits."""
     off = dict(offsets)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -345,10 +409,13 @@ def _stage1_from_staged(
             pdf = pdf.reset_index(drop=True)
             base = pdf["pid"].map(off).to_numpy(dtype=np.int64)
             pdf.insert(0, "docid", base + pdf["local_idx"].to_numpy(np.int64))
-            pdf = pdf.sort_values("docid", kind="stable").reset_index(drop=True)
-            out = _group_posting_batch(pdf, block_bits)
-            if out is not None:
-                yield out
+            for _pid, sub in pdf.groupby("pid", sort=True):
+                sub = sub.sort_values("docid", kind="stable").reset_index(
+                    drop=True
+                )
+                out = _group_posting_batch(sub, block_bits)
+                if out is not None:
+                    yield out
 
     return staged.select(
         "pid", "local_idx", "doc_len", "terms", "tfs", "occs"
@@ -712,8 +779,12 @@ def build_index(
     tokenized = tokenize_stage(
         transcripts, stemmer=stemmer, stop_before_indexing=stop_before_indexing
     )
+    n_ranges = max(spark.sparkContext.defaultParallelism, 4)
     staged, offsets, n_total = _stage_sorted(
-        tokenized, f"{stage_dir}/tokenized_sorted"
+        tokenized,
+        f"{stage_dir}/tokenized_sorted",
+        num_ranges=n_ranges,
+        bounds=_range_bounds(transcripts, n_ranges),
     )
     if block_bits is None:
         block_bits = _adaptive_block_bits(

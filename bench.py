@@ -58,8 +58,14 @@ def main() -> None:
     n_turns = len(pdf)
     gen_sec = time.monotonic() - gen0
 
-    tdf = spark.createDataFrame(pdf)
     with tempfile.TemporaryDirectory() as tmp:
+        # stage the corpus to parquet first: the deployment input is a
+        # table on storage; a driver-parallelized frame would re-ship
+        # rows from the driver on every scan (fake serial cost)
+        spark.createDataFrame(pdf).repartition(cpus).write.parquet(
+            f"{tmp}/input"
+        )
+        tdf = spark.read.parquet(f"{tmp}/input")
         t0 = time.monotonic()
         tables = build_index(spark, tdf)
         write_index(tables, f"{tmp}/idx")
@@ -78,6 +84,44 @@ def main() -> None:
                 eng.search_one(qtext, k=10).collect()
                 runs.append(time.monotonic() - t0)
             q_secs[name] = round(statistics.median(runs), 4)
+
+        # ---- QaaT block-max pruning stats (QUANTUM_STOP_DIFF) -----------
+        # the heuristic early termination is NOT oracle-gated (it is a
+        # results-changing trade, atire_api.c:759-782); report how much
+        # work it skips + top-k agreement with exhaustive evaluation
+        from atire_spark.query import SearchEngine as _SE
+
+        qt = build_index(
+            spark, spark.createDataFrame(pdf.iloc[: len(pdf) // 4]),
+            quantize_bits=8,
+        )
+        write_index(qt, f"{tmp}/qidx")
+        qeng = _SE(spark, load_index(spark, f"{tmp}/qidx"))
+        qaat_queries = [(i + 1, q) for i, (_, q) in enumerate(BENCH_QUERIES)]
+        pruned, pstats = qeng.search_qaat(
+            qaat_queries, k=10, early_termination="diff", return_stats=True
+        )
+        pruned_pdf = pruned.toPandas()
+        exact_pdf = qeng.search_qaat(
+            qaat_queries, k=10, early_termination=None
+        ).toPandas()
+        agree = 0
+        total_rows = 0
+        for qid in {q for q, _ in qaat_queries}:
+            a = list(pruned_pdf[pruned_pdf.query_id == qid].docid)
+            b = list(exact_pdf[exact_pdf.query_id == qid].docid)
+            total_rows += len(b)
+            agree += sum(1 for x, y in zip(a, b) if x == y)
+        qaat = {
+            "processed_quantums": pstats["processed_quantums"],
+            "total_quantums": pstats["total_quantums"],
+            "skipped_pct": round(
+                100.0
+                * (1 - pstats["processed_quantums"] / max(pstats["total_quantums"], 1)),
+                1,
+            ),
+            "topk_agreement_pct": round(100.0 * agree / max(total_rows, 1), 1),
+        }
 
         # ---- sf-dir corpus end-to-end (driver cross-round signal) -------
         t0 = time.monotonic()
@@ -102,6 +146,7 @@ def main() -> None:
         "query_p50_sec": round(p50, 4),
         "sf_corpus_sec": round(sf_sec, 3),
         "sf_corpus_rows": sf_rows,
+        "qaat_pruning": qaat,
         "cpus": cpus,
         "gen_sec": round(gen_sec, 3),
     }

@@ -30,6 +30,11 @@ import time
 
 
 def worker(cpus: int, n_convs: int, mode: str) -> None:
+    """One measured build. The input is staged to PARQUET first (outside
+    the timed region): a driver-local in-memory frame re-serializes
+    from the driver on every scan — a single-threaded cost no real
+    table ingest has, which would show up as fake serial fraction in
+    the scaling ratio. Reading files is the deployment input path."""
     from atire_spark.build import build_index, write_index
     from atire_spark.session import get_spark
     from atire_spark.synth import make_transcripts_bench
@@ -56,8 +61,11 @@ def worker(cpus: int, n_convs: int, mode: str) -> None:
     else:
         spark = get_spark(cpus=cpus, shuffle_partitions=cpus, app=f"scale{cpus}")
     pdf = make_transcripts_bench(n_convs)
-    tdf = spark.createDataFrame(pdf)
     with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(pdf).repartition(max(cpus, 8)).write.parquet(
+            f"{tmp}/input"
+        )
+        tdf = spark.read.parquet(f"{tmp}/input")
         t0 = time.monotonic()
         tables = build_index(spark, tdf)
         write_index(tables, f"{tmp}/idx")
@@ -73,25 +81,41 @@ def main() -> None:
                int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "40000")),
                mode)
         return
+    import statistics
+
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
-    results = {}
-    for cpus in (n, 4 * n):
-        out = subprocess.run(
-            [sys.executable, __file__, "--worker", str(cpus)],
-            capture_output=True, text=True, check=True,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-    r_n = results[n]["turns"] / results[n]["build_sec"]
-    r_4n = results[4 * n]["turns"] / results[4 * n]["build_sec"]
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+    # the sandbox host's available CPU drifts minute-to-minute (it is
+    # shared); single-shot leg pairs have produced efficiencies from
+    # 0.29 to 0.98 on IDENTICAL code. Interleave the legs (N, 4N, N,
+    # 4N, ...) so both sample the same drift, take the median per leg.
+    runs: dict[int, list[float]] = {n: [], 4 * n: []}
+    turns = 0
+    for _ in range(repeats):
+        for cpus in (n, 4 * n):
+            out = subprocess.run(
+                [sys.executable, __file__, "--worker", str(cpus)],
+                capture_output=True, text=True, check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            rec = json.loads(line)
+            runs[cpus].append(rec["build_sec"])
+            turns = rec["turns"]
+    sec_n = statistics.median(runs[n])
+    sec_4n = statistics.median(runs[4 * n])
+    r_n = turns / sec_n
+    r_4n = turns / sec_4n
     eff = r_4n / (4.0 * r_n)
     print(json.dumps({
         "metric": "index_build_scaling",
         "mode": mode,
         "n_cores": n,
-        "turns": results[n]["turns"],
-        "build_sec_n": round(results[n]["build_sec"], 1),
-        "build_sec_4n": round(results[4 * n]["build_sec"], 1),
+        "repeats": repeats,
+        "turns": turns,
+        "build_sec_n": round(sec_n, 1),
+        "build_sec_4n": round(sec_4n, 1),
+        "build_sec_n_runs": [round(x, 1) for x in runs[n]],
+        "build_sec_4n_runs": [round(x, 1) for x in runs[4 * n]],
         "turns_per_sec_n": round(r_n, 1),
         "turns_per_sec_4n": round(r_4n, 1),
         "scaling_efficiency": round(eff, 3),
