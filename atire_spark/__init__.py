@@ -10,11 +10,19 @@ Reimplements the *capabilities* of the reference ATIRE engine
   reference README.md:78-93).
 - query: BM25 term-at-a-time top-k, rank-identical to the reference's
   default configuration (unquantized tf-impact index, k1=0.9, b=0.4,
-  fixed-point uint16 accumulators, tie-break larger-docid-first).
+  fixed-point uint16 accumulators, tie-break larger-docid-first), plus
+  21 of the reference factory's 25 rankers, quantum-at-a-time block-max
+  pruning, boolean retrieval, read-side trims, blind-KL feedback,
+  more-like-this, two-stage rerank, snippets and evaluation metrics.
+- text pipeline: S-stripper/Porter stemming, NCBI/Puurula stopwords,
+  serialise-time term culling — all with the reference's gates.
+- corpus operators: dedup (exact/MinHash-LSH/SimHash), fingerprints,
+  token stats, quality, language ID, brute + multi-band-LSH cosine kNN,
+  multimodal binary plumbing.
 
 Nothing here is a port: the reference's hash tables, B-trees and byte
 buffers are replaced by DataFrame aggregations, Iceberg/Parquet segment
 tables and numpy kernels.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -46,7 +46,6 @@ def worker(cpus: int, n_convs: int, mode: str) -> None:
         n_exec = cpus // 8
         spark = get_spark(
             cpus=cpus,
-            shuffle_partitions=cpus,
             app=f"scale{n_exec}x8",
             master=f"local-cluster[{n_exec},8,8192]",
             extra_conf={
@@ -59,7 +58,7 @@ def worker(cpus: int, n_convs: int, mode: str) -> None:
             },
         )
     else:
-        spark = get_spark(cpus=cpus, shuffle_partitions=cpus, app=f"scale{cpus}")
+        spark = get_spark(cpus=cpus, app=f"scale{cpus}")
     pdf = make_transcripts_bench(n_convs)
     with tempfile.TemporaryDirectory() as tmp:
         spark.createDataFrame(pdf).repartition(max(cpus, 8)).write.parquet(

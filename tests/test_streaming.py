@@ -1,0 +1,115 @@
+"""Structured Streaming ingestion: incremental appends must converge
+to the same searchable state as one batch build (the reference's
+multi-part-index + merge recipe, run continuously)."""
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+
+BATCH1 = pd.DataFrame(
+    {
+        "conv_id": ["s0", "s0", "s1"],
+        "turn_idx": [0, 1, 0],
+        "text": [
+            "alpha bravo charlie alpha",
+            "bravo delta",
+            "echo alpha foxtrot",
+        ],
+    }
+)
+BATCH2 = pd.DataFrame(
+    {
+        "conv_id": ["s2", "s2", "s3"],
+        "turn_idx": [0, 1, 0],
+        "text": [
+            "charlie delta delta golf",
+            "alpha golf",
+            "",  # empty turn: no docid
+        ],
+    }
+)
+
+
+@pytest.fixture()
+def stream_dirs():
+    with tempfile.TemporaryDirectory() as tmp:
+        yield os.path.join(tmp, "idx"), os.path.join(tmp, "ckpt")
+
+
+def _rsv_by_doc(eng, query):
+    res = eng.search_one(query, k=50)
+    return {
+        (r["conv_id"], int(r["turn_idx"])): int(r["rsv_fixed"])
+        for r in eng.materialize(res).collect()
+    }
+
+
+def test_incremental_appends_match_batch_build(spark, stream_dirs):
+    from atire_spark.build import build_index
+    from atire_spark.query import SearchEngine
+    from atire_spark.streaming import append_batch, load_stream_index
+
+    index_dir, _ = stream_dirs
+    os.makedirs(index_dir, exist_ok=True)
+    n1 = append_batch(spark, spark.createDataFrame(BATCH1), index_dir, 0)
+    n2 = append_batch(spark, spark.createDataFrame(BATCH2), index_dir, 1)
+    assert (n1, n2) == (3, 2)  # the empty turn consumed no docid
+
+    streamed = SearchEngine(spark, load_stream_index(spark, index_dir))
+    full = pd.concat([BATCH1, BATCH2], ignore_index=True)
+    batch = SearchEngine(spark, build_index(spark, spark.createDataFrame(full)))
+
+    # identical collection stats
+    assert streamed.n_docs == batch.n_docs == 5
+    assert streamed.collection_len == batch.collection_len
+    # identical global term stats
+    ts_s = {
+        r["term"]: (int(r["df"]), int(r["cf"]))
+        for r in streamed.postings.select("term", "df", "cf").distinct().collect()
+    }
+    ts_b = {
+        r["term"]: (int(r["df"]), int(r["cf"]))
+        for r in batch.postings.select("term", "df", "cf").distinct().collect()
+    }
+    assert ts_s == ts_b
+    # identical scores per document identity (docids may be assigned in
+    # arrival vs sorted order — both are valid reference input orders)
+    for q in ["alpha", "delta golf", "charlie bravo"]:
+        assert _rsv_by_doc(streamed, q) == _rsv_by_doc(batch, q)
+
+
+def test_epoch_replay_is_idempotent(spark, stream_dirs):
+    from atire_spark.streaming import append_batch, load_stream_index
+
+    index_dir, _ = stream_dirs
+    os.makedirs(index_dir, exist_ok=True)
+    assert append_batch(spark, spark.createDataFrame(BATCH1), index_dir, 0) == 3
+    # restart replays epoch 0: must be a no-op
+    assert append_batch(spark, spark.createDataFrame(BATCH1), index_dir, 0) == 0
+    idx = load_stream_index(spark, index_dir)
+    assert idx.docmap.count() == 3
+
+
+def test_readstream_file_source_drains(spark, stream_dirs):
+    """End-to-end through writeStream/foreachBatch with a file source
+    and availableNow trigger (one file per micro-batch)."""
+    from atire_spark.query import SearchEngine
+    from atire_spark.streaming import load_stream_index, stream_build
+
+    index_dir, ckpt = stream_dirs
+    with tempfile.TemporaryDirectory() as src:
+        spark.createDataFrame(BATCH1).coalesce(1).write.parquet(f"{src}/b1")
+        spark.createDataFrame(BATCH2).coalesce(1).write.parquet(f"{src}/b2")
+        stream = (
+            spark.readStream.schema("conv_id string, turn_idx long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = stream_build(spark, stream, index_dir, ckpt)
+        q.awaitTermination(120)
+    eng = SearchEngine(spark, load_stream_index(spark, index_dir))
+    assert eng.n_docs == 5
+    got = eng.search_one("alpha", k=10).count()
+    assert got == 3  # three docs contain alpha (s0/0, s1/0, s2/1)
