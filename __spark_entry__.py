@@ -1355,12 +1355,15 @@ def _ranker_sql(
     extra_join: str = "",
     extra_where: str = "",
     agg: str = "sum",
+    recursive: bool = False,
 ) -> str:
     """Shared scaffolding for the alternative-ranker oracles: same
     corpus CTE, per-query VALUES, pmod-wrapped uint16 accumulation,
-    rsv desc / docid desc ranking."""
+    rsv desc / docid desc ranking. ``recursive`` switches the CTE
+    list to WITH RECURSIVE (the adaptive-k1 oracles iterate their
+    solvers as recursive CTEs)."""
     return f"""
-WITH {_CORPUS_CTE},
+WITH {"RECURSIVE " if recursive else ""}{_CORPUS_CTE},
 q(query_id, term, weight) AS (
   VALUES {_query_values_sql()}
 ){extra_cte},
@@ -1504,6 +1507,201 @@ def _q_topk_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25t_sql(k: int) -> str:
+    """BM25T oracle (ranking_function_bm25t.c): per-term k1 solves
+    g(k1) = mean ln(c'+1) with the secant method (maths.h:196-218),
+    transcribed as a recursive CTE running the identical float64
+    op sequence; the mean is rounded to 9 dp on both sides so float
+    addition order cannot drift the solver input."""
+    extra_cte = """,
+tsum AS (
+  SELECT t.term,
+         round(SUM(ln(CAST(t.tf AS DOUBLE)
+                      / (1.0 - 0.2 + 0.2 * (CAST(d.doc_len AS DOUBLE) / s.mean_len))
+                      + 1)) / CAST(MAX(ts.df) AS DOUBLE), 9) AS sn
+  FROM (SELECT DISTINCT term FROM q) qt
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  JOIN termstats ts ON ts.term = t.term
+  CROSS JOIN stats s
+  GROUP BY t.term
+),
+sec AS (
+  SELECT term, 0 AS iter, CAST(1.0 AS DOUBLE) AS x1, CAST(1.1 AS DOUBLE) AS x2,
+         (1.0 - sn) * (1.0 - sn) AS f1, FALSE AS done, sn
+  FROM tsum
+  UNION ALL
+  SELECT term, iter + 1,
+         CASE WHEN stop1 THEN x1 ELSE x2 END,
+         CASE WHEN stop1 THEN x2 ELSE x3 END,
+         CASE WHEN stop1 THEN f1 ELSE f2 END,
+         stop1 OR NOT (abs((x2 - x3) / x3) > 0.00001),
+         sn
+  FROM (
+    SELECT term, iter, x1, x2, f1, sn, f2,
+           (f2 * x1 - f1 * x2) / NULLIF(f2 - f1, 0) AS x3,
+           (abs(f2 - f1) < 0.00001) AS stop1
+    FROM (
+      SELECT term, iter, x1, x2, f1, sn,
+             ((CASE WHEN x2 = 1.0 THEN 1.0 ELSE (x2 / (x2 - 1.0)) * ln(x2) END) - sn)
+             * ((CASE WHEN x2 = 1.0 THEN 1.0 ELSE (x2 / (x2 - 1.0)) * ln(x2) END) - sn) AS f2
+      FROM sec WHERE NOT done AND iter < 200
+    )
+  )
+),
+k1t AS (
+  SELECT term, x2 AS k1 FROM sec
+  QUALIFY row_number() OVER (PARTITION BY term ORDER BY iter DESC) = 1
+)"""
+    cp = (
+        "(CAST(t.tf AS DOUBLE)"
+        " / (1.0 - 0.2 + 0.2 * (CAST(d.doc_len AS DOUBLE) / s.mean_len)))"
+    )
+    contrib = (
+        "CAST(q.weight AS BIGINT) * (1 + CAST(trunc(("
+        f"((kt.k1 + 1.0) * {cp}) / (kt.k1 + {cp})"
+        " * ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE))"
+        ") * 100.0) AS BIGINT))"
+    )
+    return _ranker_sql(
+        contrib,
+        k,
+        extra_cte=extra_cte,
+        extra_join="JOIN k1t kt ON kt.term = q.term",
+        recursive=True,
+    )
+
+
+def _bm25adpt_sql(k: int) -> str:
+    """BM25-adpt oracle (ranking_function_bm25adpt.c): round(c')
+    histogram → suffix-cumulated counts (with counts[0]=N and
+    counts[1]=df pinned) → information-gain curve with the
+    first-non-monotone-past-3 truncation and forced IG[254]=-1 →
+    jump-halving range search (c:47-90) as a recursive CTE; the
+    squared-distance objective is rounded to 9 dp on both sides.
+    IG[1] doubles as the term's idf in the scoring expression."""
+    extra_cte = """,
+qt AS (SELECT DISTINCT q.term, ts.df FROM q JOIN termstats ts USING (term)),
+cvals AS (
+  SELECT t.term,
+         CAST(floor(CAST(t.tf AS DOUBLE)
+              / (1.0 - 0.3 + 0.3 * (CAST(d.doc_len AS DOUBLE) / s.mean_len))
+              + 0.5) AS BIGINT) AS idx
+  FROM qt JOIN tf t USING (term) JOIN docmap d USING (docid) CROSS JOIN stats s
+),
+hist AS (
+  SELECT term, idx, CAST(count(*) AS DOUBLE) AS cnt
+  FROM cvals WHERE idx < 256 GROUP BY term, idx
+),
+grid AS (
+  SELECT qt.term, qt.df, gs.idx
+  FROM qt CROSS JOIN (SELECT unnest(range(0, 256)) AS idx) gs
+),
+counts AS (
+  SELECT g.term, g.df, g.idx,
+    CASE WHEN g.idx = 0 THEN CAST(s.n_docs AS DOUBLE)
+         WHEN g.idx = 1 THEN CAST(g.df AS DOUBLE)
+         ELSE SUM(COALESCE(h.cnt, 0)) OVER (PARTITION BY g.term ORDER BY g.idx DESC)
+    END AS c
+  FROM grid g
+  LEFT JOIN hist h ON h.term = g.term AND h.idx = g.idx
+  CROSS JOIN stats s
+),
+ig0 AS (
+  SELECT c1.term, c1.idx,
+    (-(ln((CAST(c1.df AS DOUBLE) + 0.5) / (CAST(s.n_docs AS DOUBLE) + 1.0)) / ln(2.0))
+     + ln((c2.c + 0.5) / (c1.c + 1.0)) / ln(2.0)) AS ig
+  FROM counts c1
+  JOIN counts c2 ON c2.term = c1.term AND c2.idx = c1.idx + 1
+  CROSS JOIN stats s
+  WHERE c1.idx <= 254
+  UNION ALL
+  SELECT term, 255, 0.0 FROM qt
+),
+kills AS (
+  SELECT a.term, MIN(a.idx) + 1 AS kidx
+  FROM ig0 a JOIN ig0 b ON b.term = a.term AND b.idx = a.idx + 1
+  WHERE a.idx BETWEEN 3 AND 254 AND a.ig > b.ig
+  GROUP BY a.term
+),
+ig2 AS (
+  SELECT i.term, i.idx,
+         CASE WHEN i.idx = k.kidx OR i.idx = 254 THEN -1.0 ELSE i.ig END AS ig
+  FROM ig0 i LEFT JOIN kills k ON k.term = i.term
+  WHERE i.idx <= 254
+),
+stopx AS (SELECT term, MIN(idx) AS sidx FROM ig2 WHERE ig < 0 GROUP BY term),
+live AS (
+  SELECT g.term, CAST(g.idx AS DOUBLE) AS i, g.ig
+  FROM ig2 g JOIN stopx USING (term) WHERE g.idx < sidx
+),
+igone AS (SELECT term, ig AS v FROM ig0 WHERE idx = 1),
+rs AS (
+  SELECT term, 0 AS iter, CAST(0.001 AS DOUBLE) AS wh, CAST(1.0 AS DOUBLE) AS jump,
+         CAST('infinity' AS DOUBLE) AS best, FALSE AS done
+  FROM qt
+  UNION ALL
+  SELECT term, iter + 1,
+    CASE WHEN brk THEN wh
+         WHEN s > best AND n > s THEN wh
+         WHEN s > best THEN wh + hj
+         ELSE wh + jump END,
+    nj,
+    CASE WHEN brk THEN best
+         WHEN s > best AND n > s THEN best
+         WHEN s > best THEN n
+         ELSE s END,
+    brk OR NOT (abs(nj) > 0.001)
+    FROM (
+      SELECT term, iter, wh, jump, best, brk, hj, s, n,
+        CASE WHEN brk THEN jump
+             WHEN s > best AND n > s THEN -hj
+             WHEN s > best THEN hj
+             ELSE jump END AS nj
+      FROM (
+        SELECT t1.*,
+          (SELECT round(SUM((l.ig / g1.v - (((t1.wh + t1.hj) + 1.0) * l.i) / ((t1.wh + t1.hj) + l.i))
+                          * (l.ig / g1.v - (((t1.wh + t1.hj) + 1.0) * l.i) / ((t1.wh + t1.hj) + l.i))), 9)
+           FROM live l JOIN igone g1 ON g1.term = l.term
+           WHERE l.term = t1.term) AS n
+        FROM (
+          SELECT r.term, r.iter, r.wh, r.jump, r.best,
+            (r.wh > abs(r.jump) + 10.0) AS brk,
+            CASE WHEN r.wh + (r.jump / 2.0) < 0 THEN -(r.jump / 2.0) ELSE (r.jump / 2.0) END AS hj,
+            (SELECT round(SUM((l.ig / g1.v - ((r.wh + 1.0) * l.i) / (r.wh + l.i))
+                            * (l.ig / g1.v - ((r.wh + 1.0) * l.i) / (r.wh + l.i))), 9)
+             FROM live l JOIN igone g1 ON g1.term = l.term
+             WHERE l.term = r.term) AS s
+          FROM rs r WHERE NOT r.done AND r.iter < 200
+        ) t1
+      )
+    )
+),
+k1a AS (
+  SELECT term, wh AS k1 FROM rs
+  QUALIFY row_number() OVER (PARTITION BY term ORDER BY iter DESC) = 1
+)"""
+    cp = (
+        "(CAST(t.tf AS DOUBLE)"
+        " / (1.0 - 0.3 + 0.3 * (CAST(d.doc_len AS DOUBLE) / s.mean_len)))"
+    )
+    contrib = (
+        "CAST(q.weight AS BIGINT) * (1 + CAST(trunc(("
+        f"((ka.k1 + 1.0) * {cp}) / (ka.k1 + {cp}) * g1.v"
+        ") * 100.0) AS BIGINT))"
+    )
+    return _ranker_sql(
+        contrib,
+        k,
+        extra_cte=extra_cte,
+        extra_join=(
+            "JOIN k1a ka ON ka.term = q.term"
+            " JOIN igone g1 ON g1.term = q.term"
+        ),
+        recursive=True,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from atire_spark.corpus import CORPUS_QUERIES
 
@@ -1546,6 +1744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfi_idf_topk": _mk_ranker_query("dfi_idf"),
         "dfiw_topk": _mk_ranker_query("dfiw"),
         "dfiw_idf_topk": _mk_ranker_query("dfiw_idf"),
+        "bm25t_topk": _mk_ranker_query("bm25t"),
+        "bm25adpt_topk": _mk_ranker_query("bm25adpt"),
         "tflodop_topk": _mk_ranker_query("tflodop"),
         "kbtfidf_topk": _mk_ranker_query("kbtfidf"),
         "docid_asc_topk": _mk_ranker_query("docid_asc"),
@@ -1825,6 +2025,10 @@ WHERE NOT (cf = 1
             TOP_K,
             extra_where=_DFI_WHERE,
         ),
+        # adaptive-k1 BM25s: per-term k1 solved by recursive-CTE
+        # transcriptions of the reference's secant / range search
+        "bm25t_topk": _bm25t_sql(TOP_K),
+        "bm25adpt_topk": _bm25adpt_sql(TOP_K),
         # TFlodop b=0.1 δ=0.1 (ranking_function_tflodop.c:73-89)
         "tflodop_topk": _ranker_sql(
             "CAST(q.weight AS BIGINT) * (1 + CAST(trunc(("

@@ -94,6 +94,7 @@ def _segment_contrib(
     mean_len: float,
     coll_len: int = 0,
     take_counts: np.ndarray | None = None,
+    term_aux: dict | None = None,
 ):
     """Decode one matching segment row.
 
@@ -279,6 +280,19 @@ def _segment_contrib(
         else:
             vals = (docids + 1).astype(np.int64)
         return "fixed", docids, vals
+    if ranker in ("bm25t", "bm25adpt"):
+        # adaptive-k1 BM25s (ranking_function_bm25t.c:128-165,
+        # ranking_function_bm25adpt.c:198-233): k1 (and for adpt the
+        # idf = IG[1]) were solved per term in the pre-pass
+        # (SearchEngine._adaptive_k1_map) from the term's whole
+        # posting distribution; scoring is then the plain BM25 shape.
+        from atire_spark.kernels.adaptive_k1 import BM25ADPT_B, BM25T_B
+
+        k1_t, idf_t = term_aux[row.term]
+        bt = BM25T_B if ranker == "bm25t" else BM25ADPT_B
+        c_prime = tf_d / (1.0 - bt + bt * (len_d / mean_len))
+        f_prime = ((k1_t + 1.0) * c_prime) / (k1_t + c_prime)
+        return "float", docids, f_prime * idf_t
     if ranker in ("dph", "dlh13"):
         cf_d = np.float64(int(row.cf))
         ok = tf_d < len_d  # (1-f) > 0; == makes log2(0), C UB — skip
@@ -588,10 +602,14 @@ class SearchEngine:
         coll_len = self.collection_len
         quantized = self.quantized
 
+        term_aux: dict | None = None
+        if ranker in ("bm25t", "bm25adpt"):
+            term_aux = self._adaptive_k1_map(hits, ranker)
+
         if grouped:
             return self._search_grouped(
                 hits, qmap, nq, n_terms_per_q, k, ranker, conjunctive,
-                trim_for, takes,
+                trim_for, takes, term_aux,
             )
 
         def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -603,7 +621,7 @@ class SearchEngine:
                 for row in pdf.itertuples(index=False):
                     dec = _segment_contrib(
                         row, ranker, conjunctive, quantized, n_docs, mean_len,
-                        coll_len,
+                        coll_len, term_aux=term_aux,
                     )
                     if dec is None:
                         continue  # df == N contributes nothing (bm25.c:91-92)
@@ -673,6 +691,108 @@ class SearchEngine:
         )
 
     # ------------------------------------------------------------------
+    def _adaptive_k1_map(
+        self, hits: DataFrame, ranker: str
+    ) -> dict[str, tuple[float, float]]:
+        """Per-term (k1, idf) for the adaptive-k1 rankers — the
+        reference walks each term's whole postings list once before
+        scoring it (ranking_function_bm25t.c:89-123 /
+        bm25adpt.c:113-196); here the walk is a distributed pre-pass:
+        each matching segment contributes a map-side partial (a float
+        partial sum for BM25T, a 256-bin integer histogram for
+        BM25-adpt), partials combine per task, and only one tiny row
+        per (term, task) reaches the driver, where the iterative
+        solvers run on the per-term aggregates. Scale: the collect is
+        O(query terms × tasks), never O(postings)."""
+        from atire_spark.kernels.adaptive_k1 import (
+            ADPT_MAX_TF,
+            BM25ADPT_B,
+            BM25T_B,
+            bm25adpt_k1,
+            bm25t_k1,
+        )
+
+        mean_len = self.mean_doc_len
+        is_t = ranker == "bm25t"
+        b = BM25T_B if is_t else BM25ADPT_B
+
+        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sums: dict[str, float] = {}
+            hists: dict[str, np.ndarray] = {}
+            dfs: dict[str, int] = {}
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    docids, impacts, lens = decode_segment(
+                        np.asarray(row.impacts),
+                        np.asarray(row.doc_counts),
+                        row.postings,
+                        row.doc_lens,
+                    )
+                    dfs[row.term] = int(row.df)
+                    c = impacts.astype(np.float64) / (
+                        1.0 - b + b * (lens.astype(np.float64) / mean_len)
+                    )
+                    if is_t:
+                        sums[row.term] = sums.get(row.term, 0.0) + float(
+                            np.sum(np.log(c + 1.0))
+                        )
+                    else:
+                        idx = np.floor(c + 0.5).astype(np.int64)
+                        h = np.bincount(
+                            idx[idx < ADPT_MAX_TF], minlength=ADPT_MAX_TF
+                        )
+                        hists[row.term] = (
+                            hists.get(row.term, np.zeros(ADPT_MAX_TF, np.int64))
+                            + h
+                        )
+            terms = sorted(sums) if is_t else sorted(hists)
+            if terms:
+                yield pd.DataFrame(
+                    {
+                        "term": terms,
+                        "df": [dfs[t] for t in terms],
+                        "s": [sums.get(t) for t in terms],
+                        "hist": [
+                            hists[t].tolist() if t in hists else None
+                            for t in terms
+                        ],
+                    }
+                )
+
+        rows = (
+            hits.select(
+                "term", "df", "impacts", "doc_counts", "postings", "doc_lens"
+            )
+            .mapInPandas(
+                part, schema="term string, df long, s double, hist array<long>"
+            )
+            .collect()
+        )
+        by_term: dict[str, list] = {}
+        df_by_term: dict[str, int] = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r)
+            df_by_term[r["term"]] = int(r["df"])
+        aux: dict[str, tuple[float, float]] = {}
+        for term, parts in by_term.items():
+            df = df_by_term[term]
+            if is_t:
+                # canonical partial order (sorted values) keeps the
+                # engine run-to-run deterministic; round-9 inside the
+                # solver bridges the remaining order drift vs SQL
+                total = float(np.sum(np.sort([p["s"] for p in parts])))
+                k1 = bm25t_k1(total, df)
+                idf = float(np.log(np.float64(self.n_docs) / np.float64(df)))
+                aux[term] = (k1, idf)
+            else:
+                hist = np.sum(
+                    [np.asarray(p["hist"], dtype=np.int64) for p in parts],
+                    axis=0,
+                )
+                aux[term] = bm25adpt_k1(hist, self.n_docs, df)
+        return aux
+
+    # ------------------------------------------------------------------
     def _search_grouped(
         self,
         hits: DataFrame,
@@ -684,6 +804,7 @@ class SearchEngine:
         conjunctive: bool,
         trim_for: dict[tuple[int, str], int] | None = None,
         takes: dict[tuple[str, int, int], np.ndarray] | None = None,
+        term_aux: dict | None = None,
     ) -> DataFrame:
         """Scale path (default): partition by seg_group so every docid's
         full accumulation completes inside one task, emit only the
@@ -733,7 +854,7 @@ class SearchEngine:
                             decs[tr] = _segment_contrib(
                                 row, ranker, conjunctive, quantized,
                                 n_docs, mean_len, coll_len,
-                                take_counts=tk,
+                                take_counts=tk, term_aux=term_aux,
                             )
                         dec = decs[tr]
                         if dec is None:

@@ -240,3 +240,50 @@ class TestBatchSegmentBuilder:
             assert row["n_postings"] == seg.n_postings
             assert row["first_docid"] == int(docids[0])
             assert row["seg_cf"] == int(g["cf_b"].sum())
+
+
+class TestAdaptiveK1:
+    """Solvers for BM25T / BM25-adpt per-term k1
+    (ranking_function_bm25t.c:85-123, bm25adpt.c:47-196)."""
+
+    def test_secant_solves_bm25t_equation(self):
+        import math
+
+        from atire_spark.kernels.adaptive_k1 import bm25t_k1
+
+        # g(k1) = k1/(k1-1)·ln(k1) is increasing; the solved k1 must
+        # put g within the secant tolerance of the target mean
+        for s in (1.05, 1.3, 2.0, 3.7):
+            k1 = bm25t_k1(s * 17, 17)
+            g = (k1 / (k1 - 1.0)) * math.log(k1)
+            assert abs(g - s) < 1e-2, (s, k1, g)
+
+    def test_range_search_finds_parabola_min(self):
+        from atire_spark.kernels.adaptive_k1 import range_search
+
+        # the reference's jump-halving walk converges to the argmin
+        # within the err step size for a smooth bowl inside (0, end)
+        for target in (0.7, 2.5, 6.0):
+            got = range_search(10.0, 0.001, lambda x: (x - target) ** 2)
+            assert abs(got - target) < 5e-3, (target, got)
+
+    def test_adpt_histogram_pins_and_truncation(self):
+        import numpy as np
+
+        from atire_spark.kernels.adaptive_k1 import bm25adpt_k1
+
+        hist = np.zeros(256, dtype=np.int64)
+        hist[1] = 40
+        hist[2] = 10
+        hist[3] = 3
+        k1, ig1 = bm25adpt_k1(hist, n_docs=1000, df=53)
+        # IG[1] uses the pinned counts[1]=df and the suffix-cumulated
+        # counts[2] = 13:  log2((1000+1)/(53+0.5)) + log2((13+0.5)/(53+1))
+        import math
+
+        want = (
+            -(math.log((53 + 0.5) / (1000 + 1.0)) / math.log(2.0))
+            + math.log((13 + 0.5) / (53 + 1.0)) / math.log(2.0)
+        )
+        assert abs(ig1 - want) < 1e-12
+        assert 0.0 < k1 <= 11.0  # range search stays inside (0, end+jump]
