@@ -155,6 +155,15 @@ def _stop_engine(spark: SparkSession, sf_dir: str):
     )
 
 
+def _puurula_engine(spark: SparkSession, sf_dir: str):
+    """-Ilmp index: per-doc Puurula length vectors built at serialise
+    time (memory_index.c:1270-1410) into the ``puurula`` side table —
+    required by the lmp / lmptfidf rankers."""
+    return _build_engine(
+        spark, sf_dir, sf_dir.rstrip("/") + "#puurula", puurula=True
+    )
+
+
 def _cull_engine(spark: SparkSession, sf_dir: str):
     """Serialise-time culling (should_prune, all four predicate
     classes): cf==1 singletons, rare terms (df <= 30), very frequent
@@ -1507,6 +1516,180 @@ def _q_topk_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _puurula_engine(spark, sf_dir)
+    return eng.search_batch(TESTDATA_QUERIES, k=TOP_K, ranker="lmp")
+
+
+def _q_lmptfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _puurula_engine(spark, sf_dir)
+    return eng.search_batch(TESTDATA_QUERIES, k=TOP_K, ranker="lmptfidf")
+
+
+def _lmp_sql(k: int) -> str:
+    """LMP oracle (ranking_function_puurula.c:69-108): tf discounted
+    by g·tf^g, ANT_logsum'd against 0 in the C branch order
+    (maths.h:461-468), document prior ln(1 − ddl/(len+u)) on the
+    first processed term (cf asc, term asc) scaled by the query
+    length; ddl recomputed per doc exactly as the -Ilmp serialise
+    does (×1000 trunc, 9-dp round to bridge sum order)."""
+    tfp = (
+        "greatest(CAST(t.tf AS DOUBLE)"
+        " - 0.5 * pow(CAST(t.tf AS DOUBLE), 0.5), 0.0)"
+    )
+    inner = (
+        f"(ln({tfp}) + ln(CAST(s.coll_len AS DOUBLE))"
+        " - ln(1000.0 * CAST(ts.cf AS DOUBLE) + 1.0))"
+    )
+    rsv = (
+        f"CASE WHEN {inner} > 0.0"
+        f" THEN ln(exp(0.0 - {inner}) + 1.0) + {inner}"
+        f" ELSE ln(exp({inner}) + 1.0) END"
+    )
+    prior = (
+        "ln(1.0 - (CAST(pl.ddl AS DOUBLE) / 1000.0)"
+        " / (CAST(d.doc_len AS DOUBLE) + 1000.0))"
+    )
+    return f"""
+WITH {_CORPUS_CTE},
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+),
+qn AS (SELECT query_id, CAST(sum(weight) AS DOUBLE) AS n FROM q GROUP BY query_id),
+pl AS (
+  SELECT docid,
+         CAST(floor(round(SUM(greatest(CAST(tf AS DOUBLE)
+                - 0.5 * pow(CAST(tf AS DOUBLE), 0.5), 0.0)), 9)
+              * 1000.0) AS BIGINT) AS ddl
+  FROM tf GROUP BY docid
+),
+scored AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, t.docid,
+         CAST(q.weight AS BIGINT) AS weight,
+         1 + CAST(trunc(({rsv}) * 100.0) AS BIGINT) AS unit,
+         1 + CAST(trunc((({rsv}) + qn.n * ({prior})) * 100.0) AS BIGINT) AS unit_p,
+         row_number() OVER (
+           PARTITION BY q.query_id, t.docid ORDER BY ts.cf ASC, q.term ASC
+         ) AS rn
+  FROM q
+  JOIN termstats ts USING (term)
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  JOIN pl ON pl.docid = t.docid
+  CROSS JOIN stats s
+  JOIN qn ON qn.query_id = q.query_id
+),
+acc AS (
+  SELECT query_id, docid,
+         CAST(((sum(CASE WHEN rn = 1 THEN unit_p + (weight - 1) * unit
+                         ELSE weight * unit END) % 65536) + 65536) % 65536
+              AS BIGINT) AS rsv_fixed
+  FROM scored GROUP BY query_id, docid
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM acc
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _lmptfidf_sql(k: int) -> str:
+    """LMPTFIDF oracle (ranking_function_puurula_idf.c:88-133):
+    tf reweighted to ln(1+tf/uniq)·ln(N/df), powerlaw-discounted with
+    gg = 0.005 (the C powerlaw index really is (int)(g·1000),
+    puurula_idf.c:45-48 / memory_index.c:1317); zero-score postings
+    never touch the accumulator, the prior uses the tfidf length
+    pair, and each occurrence's query weight is the transformed
+    ln(1 + 1/|Q|)·ln(N/df) with the query length their sum
+    (atire_api.c:942-951)."""
+    tfp = "greatest(wv.w - 0.005 * pow(wv.w, 0.005), 0.0)"
+    rsv = (
+        "qf.qfv * ln(("
+        f"{tfp} * ut.u) / 1000.0 + 1.0)"
+    )
+    prior = (
+        "ln(1.0 - (CAST(tl.tddl AS DOUBLE) / 1000.0)"
+        " / ((CAST(tl.tlen AS DOUBLE) / 1000.0) + 1000.0))"
+    )
+    return f"""
+WITH {_CORPUS_CTE},
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+),
+qn AS (SELECT query_id, CAST(sum(weight) AS DOUBLE) AS n FROM q GROUP BY query_id),
+ut AS (SELECT CAST(count(*) AS DOUBLE) AS u FROM termstats),
+uq AS (SELECT docid, CAST(count(*) AS BIGINT) AS uniq FROM tf GROUP BY docid),
+wv AS (
+  SELECT t.docid, t.term,
+         ln(1.0 + CAST(t.tf AS DOUBLE) / CAST(u2.uniq AS DOUBLE))
+           * ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE)) AS w
+  FROM tf t
+  JOIN uq u2 USING (docid)
+  JOIN termstats ts ON ts.term = t.term
+  CROSS JOIN stats s
+),
+tl AS (
+  SELECT docid,
+         CAST(floor(round(SUM(w), 9) * 1000.0) AS BIGINT) AS tlen,
+         CAST(floor(round(SUM(greatest(w - 0.005 * pow(w, 0.005), 0.0)), 9)
+              * 1000.0) AS BIGINT) AS tddl
+  FROM wv GROUP BY docid
+),
+qf AS (
+  SELECT q.query_id, q.term, q.weight,
+         ln(1.0 + 1.0 / qn.n)
+           * ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE)) AS qfv
+  FROM q JOIN qn USING (query_id)
+  JOIN termstats ts USING (term)
+  CROSS JOIN stats s
+),
+ql AS (SELECT query_id, SUM(CAST(weight AS DOUBLE) * qfv) AS n FROM qf GROUP BY query_id),
+scored AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, t.docid,
+         CAST(q.weight AS BIGINT) AS weight,
+         1 + CAST(trunc(({rsv}) * 100.0) AS BIGINT) AS unit,
+         1 + CAST(trunc((({rsv}) + ql.n * ({prior})) * 100.0) AS BIGINT) AS unit_p,
+         row_number() OVER (
+           PARTITION BY q.query_id, t.docid ORDER BY ts.cf ASC, q.term ASC
+         ) AS rn
+  FROM q
+  JOIN termstats ts USING (term)
+  JOIN tf t USING (term)
+  JOIN wv ON wv.docid = t.docid AND wv.term = t.term
+  JOIN tl ON tl.docid = t.docid
+  JOIN qf ON qf.query_id = q.query_id AND qf.term = q.term
+  JOIN ql ON ql.query_id = q.query_id
+  CROSS JOIN ut
+  WHERE {tfp} != 0.0
+),
+acc AS (
+  SELECT query_id, docid,
+         CAST(((sum(CASE WHEN rn = 1 THEN unit_p + (weight - 1) * unit
+                         ELSE weight * unit END) % 65536) + 65536) % 65536
+              AS BIGINT) AS rsv_fixed
+  FROM scored GROUP BY query_id, docid
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM acc
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _bm25t_sql(k: int) -> str:
     """BM25T oracle (ranking_function_bm25t.c): per-term k1 solves
     g(k1) = mean ln(c'+1) with the secant method (maths.h:196-218),
@@ -1746,6 +1929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfiw_idf_topk": _mk_ranker_query("dfiw_idf"),
         "bm25t_topk": _mk_ranker_query("bm25t"),
         "bm25adpt_topk": _mk_ranker_query("bm25adpt"),
+        "lmp_topk": _q_lmp,
+        "lmptfidf_topk": _q_lmptfidf,
         "tflodop_topk": _mk_ranker_query("tflodop"),
         "kbtfidf_topk": _mk_ranker_query("kbtfidf"),
         "docid_asc_topk": _mk_ranker_query("docid_asc"),
@@ -2029,6 +2214,9 @@ WHERE NOT (cf = 1
         # transcriptions of the reference's secant / range search
         "bm25t_topk": _bm25t_sql(TOP_K),
         "bm25adpt_topk": _bm25adpt_sql(TOP_K),
+        # Pitman-Yor LM rankers over the -Ilmp length vectors
+        "lmp_topk": _lmp_sql(TOP_K),
+        "lmptfidf_topk": _lmptfidf_sql(TOP_K),
         # TFlodop b=0.1 δ=0.1 (ranking_function_tflodop.c:73-89)
         "tflodop_topk": _ranker_sql(
             "CAST(q.weight AS BIGINT) * (1 + CAST(trunc(("

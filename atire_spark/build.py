@@ -64,6 +64,7 @@ class IndexTables:
     stats: DataFrame  # single row
     build_log: DataFrame | None = None
     cached: list = field(default_factory=list)  # persisted intermediates
+    puurula: DataFrame | None = None  # -Ilmp per-doc length vectors
 
     def unpersist(self) -> None:
         """Release the build's persisted intermediates (call after the
@@ -724,6 +725,94 @@ def _cull_predicate(
     return ~drop
 
 
+def puurula_lengths(
+    stage1: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    block_bits: int,
+    blocks_per_seg: int = 1,
+) -> DataFrame:
+    """Per-document Puurula length vectors — the reference's -Ilmp /
+    -Ilmptfidf serialise step (memory_index.c:1270-1410
+    compute_puurula_document_lengths), which stores per-doc aggregates
+    as postings of squiggle terms; here they are one row per docid:
+
+    - ``uniq``: distinct terms in the doc (~unique_terms_in_document,
+      memory_index.c:1231-1264 — every indexed term counts; the
+      reference's "special term" skip only excludes uppercase/tag
+      terms, which this engine's lowercasing tokenizer never emits)
+    - ``ddl[i]``: floor(1000·Σ_t max(tf − g·tf^g, 0)) for g = i/10
+      (~puurula_length_i, memory_index.c:1393-1400; the ×1000 trunc is
+      set_puurula_length's 3-decimal quantization, memory_index.h:220)
+    - ``tfidf_len``: floor(1000·Σ_t w_t), w_t = ln(1 + tf/uniq)·
+      ln(N/df) (~puurula_tfidf_length, memory_index.c:1311-1315)
+    - ``tfidf_ddl[i]``: floor(1000·Σ_t max(w_t − gg·w_t^gg, 0)) for
+      gg = i/1000 (~puurula_tfidf_powerlaw_length_i — the reference's
+      TFIDF powerlaw discount really is g/1000, memory_index.c:1317)
+
+    Sums are rounded to 9 dp before the ×1000 trunc so the engine and
+    the DuckDB oracle agree regardless of float addition order (the
+    reference's own sum order — hash-table traversal — is not
+    reproducible anyway).
+
+    ``seg_group`` is the same pure function of docid the segment
+    builder uses, so a cogroup on it co-locates each doc's aux row
+    with every segment that can score it.
+    """
+    ex = stage1.select(
+        "term", F.explode(F.arrays_zip("docids", "tfs")).alias("z")
+    ).select(
+        "term",
+        F.col("z.docids").cast("long").alias("docid"),
+        F.col("z.tfs").cast("double").alias("tf"),
+    )
+
+    def _disc(col, g: float):
+        if g == 0.0:
+            return col  # max(tf − 0·tf^0, 0) = tf
+        return F.greatest(col - g * F.pow(col, F.lit(g)), F.lit(0.0))
+
+    def _q1000(sum_col):
+        return F.floor(F.round(sum_col, 9) * 1000.0).cast("long")
+
+    plain = ex.groupBy("docid").agg(
+        F.count("*").alias("uniq"),
+        *[
+            _q1000(F.sum(_disc(F.col("tf"), i / 10.0))).alias(f"ddl_{i}")
+            for i in range(10)
+        ],
+    )
+    w = (
+        ex.join(term_stats.select("term", "df"), "term")
+        .join(plain.select("docid", "uniq"), "docid")
+        .withColumn(
+            "w",
+            F.log(F.lit(1.0) + F.col("tf") / F.col("uniq").cast("double"))
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+        )
+    )
+    tfidf = w.groupBy("docid").agg(
+        _q1000(F.sum("w")).alias("tfidf_len"),
+        *[
+            _q1000(F.sum(_disc(F.col("w"), i / 1000.0))).alias(f"tddl_{i}")
+            for i in range(10)
+        ],
+    )
+    return (
+        plain.join(tfidf, "docid")
+        .select(
+            (F.shiftright("docid", block_bits) / F.lit(blocks_per_seg))
+            .cast("long")
+            .alias("seg_group"),
+            "docid",
+            "uniq",
+            F.array(*[f"ddl_{i}" for i in range(10)]).alias("ddl"),
+            "tfidf_len",
+            F.array(*[f"tddl_{i}" for i in range(10)]).alias("tfidf_ddl"),
+        )
+    )
+
+
 def build_index(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -737,6 +826,7 @@ def build_index(
     cull_df_max: int | None = None,
     cull_df_proportion: float | None = None,
     cull_stoplist: str | None = None,
+    puurula: bool = False,
 ) -> IndexTables:
     """Full build. Returns lazily-evaluated DataFrames; call
     :func:`write_index` to materialize.
@@ -774,6 +864,10 @@ def build_index(
 
     if stemmer is not None and stemmer not in ("s", "porter"):
         raise ValueError(f"unknown stemmer {stemmer!r} (use 's' or 'porter')")
+    if puurula and quantize_bits is not None:
+        # the reference's -Q pipeline cannot change ranker afterwards
+        # (atire_api.c:472-478), so lmp length vectors would be dead
+        raise ValueError("puurula length vectors require an unquantized index")
     if stage_dir is None:
         stage_dir = tempfile.mkdtemp(prefix="atire_stage_")
     tokenized = tokenize_stage(
@@ -807,6 +901,7 @@ def build_index(
         postings, term_stats = segments_from_stage1(
             stage1, blocks_per_seg, registry=registry
         )
+        pre_cull_ts = term_stats
         if keep is not None:
             # culling drops the term's postings AND its dictionary row
             # (serialise skips the node entirely); lengths/stats keep
@@ -829,8 +924,23 @@ def build_index(
                 F.lit(stemmer or "").alias("stemmer"),  # ~stemmer
             )
         )
+        puu = None
+        if puurula:
+            # ~uniqueterms + length vectors run before should_prune in
+            # the reference serialise (memory_index.c:1538 precedes the
+            # per-node prune), so they use the PRE-cull term stats
+            n_docs_p = int(
+                docmap.agg(F.count("*").alias("n")).collect()[0]["n"]
+            )
+            puu = puurula_lengths(
+                stage1, pre_cull_ts, n_docs_p, block_bits, blocks_per_seg
+            )
         return IndexTables(
-            docmap=docmap, postings=postings, stats=stats, cached=registry
+            docmap=docmap,
+            postings=postings,
+            stats=stats,
+            cached=registry,
+            puurula=puu,
         )
 
     # quantized build needs N and mean length up front (cheap: docmap
@@ -878,12 +988,23 @@ def write_index(tables: IndexTables, path: str, mode: str = "overwrite") -> None
         mode
     ).parquet(f"{path}/postings")
     tables.stats.write.mode(mode).parquet(f"{path}/stats")
+    if tables.puurula is not None:
+        # clustered on seg_group so the query-side cogroup reads
+        # contiguous files per group (Iceberg: partition/sort on it)
+        tables.puurula.repartition("seg_group").sortWithinPartitions(
+            "seg_group", "docid"
+        ).write.mode(mode).parquet(f"{path}/puurula")
     tables.unpersist()  # build intermediates no longer needed
 
 
 def load_index(spark: SparkSession, path: str) -> IndexTables:
+    try:
+        puu = spark.read.parquet(f"{path}/puurula")
+    except Exception:  # not built with puurula=True
+        puu = None
     return IndexTables(
         docmap=spark.read.parquet(f"{path}/docmap"),
         postings=spark.read.parquet(f"{path}/postings"),
         stats=spark.read.parquet(f"{path}/stats"),
+        puurula=puu,
     )

@@ -45,6 +45,12 @@ RESULT_SCHEMA = "query_id long, rank int, docid long, rsv_fixed long, rsv double
 
 LMD_U = 6750.0  # ranking_function_lmd.h:10
 LMDS_U = 2500.0  # ranking_function_lmds.h:13
+PUURULA_U = 1000.0  # ranking_function_puurula.h:14
+PUURULA_G = 0.5  # ranking_function_puurula.h:15
+# lmptfidf's powerlaw index is (int)(g*1000) and must be <= 9
+# (ranking_function_puurula_idf.c:45-48) — the factory default g=0.5
+# would exit() there; 0.005 is the largest-step value the C code runs
+PUURULA_IDF_G = 0.005
 LMJM_LAMBDA = 0.5  # ranking_function_lmjm.h:9
 BM25L_DELTA = 0.5  # ranking_function_bm25l.h:16
 BM25PLUS_DELTA = 1.0  # ranking_function_bm25plus.h:16
@@ -423,6 +429,7 @@ class SearchEngine:
         row = index.stats.collect()[0].asDict()
         self.n_docs = int(row["documents"])
         self.collection_len = int(row["collection_len"])
+        self.unique_terms = int(row.get("unique_terms", 0) or 0)  # ~uniqueterms
         self.mean_doc_len = float(row["mean_doc_len"])
         self.quantized = bool(row.get("quantized", 0))
         self.quant_bits = int(row.get("quant_bits", 0) or 0)
@@ -545,6 +552,24 @@ class SearchEngine:
             )
         if ranker == "lmds" and not grouped:
             raise ValueError("lmds requires the grouped (default) path")
+        if ranker in ("lmp", "lmptfidf"):
+            if self.index.puurula is None:
+                raise ValueError(
+                    "This index does not contain the Puurula length "
+                    "vectors, reindex using -Ilmp "
+                    "(ranking_function_puurula.c:39-41)"
+                )
+            if (
+                not grouped
+                or conjunctive
+                or trim_postings_k is not None
+                or single_term_prune
+            ):
+                # the reference likewise exits on unsupported lmp
+                # combinations (e.g. quantum processing, puurula.c:62)
+                raise ValueError(
+                    "lmp/lmptfidf support only the plain grouped path"
+                )
         # query plan: the term set is a pushed-down isin filter on the
         # postings scan — no per-query DataFrame, no broadcast
         # exchange; each matched segment is decoded once and fans out
@@ -605,6 +630,9 @@ class SearchEngine:
         term_aux: dict | None = None
         if ranker in ("bm25t", "bm25adpt"):
             term_aux = self._adaptive_k1_map(hits, ranker)
+
+        if ranker in ("lmp", "lmptfidf"):
+            return self._search_puurula(hits, qmap, nq, k, ranker)
 
         if grouped:
             return self._search_grouped(
@@ -689,6 +717,195 @@ class SearchEngine:
             )
             .orderBy("query_id", "rank")
         )
+
+    # ------------------------------------------------------------------
+    def _search_puurula(
+        self,
+        hits: DataFrame,
+        qmap: dict[str, list[tuple[int, int, float]]],
+        nq: dict[int, float],
+        k: int,
+        ranker: str,
+    ) -> DataFrame:
+        """Pitman-Yor-process LM rankers (lmp / lmptfidf,
+        ranking_function_puurula.c:69-108 / puurula_idf.c:88-133).
+
+        Both need per-document length vectors the reference keeps as
+        RAM-resident arrays loaded from squiggle-term postings
+        (puurula.c:24-52); here they are the ``puurula`` side table,
+        cogrouped with the matching segments on ``seg_group`` — the
+        same disjoint-docid-range partitioning the grouped scorer
+        uses, so each task sees exactly the aux rows its docids need.
+        At cluster scale the aux side is bucketed on seg_group by
+        write_index, so only the (small) matched-segment side shuffles
+        per query.
+
+        The document prior joins the FIRST processed term's
+        contribution per (query, doc) (is_zero_rsv, puurula.c:96-102);
+        terms process in the reference's collection-frequency order
+        (atire_api.c:966-968 qsort cmp_collection_frequency), realized
+        with the same first-occurrence fold the lmds path uses.
+        ``add_rsv`` takes the raw value — no postscalar — for both
+        rankers (puurula.c:98-102).
+        """
+        import math
+
+        n_docs = self.n_docs
+        coll_len = float(self.collection_len)
+        uniq_coll = float(self.unique_terms)
+        u, lmp_g, idf_g = PUURULA_U, PUURULA_G, PUURULA_IDF_G
+        g_idx, tg_idx = int(lmp_g * 10), int(idf_g * 1000)
+        is_idf = ranker == "lmptfidf"
+
+        # lmptfidf transforms each occurrence's query_frequency to
+        # ln(1 + 1/|Q|)·ln(N/df) and the query length becomes the sum
+        # of the transformed values (atire_api.c:942-951); absent
+        # terms are skipped (their df is undefined in the reference)
+        qf: dict[tuple[int, str], float] = {}
+        qlen: dict[int, float] = dict(nq)
+        if is_idf:
+            dfs = {
+                r["term"]: int(r["df"])
+                for r in hits.select("term", "df").distinct().collect()
+            }
+            qlen = {qid: 0.0 for qid in nq}
+            for term, subs in qmap.items():
+                if term not in dfs:
+                    continue
+                lnN_df = math.log(float(n_docs) / float(dfs[term]))
+                for qid, weight, _post in subs:
+                    v = math.log(1.0 + 1.0 / nq[qid]) * lnN_df
+                    qf[(qid, term)] = v
+                    qlen[qid] += weight * v
+
+        def co_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype=np.int64),
+                    "docid": pd.Series(dtype=np.int64),
+                    "rsv_fixed": pd.Series(dtype=np.int64),
+                }
+            )
+            if not len(left) or not len(right):
+                return empty
+            order = np.argsort(right["docid"].to_numpy(np.int64))
+            a_doc = right["docid"].to_numpy(np.int64)[order]
+            if is_idf:
+                a_uniq = right["uniq"].to_numpy(np.int64)[order]
+                a_tlen = right["tfidf_len"].to_numpy(np.int64)[order]
+                a_tddl = np.stack(right["tfidf_ddl"].to_numpy())[order][
+                    :, tg_idx
+                ]
+            else:
+                a_ddl = np.stack(right["ddl"].to_numpy())[order][:, g_idx]
+            qids, docs, contribs, adjs, cfs, terms_ = [], [], [], [], [], []
+            for row in left.itertuples(index=False):
+                docids, impacts, lens = decode_segment(
+                    np.asarray(row.impacts),
+                    np.asarray(row.doc_counts),
+                    row.postings,
+                    row.doc_lens,
+                )
+                pos = np.searchsorted(a_doc, docids)
+                tf = impacts.astype(np.float64)
+                len_d = lens.astype(np.float64)
+                with np.errstate(
+                    divide="ignore", over="ignore", invalid="ignore"
+                ):
+                    if is_idf:
+                        # w = ln(1+tf/uniq)·ln(N/df); powerlaw discount
+                        # with gg = tg_idx/1000 (puurula_idf.c:108-110)
+                        w = np.log(
+                            1.0 + tf / a_uniq[pos].astype(np.float64)
+                        ) * math.log(float(n_docs) / float(int(row.df)))
+                        tfp = np.maximum(w - idf_g * np.power(w, idf_g), 0.0)
+                        keep = tfp != 0.0  # no score ⇒ no touch, c:112
+                        base = np.log((tfp * uniq_coll) / u + 1.0)
+                        tddl = a_tddl[pos].astype(np.float64) / 1000.0
+                        tlen = a_tlen[pos].astype(np.float64) / 1000.0
+                        prior = np.log(1.0 - tddl / (tlen + u))
+                    else:
+                        # tf' = max(tf − g·tf^g, 0); ANT_logsum with 0
+                        # written in the C branch order (maths.h:461)
+                        tfp = np.maximum(
+                            tf - lmp_g * np.power(tf, lmp_g), 0.0
+                        )
+                        inner = (
+                            np.log(tfp)
+                            + math.log(coll_len)
+                            - math.log(u * float(int(row.cf)) + 1.0)
+                        )
+                        base = np.where(
+                            inner > 0.0,
+                            np.log(np.exp(0.0 - inner) + 1.0) + inner,
+                            np.log(np.exp(inner) + 1.0),
+                        )
+                        keep = np.ones(docids.size, dtype=bool)
+                        ddl = a_ddl[pos].astype(np.float64) / 1000.0
+                        prior = np.log(1.0 - ddl / (len_d + u))
+                d_k = docids[keep]
+                if d_k.size == 0:
+                    continue
+                base_k, prior_k = base[keep], prior[keep]
+                for qid, weight, _post in qmap[row.term]:
+                    rsv = (
+                        qf.get((qid, row.term), 0.0) * base_k
+                        if is_idf
+                        else base_k  # query_occurences = 1 per node
+                    )
+                    unit = 1 + (rsv * 100.0).astype(np.int64)
+                    rsv_p = rsv + qlen[qid] * prior_k
+                    unit_p = 1 + (rsv_p * 100.0).astype(np.int64)
+                    contribs.append(unit_p + (weight - 1) * unit)
+                    adjs.append(unit - unit_p)
+                    qids.append(np.full(d_k.size, qid, dtype=np.int64))
+                    docs.append(d_k)
+                    cfs.append(
+                        np.full(d_k.size, int(row.cf), dtype=np.int64)
+                    )
+                    terms_.append(np.full(d_k.size, row.term, dtype=object))
+            if not qids:
+                return empty
+            acc = pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qids),
+                    "docid": np.concatenate(docs),
+                    "contrib": np.concatenate(contribs),
+                    "adj": np.concatenate(adjs),
+                    "cf": np.concatenate(cfs),
+                    "term": np.concatenate(terms_),
+                }
+            )
+            acc = acc.sort_values(
+                ["query_id", "docid", "cf", "term"], kind="stable"
+            ).reset_index(drop=True)
+            first = acc.groupby(["query_id", "docid"], sort=False).cumcount().eq(0)
+            acc.loc[first, "adj"] = 0
+            acc["contrib"] = acc["contrib"] + acc["adj"]
+            agg = (
+                acc.groupby(["query_id", "docid"], sort=False)
+                .agg(rsv_fixed=("contrib", "sum"))
+                .reset_index()
+            )
+            agg["rsv_fixed"] = agg["rsv_fixed"] % ACCUM_MOD
+            outs = []
+            for _, g_ in agg.groupby("query_id", sort=False):
+                if len(g_) > k:
+                    sel = np.lexsort(
+                        (-g_["docid"].to_numpy(), -g_["rsv_fixed"].to_numpy())
+                    )[:k]
+                    g_ = g_.iloc[sel]
+                outs.append(g_[["query_id", "docid", "rsv_fixed"]])
+            return pd.concat(outs)
+
+        cand = (
+            hits.groupBy("seg_group")
+            .cogroup(self.index.puurula.groupBy("seg_group"))
+            .applyInPandas(
+                co_fn, schema="query_id long, docid long, rsv_fixed long"
+            )
+        )
+        return self._rank_topk(cand, k)
 
     # ------------------------------------------------------------------
     def _adaptive_k1_map(

@@ -294,3 +294,45 @@ class TestQuantized:
         pd.testing.assert_frame_equal(
             a.reset_index(drop=True), b.reset_index(drop=True)
         )
+
+
+class TestPuurula:
+    """lmp / lmptfidf need the -Ilmp length vectors
+    (ranking_function_puurula.c:39-41); without them the engine
+    refuses like the reference, with them ranking is deterministic
+    and the ddl quantization (×1000 trunc) is visible in the table."""
+
+    def test_requires_length_vectors(self, spark):
+        import pandas as pd
+        import pytest as _pytest
+
+        from atire_spark.build import build_index
+        from atire_spark.query import SearchEngine
+        from atire_spark.synth import make_transcripts
+
+        idx = build_index(spark, spark.createDataFrame(make_transcripts("tiny")))
+        eng = SearchEngine(spark, idx)
+        with _pytest.raises(ValueError, match="Puurula length"):
+            eng.search_batch([(1, "alpha")], k=5, ranker="lmp")
+
+    def test_lmp_scores_and_vectors(self, spark):
+        import numpy as np
+
+        from atire_spark.build import build_index
+        from atire_spark.query import SearchEngine
+        from atire_spark.synth import make_transcripts
+
+        pdf = make_transcripts("tiny")
+        idx = build_index(spark, spark.createDataFrame(pdf), puurula=True)
+        aux = idx.puurula.orderBy("docid").limit(1).collect()[0]
+        # g=0 stores the undiscounted tf sum ×1000; columns decrease in g
+        ddl = list(aux["ddl"])
+        assert ddl == sorted(ddl, reverse=True)
+        assert ddl[0] % 1000 == 0  # g=0: integer tf sum ×1000 is exact
+        eng = SearchEngine(spark, idx)
+        for rk in ("lmp", "lmptfidf"):
+            got = eng.search_batch([(1, "alpha bravo")], k=5, ranker=rk)
+            rows = got.collect()
+            assert 0 < len(rows) <= 5
+            ranks = [r["rank"] for r in rows]
+            assert ranks == list(range(1, len(rows) + 1))
