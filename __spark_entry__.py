@@ -1516,6 +1516,59 @@ def _q_topk_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pregen_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pregenerated ranking over the transcripts' ``ts`` field — the
+    reference's INTEGEREXACT pregen writer turns an integer document
+    field into .pregen scores (pregen_writer_exact_integers.c); here
+    the (docid, score) table is built from the Iceberg-style source
+    column, and matched docs rank most-recent-first."""
+    eng = _engine(spark, sf_dir)
+    t = _transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.unix_timestamp("ts").alias("score")
+    )
+    pregen = eng.index.docmap.join(t, ["conv_id", "turn_idx"]).select(
+        "docid", "score"
+    )
+    return eng.search_pregen(TESTDATA_QUERIES, pregen, k=TOP_K)
+
+
+def _pregen_sql(k: int) -> str:
+    """Pregen oracle: matched (query, doc) pairs take the per-doc
+    integer field value via set_rsv (MAX/overwrite — no weights, no
+    accumulation), ranked rsv desc / docid desc."""
+    return f"""
+WITH {_CORPUS_CTE},
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+),
+cand AS (
+  SELECT DISTINCT CAST(q.query_id AS BIGINT) AS query_id, t.docid
+  FROM q JOIN tf t USING (term)
+),
+pg AS (
+  SELECT docid,
+         CAST(epoch(TIMESTAMP '2025-01-01 00:00:00') AS BIGINT)
+           + doc_id * 60 AS score
+  FROM docmap
+),
+acc AS (
+  SELECT c.query_id, c.docid, CAST(pg.score AS BIGINT) AS rsv_fixed
+  FROM cand c JOIN pg ON pg.docid = c.docid
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM acc
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_lmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _puurula_engine(spark, sf_dir)
     return eng.search_batch(TESTDATA_QUERIES, k=TOP_K, ranker="lmp")
@@ -1931,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25adpt_topk": _mk_ranker_query("bm25adpt"),
         "lmp_topk": _q_lmp,
         "lmptfidf_topk": _q_lmptfidf,
+        "pregen_recent_topk": _q_pregen_recent,
         "tflodop_topk": _mk_ranker_query("tflodop"),
         "kbtfidf_topk": _mk_ranker_query("kbtfidf"),
         "docid_asc_topk": _mk_ranker_query("docid_asc"),
@@ -2217,6 +2271,8 @@ WHERE NOT (cf = 1
         # Pitman-Yor LM rankers over the -Ilmp length vectors
         "lmp_topk": _lmp_sql(TOP_K),
         "lmptfidf_topk": _lmptfidf_sql(TOP_K),
+        # pregen: matched docs ranked by a precomputed field score
+        "pregen_recent_topk": _pregen_sql(TOP_K),
         # TFlodop b=0.1 δ=0.1 (ranking_function_tflodop.c:73-89)
         "tflodop_topk": _ranker_sql(
             "CAST(q.weight AS BIGINT) * (1 + CAST(trunc(("

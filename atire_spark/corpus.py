@@ -789,6 +789,93 @@ FROM h JOIN g USING (text_hash)
 """
 
 
+def dalechall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dale-Chall readability per document — the reference's
+    readability measure (readability_dale_chall.c:188): score =
+    trunc(1000·(0.049·words/sentences + 15.79·unfamiliar/words
+    + 3.6365)), 0 for empty docs; ``unfamiliar`` = tokens outside the
+    published familiar-word list (readability_dale_chall_wordlist.h,
+    shipped as data in kernels/dalechall.py). Sentences are
+    [.!?]-runs (min 1 — the reference's parser ends the last sentence
+    at EOF); the title-case familiarity rule is moot under this
+    engine's lowercasing tokenizer.
+
+    Plan: the 11,754-word list broadcast-joins the exploded tokens
+    (left-anti) — no giant IN expression in the hot path."""
+    from atire_spark.kernels.dalechall import DALE_CHALL_WORDS
+
+    docs = _docs(spark, sf_dir)
+    wl = spark.createDataFrame(
+        [(w,) for w in sorted(DALE_CHALL_WORDS)], "t string"
+    )
+    unf = (
+        docs.select("doc_id", F.explode(F.expr(TOKS_EXPR)).alias("t"))
+        .join(F.broadcast(wl), "t", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("unfamiliar"))
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(F.expr(TOKS_EXPR)).cast("long").alias("n_words"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+        )
+        .cast("long")
+        .alias("n_sentences"),
+    )
+    j = base.join(unf, "doc_id", "left").fillna({"unfamiliar": 0})
+    w, s, u = (
+        F.col("n_words").cast("double"),
+        F.col("n_sentences").cast("double"),
+        F.col("unfamiliar").cast("double"),
+    )
+    score = F.when(F.col("n_words") == 0, F.lit(0)).otherwise(
+        (
+            1000.0 * ((0.049 * w) / s + (15.79 * u) / w + 3.6365)
+        ).cast("long")
+    )
+    return j.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        F.col("unfamiliar").cast("long").alias("unfamiliar"),
+        score.alias("dalechall"),
+    )
+
+
+def dalechall_sql() -> str:
+    from atire_spark.kernels.dalechall import DALE_CHALL_WORDS
+
+    values = ", ".join(f"('{w}')" for w in sorted(DALE_CHALL_WORDS))
+    return f"""
+WITH wl(t) AS (VALUES {values}),
+d AS (SELECT doc_id, {TOKS_EXPR} AS toks, text FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences
+  FROM d
+),
+unf AS (
+  SELECT x.doc_id, CAST(count(*) AS BIGINT) AS unfamiliar
+  FROM (SELECT doc_id, unnest(toks) AS t FROM d) x
+  LEFT JOIN wl ON wl.t = x.t
+  WHERE wl.t IS NULL
+  GROUP BY x.doc_id
+)
+SELECT b.doc_id, b.n_words, b.n_sentences,
+       COALESCE(u.unfamiliar, 0) AS unfamiliar,
+       CASE WHEN b.n_words = 0 THEN 0
+            ELSE CAST(trunc(1000.0
+                 * ((0.049 * CAST(b.n_words AS DOUBLE))
+                      / CAST(b.n_sentences AS DOUBLE)
+                    + (15.79 * CAST(COALESCE(u.unfamiliar, 0) AS DOUBLE))
+                      / CAST(b.n_words AS DOUBLE)
+                    + 3.6365)) AS BIGINT) END AS dalechall
+FROM base b LEFT JOIN unf u ON u.doc_id = b.doc_id
+"""
+
+
 CORPUS_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -797,6 +884,7 @@ CORPUS_QUERIES = {
     "text_token_stats": token_stats,
     "text_quality": quality_score,
     "text_langid": lang_id,
+    "text_dalechall": dalechall,
     "knn_brute_cosine": knn_brute_cosine,
     "knn_lsh_bucketed": knn_lsh_bucketed,
     "multimodal_meta": multimodal_meta,
@@ -812,6 +900,7 @@ def corpus_oracle_sql() -> dict[str, str]:
         "text_token_stats": token_stats_sql(),
         "text_quality": quality_score_sql(),
         "text_langid": lang_id_sql(),
+        "text_dalechall": dalechall_sql(),
         "knn_brute_cosine": knn_brute_cosine_sql(),
         "knn_lsh_bucketed": knn_lsh_bucketed_sql(),
         "multimodal_meta": multimodal_meta_sql(),

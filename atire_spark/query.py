@@ -719,6 +719,76 @@ class SearchEngine:
         )
 
     # ------------------------------------------------------------------
+    def search_pregen(
+        self,
+        queries: list[tuple[int, str]],
+        pregen: DataFrame,
+        k: int = 10,
+        ascending: bool = False,
+    ) -> DataFrame:
+        """Pregenerated ranking (ranking_function_pregen.c:38-63): the
+        documents matching any query term are ranked purely by a
+        per-document precomputed score — the reference reads it from a
+        .pregen file built by the pregen writers (pregen_writer*.c,
+        e.g. exact-integer field values or string-sort ranks); here
+        ``pregen`` is the equivalent (docid, score) table.
+
+        set_rsv overwrite semantics: every matching posting writes the
+        SAME per-doc value, so the aggregation is MAX, never a sum,
+        and query weights don't multiply (like the docid rankers).
+        ``ascending`` flips the order by storing MAX − score
+        (ranking_function_pregen.c:55 — the reference's MAX is the
+        uint64 limit; int64's is used here, a pure order-preserving
+        shift at any realizable score).
+
+        Plan shape: candidates (query_id, docid) come off the decoded
+        segments, join the pregen table on docid (a co-partitionable
+        equi-join — bucket both on docid at cluster scale), and
+        Catalyst's WindowGroupLimit bounds the top-k on both sides of
+        the final exchange. No per-posting Python beyond the segment
+        decode."""
+        qmap: dict[str, list[int]] = {}
+        for qid, text in queries:
+            for term, _w in parse_query(text, self.stemmer):
+                qmap.setdefault(term, []).append(qid)
+        if not qmap:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        hits = self.postings.filter(F.col("term").isin(list(qmap)))
+
+        def cand_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                qids: list[np.ndarray] = []
+                docs: list[np.ndarray] = []
+                for row in pdf.itertuples(index=False):
+                    docids, _imp, _lens = decode_segment(
+                        np.asarray(row.impacts),
+                        np.asarray(row.doc_counts),
+                        row.postings,
+                        row.doc_lens,
+                    )
+                    for qid in qmap[row.term]:
+                        qids.append(np.full(docids.size, qid, dtype=np.int64))
+                        docs.append(docids)
+                if qids:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.concatenate(qids),
+                            "docid": np.concatenate(docs),
+                        }
+                    ).drop_duplicates()
+
+        cand = hits.mapInPandas(
+            cand_fn, schema="query_id long, docid long"
+        ).dropDuplicates(["query_id", "docid"])
+        score = F.col("score").cast("long")
+        if ascending:
+            score = F.lit(np.iinfo(np.int64).max) - score
+        scored = cand.join(pregen.select("docid", "score"), "docid").select(
+            "query_id", "docid", score.alias("rsv_fixed")
+        )
+        return self._rank_topk(scored, k)
+
+    # ------------------------------------------------------------------
     def _search_puurula(
         self,
         hits: DataFrame,
