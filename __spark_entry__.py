@@ -1569,6 +1569,66 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _q_readable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readable ranker, reference defaults (mix=0, cutoff=hardest):
+    matched docs ranked easiest-reading-first by Dale-Chall; the
+    readability table keys the corpus measure to the index docids."""
+    from atire_spark.corpus import dalechall
+
+    eng = _engine(spark, sf_dir)
+    dc = dalechall(spark, sf_dir).select(
+        F.concat(
+            F.lit("conv"),
+            F.lpad((F.col("doc_id") / 8).cast("long").cast("string"), 12, "0"),
+        ).alias("conv_id"),
+        (F.col("doc_id") % 8).cast("int").alias("turn_idx"),
+        "dalechall",
+    )
+    readability = eng.index.docmap.join(dc, ["conv_id", "turn_idx"]).select(
+        "docid", "dalechall"
+    )
+    return eng.search_readable(TESTDATA_QUERIES, readability, k=TOP_K)
+
+
+def _readable_sql(k: int) -> str:
+    """readable oracle: per matched (query, doc) rsv =
+    (cutoff − dale/1000) with mix=0 (the BM25 blend term is zero);
+    cutoff = max dale/1000 over the collection; rank rsv desc, docid
+    desc; rsv rounded to 9 dp like the engine."""
+    from atire_spark.corpus import dalechall_sql
+
+    return f"""
+WITH {_CORPUS_CTE},
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+),
+dc AS ({dalechall_sql()}),
+rd AS (
+  SELECT m.docid, CAST(dc.dalechall AS DOUBLE) AS dale
+  FROM dc JOIN docmap m ON m.doc_id = dc.doc_id
+),
+hardest AS (SELECT CAST(CAST(max(dale) AS BIGINT) AS DOUBLE) / 1000.0 AS cutoff FROM rd),
+cand AS (
+  SELECT DISTINCT CAST(q.query_id AS BIGINT) AS query_id, t.docid
+  FROM q JOIN tf t USING (term)
+),
+scored AS (
+  SELECT c.query_id, c.docid,
+         round((1.0 - 0.0) * (h.cutoff - rd.dale / 1000.0) + 0.0, 9) AS rsv
+  FROM cand c JOIN rd ON rd.docid = c.docid CROSS JOIN hardest h
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv
+  FROM scored
+)
+SELECT query_id, rank, docid, rsv FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_lmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _puurula_engine(spark, sf_dir)
     return eng.search_batch(TESTDATA_QUERIES, k=TOP_K, ranker="lmp")
@@ -1985,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmp_topk": _q_lmp,
         "lmptfidf_topk": _q_lmptfidf,
         "pregen_recent_topk": _q_pregen_recent,
+        "readable_topk": _q_readable,
         "tflodop_topk": _mk_ranker_query("tflodop"),
         "kbtfidf_topk": _mk_ranker_query("kbtfidf"),
         "docid_asc_topk": _mk_ranker_query("docid_asc"),
@@ -2273,6 +2334,8 @@ WHERE NOT (cf = 1
         "lmptfidf_topk": _lmptfidf_sql(TOP_K),
         # pregen: matched docs ranked by a precomputed field score
         "pregen_recent_topk": _pregen_sql(TOP_K),
+        # readable: BM25/Dale-Chall blend at the reference defaults
+        "readable_topk": _readable_sql(TOP_K),
         # TFlodop b=0.1 δ=0.1 (ranking_function_tflodop.c:73-89)
         "tflodop_topk": _ranker_sql(
             "CAST(q.weight AS BIGINT) * (1 + CAST(trunc(("

@@ -789,6 +789,115 @@ class SearchEngine:
         return self._rank_topk(scored, k)
 
     # ------------------------------------------------------------------
+    def search_readable(
+        self,
+        queries: list[tuple[int, str]],
+        readability: DataFrame,
+        k: int = 10,
+        mix: float = 0.0,
+    ) -> DataFrame:
+        """Readability ranking (ranking_function_readability.c:69-108)
+        — BM25 blended with Dale-Chall: every matched document gets
+        ``(1−mix)·(cutoff − dale/1000)`` once (is_zero_rsv first
+        touch) plus ``mix``-weighted BM25 per term; the reference
+        default is mix=0 (atire_api.c:278, header default) — rank
+        matches easiest-reading-first. ``cutoff`` is the hardest
+        document's score/1000 (search_engine_readability.c:49-56).
+
+        Unlike every other ranker the readability engine subclass
+        accumulates RAW DOUBLES (no quantize/fixed-point,
+        readability.c:95-101), so the once-per-doc bonus is
+        order-independent and factors out of the term loop: the BM25
+        float sum runs distributed, the bonus joins on docid after —
+        no per-query shuffle of the readability table beyond the
+        matched docids. Output rsv is rounded to 9 dp (float sum
+        order bridge); ranking is rsv desc, docid desc.
+
+        ``readability`` is a (docid, dalechall) table — the measure
+        :func:`atire_spark.corpus.dalechall` computes, keyed to this
+        index's docids."""
+        k1, b = BM25_K1, BM25_B
+        n_docs, mean_len = self.n_docs, self.mean_doc_len
+        qmap: dict[str, list[tuple[int, int]]] = {}
+        for qid, text in queries:
+            for term, w in parse_query(text, self.stemmer):
+                qmap.setdefault(term, []).append((qid, w))
+        if not qmap:
+            return self.spark.createDataFrame(
+                [], "query_id long, rank int, docid long, rsv double"
+            )
+        hits = self.postings.filter(F.col("term").isin(list(qmap)))
+        hardest = readability.agg(
+            F.max("dalechall").alias("h")
+        ).collect()[0]["h"]
+        cutoff = float(int(hardest or 0)) / 1000.0
+
+        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                qids, docs, contribs = [], [], []
+                for row in pdf.itertuples(index=False):
+                    docids, impacts, lens = decode_segment(
+                        np.asarray(row.impacts),
+                        np.asarray(row.doc_counts),
+                        row.postings,
+                        row.doc_lens,
+                    )
+                    tf = impacts.astype(np.float64)
+                    len_d = lens.astype(np.float64)
+                    # readability.c:101 — plain-double BM25 (no
+                    # float32 prior cast, no df==N skip)
+                    idf = float(
+                        np.log(np.float64(n_docs) / np.float64(int(row.df)))
+                    )
+                    top = tf * (k1 + 1.0)
+                    rsv = mix * (
+                        idf
+                        * (top / (tf + k1 * ((1.0 - b) + b * (len_d / mean_len))))
+                    )
+                    for qid, w in qmap[row.term]:
+                        qids.append(np.full(docids.size, qid, dtype=np.int64))
+                        docs.append(docids)
+                        contribs.append(rsv * w)
+                if qids:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.concatenate(qids),
+                            "docid": np.concatenate(docs),
+                            "contrib": np.concatenate(contribs),
+                        }
+                    )
+
+        bm = (
+            hits.mapInPandas(
+                part, schema="query_id long, docid long, contrib double"
+            )
+            .groupBy("query_id", "docid")
+            .agg(F.sum("contrib").alias("bm"))
+        )
+        scored = bm.join(
+            readability.select(
+                "docid", F.col("dalechall").cast("double").alias("dale")
+            ),
+            "docid",
+        ).select(
+            "query_id",
+            "docid",
+            F.round(
+                (1.0 - mix) * (cutoff - F.col("dale") / 1000.0) + F.col("bm"),
+                9,
+            ).alias("rsv"),
+        )
+        w_ = Window.partitionBy("query_id").orderBy(
+            F.col("rsv").desc(), F.col("docid").desc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w_))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "docid", "rsv")
+            .orderBy("query_id", "rank")
+        )
+
+    # ------------------------------------------------------------------
     def _search_puurula(
         self,
         hits: DataFrame,
