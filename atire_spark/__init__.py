@@ -11,9 +11,14 @@ Reimplements the *capabilities* of the reference ATIRE engine
 - query: BM25 term-at-a-time top-k, rank-identical to the reference's
   default configuration (unquantized tf-impact index, k1=0.9, b=0.4,
   fixed-point uint16 accumulators, tie-break larger-docid-first), plus
-  21 of the reference factory's 25 rankers, quantum-at-a-time block-max
-  pruning, boolean retrieval, read-side trims, blind-KL feedback,
-  more-like-this, two-stage rerank, snippets and evaluation metrics.
+  ALL 28 named rankers of the reference factory (including adaptive-k1
+  BM25T/ADPT, Pitman-Yor lmp/lmptfidf, readable, pregen),
+  quantum-at-a-time block-max pruning, boolean retrieval, read-side
+  trims, blind-KL feedback, more-like-this, two-stage rerank, snippets
+  and evaluation metrics.
+- streaming: Structured Streaming incremental index build
+  (foreachBatch partial-index appends, the reference's build+merge
+  recipe run continuously; score-identical to a batch build).
 - text pipeline: S-stripper/Porter stemming, NCBI/Puurula stopwords,
   serialise-time term culling — all with the reference's gates.
 - corpus operators: dedup (exact/MinHash-LSH/SimHash), fingerprints,
