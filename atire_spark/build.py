@@ -79,8 +79,13 @@ def tokenize_stage(
     transcripts: DataFrame,
     stemmer: str | None = None,
     stop_before_indexing: str | None = None,
+    cjk_bigrams: bool = False,
 ) -> DataFrame:
     """Per-turn tokenization + per-doc term counts, one Arrow pass.
+
+    ``cjk_bigrams`` switches CJK runs from the parser's unsegmented
+    default (one char per token, parser.c:251-258) to
+    BIGRAM_SEGMENTATION (parser.c:259-283).
 
     Output: one row per turn with (terms[], tfs[]) already aggregated
     per document (the reference's memory_index_one per-doc hash) and
@@ -109,7 +114,7 @@ def tokenize_stage(
         for pdf in batches:
             pdf = pdf.reset_index(drop=True)
             n = len(pdf)
-            toks, lens = tokenize_batch(pdf["text"])
+            toks, lens = tokenize_batch(pdf["text"], cjk_bigrams=cjk_bigrams)
             flat = toks.explode().dropna()
             if stops is not None and not flat.empty:
                 # length already counted; drop stops from the posting
@@ -827,6 +832,7 @@ def build_index(
     cull_df_proportion: float | None = None,
     cull_stoplist: str | None = None,
     puurula: bool = False,
+    cjk_bigrams: bool = False,
 ) -> IndexTables:
     """Full build. Returns lazily-evaluated DataFrames; call
     :func:`write_index` to materialize.
@@ -871,7 +877,10 @@ def build_index(
     if stage_dir is None:
         stage_dir = tempfile.mkdtemp(prefix="atire_stage_")
     tokenized = tokenize_stage(
-        transcripts, stemmer=stemmer, stop_before_indexing=stop_before_indexing
+        transcripts,
+        stemmer=stemmer,
+        stop_before_indexing=stop_before_indexing,
+        cjk_bigrams=cjk_bigrams,
     )
     n_ranges = max(spark.sparkContext.defaultParallelism, 4)
     staged, offsets, n_total = _stage_sorted(

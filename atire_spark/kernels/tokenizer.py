@@ -33,25 +33,71 @@ import pandas as pd
 
 MAX_TERM_BYTES = 20 * 1024  # atire_api.h:21 MAX_TERM_LENGTH
 
-# letter runs ([^\W\d_] == Unicode letters) or decimal-digit runs
-_TOKEN_RE = re.compile(r"[^\W\d_]+|\d+", re.UNICODE)
+# CJK codepoint ranges, exactly the reference's is_cjk_language
+# (unicode.c:596-634 — ischinese || iskorean || isjapanese).  The
+# reference classifies these CT_OTHER, never CT_LETTER, so letter
+# runs must not swallow them (parser.c:141,251).
+_CJK = (
+    "㐀-䶿"  # CJK Unified Ideographs Extension A
+    "一-鿿"  # CJK Unified Ideographs
+    "豈-﫿"  # CJK Compatibility Ideographs
+    "\U00020000-\U0002a6df"  # CJK Unified Ideographs Extension B
+    "\U0002f800-\U0002fa1f"  # CJK Compatibility Ideographs Supplement
+    "ᄀ-ᇿ"  # Hangul Jamo
+    "가-힣"  # Hangul Syllables
+    "㄰-㆏"  # Hangul Compatibility Jamo
+    "ꥠ-꥿"  # Hangul Jamo Extended-A
+    "ힰ-퟿"  # Hangul Jamo Extended-B
+    "぀-ゟ"  # Hiragana
+    "゠-ヿ"  # Katakana
+)
+
+# one CJK char per token (parser.c:251-258 unsegmented default), or a
+# letter run with CJK excluded, or a decimal-digit run
+_TOKEN_RE = re.compile(
+    rf"[{_CJK}]|(?:(?![{_CJK}])[^\W\d_])+|\d+", re.UNICODE
+)
+# bigram mode scans whole CJK runs first, expanded in Python
+_TOKEN_RUN_RE = re.compile(
+    rf"[{_CJK}]+|(?:(?![{_CJK}])[^\W\d_])+|\d+", re.UNICODE
+)
+_CJK_RUN_RE = re.compile(rf"^[{_CJK}]+$")
 
 
-def tokenize(text: str | None) -> list[str]:
-    """Tokenize one string → list of indexable terms (lowercased words +
-    raw digit runs), with the >20KB raw-length drop applied."""
+def _cjk_bigrams(run: str) -> list[str]:
+    """BIGRAM_SEGMENTATION over one CJK run (parser.c:259-283):
+    overlapping 2-char windows, the scan stepping back one char after
+    each token, so run "abc" → ab, bc, c (the trailing char is its own
+    token) and a 1-char run is itself."""
+    if len(run) == 1:
+        return [run]
+    return [run[i : i + 2] for i in range(len(run) - 1)] + [run[-1]]
+
+
+def tokenize(text: str | None, cjk_bigrams: bool = False) -> list[str]:
+    """Tokenize one string → list of indexable terms (lowercased words,
+    raw digit runs, CJK chars — single per token by default or
+    overlapping bigrams), with the >20KB raw-length drop applied."""
     if not text:
         return []
     out = []
-    for tok in _TOKEN_RE.findall(text):
+    toks = (
+        _TOKEN_RUN_RE.findall(text) if cjk_bigrams else _TOKEN_RE.findall(text)
+    )
+    for tok in toks:
         # byte_len <= 4 * char_len, so char_len <= MAX/4 can never exceed
         if len(tok) > MAX_TERM_BYTES // 4 and len(tok.encode("utf-8")) > MAX_TERM_BYTES:
             continue
-        out.append(tok.lower())
+        if cjk_bigrams and _CJK_RUN_RE.match(tok):
+            out.extend(_cjk_bigrams(tok))
+        else:
+            out.append(tok.lower())
     return out
 
 
-def tokenize_batch(texts: pd.Series) -> tuple[pd.Series, np.ndarray]:
+def tokenize_batch(
+    texts: pd.Series, cjk_bigrams: bool = False
+) -> tuple[pd.Series, np.ndarray]:
     """Vectorized batch tokenization.
 
     Returns ``(tokens, doc_len)`` where ``tokens`` is a Series of
@@ -61,10 +107,15 @@ def tokenize_batch(texts: pd.Series) -> tuple[pd.Series, np.ndarray]:
     Implementation stays in pandas vectorized string ops: one
     ``str.findall`` over the batch, an exploded ``str.lower`` pass, and
     a length filter — no per-row Python beyond list regrouping.
+    ``cjk_bigrams`` switches CJK runs to the reference's
+    BIGRAM_SEGMENTATION (expansion only touches CJK-run tokens; the
+    downstream bag-of-words makes intra-doc order irrelevant).
     """
     if not texts.index.is_unique:
         raise ValueError("tokenize_batch requires a unique index")
-    raw = texts.fillna("").astype(str).str.findall(_TOKEN_RE)
+    raw = texts.fillna("").astype(str).str.findall(
+        _TOKEN_RUN_RE if cjk_bigrams else _TOKEN_RE
+    )
     flat = raw.explode().dropna()
     if flat.empty:
         return pd.Series([[] for _ in range(len(texts))], index=texts.index), np.zeros(
@@ -85,6 +136,11 @@ def tokenize_batch(texts: pd.Series) -> tuple[pd.Series, np.ndarray]:
         keep[suspect[too_long]] = False
         flat = flat[keep]
     flat = flat.str.lower()
+    if cjk_bigrams and len(flat):
+        is_run = flat.str.match(_CJK_RUN_RE) & (flat.str.len() > 1)
+        if is_run.any():
+            expanded = flat[is_run].map(_cjk_bigrams).explode()
+            flat = pd.concat([flat[~is_run], expanded])
     grouped = flat.groupby(level=0).agg(list)
     tokens = grouped.reindex(texts.index)
     tokens = tokens.apply(lambda v: v if isinstance(v, list) else [])

@@ -325,10 +325,16 @@ def _segment_contrib(
 
 from dataclasses import dataclass as _dataclass
 
-# NEXI CO scan tokens: letter runs, digit runs, or one non-space char
-# (the reference's parser emits punctuation one char at a time,
-# parser.c:339-346)
-_NEXI_TOKEN_RE = re.compile(r"[^\W\d_]+|\d+|\S", re.UNICODE)
+# NEXI CO scan tokens: single CJK chars (the parser's unsegmented CJK
+# default, parser.c:251-258 — matching the index side), letter runs,
+# digit runs, or one non-space char (the reference's parser emits
+# punctuation one char at a time, parser.c:339-346). A bigram-indexed
+# corpus needs query bigrams passed via ``parsed_terms``.
+from atire_spark.kernels.tokenizer import _CJK as _CJK_RANGES
+
+_NEXI_TOKEN_RE = re.compile(
+    rf"[{_CJK_RANGES}]|(?:(?![{_CJK_RANGES}])[^\W\d_])+|\d+|\S", re.UNICODE
+)
 
 
 @_dataclass

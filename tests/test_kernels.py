@@ -287,3 +287,51 @@ class TestAdaptiveK1:
         )
         assert abs(ig1 - want) < 1e-12
         assert 0.0 < k1 <= 11.0  # range search stays inside (0, end+jump]
+
+
+class TestCJK:
+    """CJK segmentation parity (parser.c:251-283, unicode.c:596-634):
+    default = one token per CJK char (never swallowed by letter runs);
+    bigram mode = overlapping 2-char windows with a trailing
+    single-char token."""
+
+    def test_single_char_default(self):
+        from atire_spark.kernels.tokenizer import tokenize
+
+        assert tokenize("中文测试") == ["中", "文", "测", "试"]
+        # mixed ASCII + CJK: letter runs stop at the CJK boundary
+        assert tokenize("spark引擎test") == ["spark", "引", "擎", "test"]
+        # Korean syllables and Japanese kana are CJK too
+        assert tokenize("한국어") == ["한", "국", "어"]
+        assert tokenize("ひらがなとカタカナ") == list("ひらがなとカタカナ")
+        # digits stay runs
+        assert tokenize("数42字") == ["数", "42", "字"]
+
+    def test_bigram_mode(self):
+        from atire_spark.kernels.tokenizer import tokenize
+
+        # run "abc" → ab, bc, c (parser.c:259-283: the scan steps back
+        # one char after each bigram, the trailing char stands alone)
+        assert tokenize("中文测", cjk_bigrams=True) == ["中文", "文测", "测"]
+        assert tokenize("中", cjk_bigrams=True) == ["中"]
+        assert tokenize("a中文b", cjk_bigrams=True) == ["a", "中文", "文", "b"]
+
+    def test_batch_matches_scalar(self):
+        import pandas as pd
+
+        from atire_spark.kernels.tokenizer import tokenize, tokenize_batch
+
+        texts = pd.Series(
+            ["中文测试 hello", "spark引擎", "", "한국어 42", "plain ascii"]
+        )
+        for bg in (False, True):
+            toks, lens = tokenize_batch(texts, cjk_bigrams=bg)
+            for i, t in texts.items():
+                want = tokenize(t, cjk_bigrams=bg)
+                assert sorted(toks.iloc[i]) == sorted(want), (bg, t)
+                assert lens[i] == len(want)
+
+    def test_nexi_query_splits_cjk(self):
+        from atire_spark.query import parse_query
+
+        assert [t for t, _ in parse_query("中文 search")] == ["中", "文", "search"]
