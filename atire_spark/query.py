@@ -1342,7 +1342,18 @@ class SearchEngine:
             if outs:
                 yield pd.concat(outs)
 
-        cand = hits.repartition("seg_group").mapInPandas(
+        # the seg_group repartition co-locates every segment a docid's
+        # accumulation needs — but a docid only spans MULTIPLE matched
+        # rows when its query has ≥2 distinct terms (the build merges a
+        # term's postings to one row per (term, seg_group), and one
+        # term's seg_groups cover disjoint docid ranges). An all-
+        # single-term batch therefore skips the shuffle entirely: the
+        # per-partition bounded top-k stays exact, one whole exchange
+        # cheaper per query.
+        src = hits
+        if any(n > 1 for n in n_terms_per_q.values()):
+            src = hits.repartition("seg_group")
+        cand = src.mapInPandas(
             part_fn, schema="query_id long, docid long, rsv_fixed long"
         )
         return self._rank_topk(cand, k)
