@@ -51,6 +51,19 @@ PUURULA_G = 0.5  # ranking_function_puurula.h:15
 # (ranking_function_puurula_idf.c:45-48) — the factory default g=0.5
 # would exit() there; 0.005 is the largest-step value the C code runs
 PUURULA_IDF_G = 0.005
+
+# the search_batch ranker slots (ranking_function_factory.c:38-71);
+# allterms/impact/readable/pregen ride their own entry points
+# (conjunctive=True, the quantized index, search_readable,
+# search_pregen)
+KNOWN_RANKERS = frozenset(
+    {
+        "bm25", "bm25l", "bm25plus", "bm25t", "bm25adpt", "tflodop",
+        "lmd", "lmds", "lmp", "lmptfidf", "lmjm", "divergence", "bose",
+        "dlh13", "dph", "dfree", "dfi", "dfiw", "dfi_idf", "dfiw_idf",
+        "inner", "kbtfidf", "termcount", "docid_asc", "docid_desc",
+    }
+)
 LMJM_LAMBDA = 0.5  # ranking_function_lmjm.h:9
 BM25L_DELTA = 0.5  # ranking_function_bm25l.h:16
 BM25PLUS_DELTA = 1.0  # ranking_function_bm25plus.h:16
@@ -551,6 +564,11 @@ class SearchEngine:
         applies the single-term prune unconditionally — here it is
         opt-in so the default path stays exact-evaluation.
         """
+        if ranker not in KNOWN_RANKERS:
+            # the reference factory rejects unknown names
+            # (ranking_function_factory.c:121-160 falls through to an
+            # error); falling back to BM25 silently would be worse
+            raise ValueError(f"unknown ranking function {ranker!r}")
         if self.quantized and ranker != "bm25":
             raise ValueError(
                 "cannot set ranking function: the index is quantized "
