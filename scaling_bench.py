@@ -39,6 +39,17 @@ def worker(cpus: int, n_convs: int, mode: str) -> None:
     from atire_spark.session import get_spark
     from atire_spark.synth import make_transcripts_bench
 
+    if os.environ.get("SPARK_GRAFT_SCALE_AFFINITY", "1") == "1" and hasattr(
+        os, "sched_setaffinity"
+    ):
+        # pin the WHOLE leg (this process + the JVM + Python workers it
+        # forks) to exactly `cpus` CPUs. Without this, a "local[2]"
+        # JVM on an idle 32-core host runs its GC, netty, parquet
+        # compression and shuffle threads on extra cores — the N leg
+        # cheats and the measured N→4N efficiency collapses even when
+        # the engine scales. A real N-core executor container has N
+        # cores for EVERYTHING, which is what affinity reproduces.
+        os.sched_setaffinity(0, set(range(cpus)))
     if mode == "executors":
         # N separate executor JVMs x 8 cores each — the faithful
         # "N vs 4N executors" simulation (each executor has its own
