@@ -876,9 +876,109 @@ FROM base b LEFT JOIN unf u ON u.doc_id = b.doc_id
 """
 
 
+EMB_DEDUP_TOPN = 25
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates: random-hyperplane
+    multi-band LSH buckets the vectors (pair = shares ANY band
+    signature — a bucket self-join, never all-pairs), exact cosine
+    reranks, and the top ``EMB_DEDUP_TOPN`` candidate pairs surface
+    (a production run thresholds instead; the synthetic fixture has
+    no true near-dups, max pairwise cosine ≈ 0.51, so the report form
+    keeps the entry non-vacuous at every scale).
+
+    Scale path: the self-join key is (band, sig) — 2^LSH_ROWS buckets
+    per band bound each bucket's pair count; skewed buckets fall to
+    AQE's skew-join split like dedup_minhash_lsh."""
+    emb = _emb(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), _band_sig(b, LSH_ROWS).alias("sig"))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    exploded = (
+        emb.select("vec_id", bands.alias("bands"))
+        .select("vec_id", F.explode("bands").alias("bs"))
+        .select(
+            "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+        )
+    )
+    right = exploded.select(
+        F.col("vec_id").alias("b_id"), "band", "sig"
+    )
+    cands = (
+        exploded.select(F.col("vec_id").alias("a_id"), "band", "sig")
+        .join(right, ["band", "sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    scored = (
+        cands.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.expr(
+                    f"({_dot_expr('ea', 'eb')})"
+                    f" / (sqrt({_dot_expr('ea', 'ea')})"
+                    f" * sqrt({_dot_expr('eb', 'eb')}))"
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("cosine").desc(), "a_id", "b_id")
+        .limit(EMB_DEDUP_TOPN)
+    )
+
+
+def dedup_embedding_cosine_sql() -> str:
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT vec_id, {b} AS band, CAST({sig} AS INTEGER) AS sig FROM embeddings".format(
+            b=b,
+            sig=" + ".join(
+                f"(CASE WHEN ({_duck_dot('embedding', _plane_expr(b * LSH_ROWS + j, 'duck'))}) > 0"
+                f" THEN 1 ELSE 0 END) * {1 << j}"
+                for j in range(LSH_ROWS)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.a_id, c.b_id,
+         round(({_duck_dot('ea.embedding', 'eb.embedding')})
+               / (sqrt({_duck_dot('ea.embedding', 'ea.embedding')})
+                  * sqrt({_duck_dot('eb.embedding', 'eb.embedding')})), 6) AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.a_id
+  JOIN embeddings eb ON eb.vec_id = c.b_id
+)
+SELECT a_id, b_id, cosine FROM scored
+ORDER BY cosine DESC, a_id, b_id
+LIMIT {EMB_DEDUP_TOPN}
+"""
+
+
 CORPUS_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "fingerprint_simhash": simhash,
     "fingerprint_mink": doc_fingerprint,
     "text_token_stats": token_stats,
@@ -895,6 +995,7 @@ def corpus_oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": dedup_exact_sql(),
         "dedup_minhash_lsh": dedup_minhash_lsh_sql(),
+        "dedup_embedding_cosine": dedup_embedding_cosine_sql(),
         "fingerprint_simhash": simhash_sql(),
         "fingerprint_mink": doc_fingerprint_sql(),
         "text_token_stats": token_stats_sql(),
