@@ -155,6 +155,45 @@ def _stop_engine(spark: SparkSession, sf_dir: str):
     )
 
 
+def _stream_engine(spark: SparkSession, sf_dir: str):
+    """Index built by INCREMENTAL APPENDS (atire_spark.streaming) in
+    two micro-batches instead of one batch build — the reference's
+    multi-part-index + atire_merge recipe (README.md:78-86) run
+    continuously. The batches split on the (conv_id, turn_idx) sort
+    order, so arrival-order docids coincide with the batch build's
+    sorted docids and the SAME BM25 oracle certifies the streamed
+    index end-to-end (segment append geometry, per-batch term-stat
+    partials, load-time global aggregation)."""
+    key = sf_dir.rstrip("/") + "#stream"
+    if key not in _INDEX_CACHE:
+        import tempfile
+
+        from atire_spark.query import SearchEngine
+        from atire_spark.streaming import append_batch, load_stream_index
+
+        idx_dir = tempfile.mkdtemp(prefix="atire_entry_stream_")
+        t = _transcripts(spark, sf_dir)
+        # split at the median conv_id so each batch is contiguous in
+        # the (conv_id, turn_idx) global order
+        med = t.select(
+            F.expr(
+                "percentile_approx(CAST(substr(conv_id, 5) AS LONG), 0.5, 10000)"
+            )
+        ).collect()[0][0]
+        cond = F.expr(f"CAST(substr(conv_id, 5) AS LONG) <= {int(med)}")
+        append_batch(spark, t.filter(cond), idx_dir, 0)
+        append_batch(spark, t.filter(~cond), idx_dir, 1)
+        _INDEX_CACHE[key] = SearchEngine(
+            spark, load_stream_index(spark, idx_dir)
+        )
+    return _INDEX_CACHE[key]
+
+
+def _q_bm25_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _stream_engine(spark, sf_dir)
+    return eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
+
+
 def _puurula_engine(spark: SparkSession, sf_dir: str):
     """-Ilmp index: per-doc Puurula length vectors built at serialise
     time (memory_index.c:1270-1410) into the ``puurula`` side table —
@@ -2008,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": _q_term_stats,
         "postings_roundtrip": _q_postings_roundtrip,
         "bm25_topk": _q_bm25,
+        "bm25_streamed_topk": _q_bm25_streamed,
         "bm25_topk_k100": _q_bm25_k100,
         "bm25_conjunctive": _q_bm25_conjunctive,
         "termcount_topk": _q_termcount,
@@ -2082,6 +2122,9 @@ WITH {_CORPUS_CTE}
 SELECT term, docid, tf FROM tf
 """,
         "bm25_topk": _bm25_sql(TOP_K),
+        # the streamed (two-incremental-append) index must reproduce
+        # the batch build's ranking exactly — same oracle, verbatim
+        "bm25_streamed_topk": _bm25_sql(TOP_K),
         "bm25_topk_k100": _bm25_sql(100),
         "bm25_conjunctive": _bm25_sql(TOP_K, conjunctive=True),
         "boolean_topk": _boolean_sql(TOP_K),
