@@ -194,6 +194,21 @@ def _q_bm25_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
 
 
+def _simple9_engine(spark: SparkSession, sf_dir: str):
+    """Index with Simple-9 posting compression (the reference's -cs
+    codec, compress_simple9.c) instead of the default vbyte — same
+    postings, same scores, different wire format; the unchanged batch
+    BM25 oracle certifies the whole codec round trip."""
+    return _build_engine(
+        spark, sf_dir, sf_dir.rstrip("/") + "#simple9", codec="simple9"
+    )
+
+
+def _q_bm25_simple9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _simple9_engine(spark, sf_dir)
+    return eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
+
+
 def _puurula_engine(spark: SparkSession, sf_dir: str):
     """-Ilmp index: per-doc Puurula length vectors built at serialise
     time (memory_index.c:1270-1410) into the ``puurula`` side table —
@@ -2048,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_roundtrip": _q_postings_roundtrip,
         "bm25_topk": _q_bm25,
         "bm25_streamed_topk": _q_bm25_streamed,
+        "bm25_simple9_topk": _q_bm25_simple9,
         "bm25_topk_k100": _q_bm25_k100,
         "bm25_conjunctive": _q_bm25_conjunctive,
         "termcount_topk": _q_termcount,
@@ -2125,6 +2141,8 @@ SELECT term, docid, tf FROM tf
         # the streamed (two-incremental-append) index must reproduce
         # the batch build's ranking exactly — same oracle, verbatim
         "bm25_streamed_topk": _bm25_sql(TOP_K),
+        # Simple-9-compressed index: identical ranking, same oracle
+        "bm25_simple9_topk": _bm25_sql(TOP_K),
         "bm25_topk_k100": _bm25_sql(100),
         "bm25_conjunctive": _bm25_sql(TOP_K, conjunctive=True),
         "boolean_topk": _boolean_sql(TOP_K),

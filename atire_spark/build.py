@@ -532,7 +532,10 @@ def build_postings(
 
 
 def segments_from_stage1(
-    stage1: DataFrame, blocks_per_seg: int = 4096, registry: list | None = None
+    stage1: DataFrame,
+    blocks_per_seg: int = 4096,
+    registry: list | None = None,
+    codec: str = "vbyte",
 ) -> tuple[DataFrame, DataFrame]:
     """Term-partitioned merge: hash-shuffle the per-(term, block) array
     rows on (term, seg_group), then build every segment of a partition
@@ -553,7 +556,9 @@ def segments_from_stage1(
         chunks = list(batches)
         if not chunks:
             return
-        out = build_segments_batch(pd.concat(chunks, ignore_index=True))
+        out = build_segments_batch(
+            pd.concat(chunks, ignore_index=True), codec=codec
+        )
         if out is not None:
             yield out[[c.split(" ")[0] for c in POSTINGS_SCHEMA.split(", ")]]
 
@@ -606,6 +611,7 @@ def quantized_segments_from_stage1(
     blocks_per_seg: int = 4096,
     bits: int = DEFAULT_QUANT_BITS,
     registry: list | None = None,
+    codec: str = "vbyte",
 ) -> tuple[DataFrame, DataFrame, float, float]:
     # stage1 appears twice in the join DAG (directly and under the
     # stats agg) — persist so it is computed once and served from
@@ -672,7 +678,9 @@ def quantized_segments_from_stage1(
         if not chunks:
             return
         out = build_segments_batch(
-            pd.concat(chunks, ignore_index=True), quantizer=quantizer
+            pd.concat(chunks, ignore_index=True),
+            quantizer=quantizer,
+            codec=codec,
         )
         if out is not None:
             yield out[[c.split(" ")[0] for c in QUANT_POSTINGS_SCHEMA.split(", ")]]
@@ -833,6 +841,7 @@ def build_index(
     cull_stoplist: str | None = None,
     puurula: bool = False,
     cjk_bigrams: bool = False,
+    codec: str = "vbyte",
 ) -> IndexTables:
     """Full build. Returns lazily-evaluated DataFrames; call
     :func:`write_index` to materialize.
@@ -874,6 +883,8 @@ def build_index(
         # the reference's -Q pipeline cannot change ranker afterwards
         # (atire_api.c:472-478), so lmp length vectors would be dead
         raise ValueError("puurula length vectors require an unquantized index")
+    if codec not in ("vbyte", "simple9"):
+        raise ValueError(f"unknown postings codec {codec!r}")
     if stage_dir is None:
         stage_dir = tempfile.mkdtemp(prefix="atire_stage_")
     tokenized = tokenize_stage(
@@ -908,7 +919,7 @@ def build_index(
     )
     if quantize_bits is None:
         postings, term_stats = segments_from_stage1(
-            stage1, blocks_per_seg, registry=registry
+            stage1, blocks_per_seg, registry=registry, codec=codec
         )
         pre_cull_ts = term_stats
         if keep is not None:
@@ -931,6 +942,7 @@ def build_index(
                 F.lit(0.0).alias("quant_min"),
                 F.lit(0.0).alias("quant_max"),
                 F.lit(stemmer or "").alias("stemmer"),  # ~stemmer
+                F.lit(codec).alias("codec"),
             )
         )
         puu = None
@@ -960,7 +972,13 @@ def build_index(
     n_docs, coll_len = int(row["n"]), int(row["s"])
     mean_len = coll_len / n_docs
     postings, term_stats, qmin, qmax = quantized_segments_from_stage1(
-        stage1, n_docs, mean_len, blocks_per_seg, quantize_bits, registry=registry
+        stage1,
+        n_docs,
+        mean_len,
+        blocks_per_seg,
+        quantize_bits,
+        registry=registry,
+        codec=codec,
     )
     if keep is not None:
         # quantization bounds (min/max rsv) are computed over ALL terms
@@ -978,6 +996,7 @@ def build_index(
         F.lit(qmin).alias("quant_min"),
         F.lit(qmax).alias("quant_max"),
         F.lit(stemmer or "").alias("stemmer"),  # ~stemmer
+        F.lit(codec).alias("codec"),
     )
     return IndexTables(
         docmap=docmap, postings=postings, stats=stats, cached=registry

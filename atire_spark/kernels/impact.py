@@ -55,12 +55,18 @@ def impact_order(
     tfs: np.ndarray,
     doc_lens: np.ndarray,
     static_prune: int = 0,
+    codec: str = "vbyte",
 ) -> Segment:
     """Build one impact-ordered segment from parallel arrays.
 
     ``docids`` must be ascending and unique; ``tfs`` the saturated term
     frequencies; ``doc_lens`` the document lengths aligned with
     ``docids``.
+
+    ``codec`` picks the posting-stream compression: ``vbyte`` (the
+    reference default, compression_factory.c:91) or ``simple9``
+    (``-cs``, kernels/simple9.py). The inline doc-length stream is an
+    engine-internal structure and stays vbyte either way.
     """
     docids = np.ascontiguousarray(docids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
@@ -106,15 +112,23 @@ def impact_order(
     deltas[1:] -= shifted[:-1]
     deltas[starts] = shifted[starts]  # restart at each group boundary
 
-    # vbyte each group independently; record byte offsets
-    blobs = []
-    byte_offsets = np.zeros(impacts.size, dtype=np.int64)
-    pos = 0
-    for g in range(impacts.size):
-        blob = vbyte_encode(deltas[starts[g] : ends[g]])
-        byte_offsets[g] = pos
-        pos += len(blob)
-        blobs.append(blob)
+    # compress each group independently; record byte offsets
+    if codec == "simple9":
+        from atire_spark.kernels.simple9 import encode_groups
+
+        postings_blob, byte_offsets = encode_groups(deltas, starts)
+    elif codec == "vbyte":
+        blobs = []
+        byte_offsets = np.zeros(impacts.size, dtype=np.int64)
+        pos = 0
+        for g in range(impacts.size):
+            blob = vbyte_encode(deltas[starts[g] : ends[g]])
+            byte_offsets[g] = pos
+            pos += len(blob)
+            blobs.append(blob)
+        postings_blob = b"".join(blobs)
+    else:
+        raise ValueError(f"unknown postings codec {codec!r}")
 
     offsets = np.zeros(impacts.size, dtype=np.int64)
     np.cumsum(doc_counts[:-1], out=offsets[1:])
@@ -124,7 +138,7 @@ def impact_order(
         doc_counts=doc_counts,
         offsets=offsets,
         byte_offsets=byte_offsets,
-        postings=b"".join(blobs),
+        postings=postings_blob,
         doc_lens=vbyte_encode(s_len),
         n_postings=int(n),
         max_impact=int(impacts[0]),
@@ -137,6 +151,7 @@ def decode_segment(
     postings: bytes,
     doc_lens: bytes | None = None,
     max_groups: int | None = None,
+    codec: str = "vbyte",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
     """Decode a segment back to ``(docids, tfs, doc_lens)``.
 
@@ -144,14 +159,43 @@ def decode_segment(
     the reference's partial decompression to the trim point
     (search_engine.c:942-1070). Returned arrays are in impact order
     (group-major), not docid order.
+
+    ``codec``: ``vbyte`` streams concatenate with no per-group
+    padding, so one bulk decode + slice suffices; ``simple9`` words
+    zero-pad each group's tail, so groups decode individually (the
+    group/word walk is over ≤ n_quantums items, never per posting).
     """
     impacts = np.asarray(impacts, dtype=np.int64)
     doc_counts = np.asarray(doc_counts, dtype=np.int64)
     g = impacts.size if max_groups is None else min(max_groups, impacts.size)
     n = int(np.sum(doc_counts[:g]))
 
-    deltas = vbyte_decode(postings)  # full decode; byte_offsets allow
-    deltas = deltas[:n].astype(np.int64)  # partial via slicing instead
+    if codec == "simple9":
+        from atire_spark.kernels.simple9 import S9_TABLE
+        from atire_spark.kernels.simple9 import decode as s9_decode
+
+        words = np.frombuffer(bytes(postings), dtype=np.uint32)
+        ints_of = np.asarray([t[0] for t in S9_TABLE], dtype=np.int64)
+        slots = ints_of[(words & 0xF).astype(np.int64)]
+        chunks = []
+        w0 = 0
+        for gi in range(g):
+            cnt, got, w1 = int(doc_counts[gi]), 0, w0
+            while got < cnt:
+                got += int(slots[w1])
+                w1 += 1
+            chunks.append(
+                s9_decode(words[w0:w1].tobytes(), count=cnt)
+            )
+            w0 = w1
+        deltas = (
+            np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int64)
+        )
+    elif codec == "vbyte":
+        deltas = vbyte_decode(postings)  # full decode; byte_offsets allow
+        deltas = deltas[:n].astype(np.int64)  # partial via slicing instead
+    else:
+        raise ValueError(f"unknown postings codec {codec!r}")
 
     # undo per-group delta encoding (prev = -1 per group): the global
     # cumsum minus the cumsum at the end of the previous group gives the
@@ -167,3 +211,16 @@ def decode_segment(
     if doc_lens is not None:
         lens = vbyte_decode(doc_lens)[:n].astype(np.int64)
     return docids, tfs, lens
+
+
+def decode_group(blob_slice: bytes, count: int, codec: str = "vbyte") -> np.ndarray:
+    """Decode ONE quantum group's byte slice (located via the
+    segment's per-group byte_offsets) to its ``count`` delta values —
+    the QaaT per-quantum partial read."""
+    if codec == "simple9":
+        from atire_spark.kernels.simple9 import decode as s9_decode
+
+        return s9_decode(blob_slice, count=count)
+    if codec == "vbyte":
+        return vbyte_decode(blob_slice, count=count)
+    raise ValueError(f"unknown postings codec {codec!r}")

@@ -27,6 +27,7 @@ from atire_spark.kernels.vbyte import vbyte_encode_raw
 def build_segments_batch(
     pdf: pd.DataFrame,
     quantizer=None,
+    codec: str = "vbyte",
 ) -> pd.DataFrame | None:
     """stage1 rows (term, seg_group, block, docids[], tfs[], lens[],
     df_b, cf_b [, df, cf]) → one segment row per (term, seg_group).
@@ -35,6 +36,12 @@ def build_segments_batch(
     quantized impacts (the -Q path); None keeps tf impacts. When a
     quantizer is given the input must carry global ``df``/``cf``
     columns and they are copied onto the output rows.
+
+    ``codec`` compresses the posting streams: ``vbyte`` (reference
+    default; one vectorized bulk encode sliced at value boundaries) or
+    ``simple9`` (kernels/simple9.py; the packer restarts at every
+    quantum boundary so the per-quantum byte offsets stay
+    word-aligned). Doc-length streams stay vbyte either way.
     """
     if pdf is None or not len(pdf):
         return None
@@ -109,10 +116,20 @@ def build_segments_batch(
     deltas[1:] -= shifted[:-1]
     deltas[qstarts] = shifted[qstarts]
 
-    # ---- one bulk vbyte encode; slice per group at value boundaries
-    pbuf, pends = vbyte_encode_raw(deltas)
+    # ---- one bulk posting encode; slice per group at quantum
+    # boundaries (vbyte also slices at value boundaries, but quantum
+    # starts are the only cut points either codec needs)
+    if codec == "simple9":
+        from atire_spark.kernels.simple9 import encode_groups
+
+        s9_blob, pstart_bytes = encode_groups(deltas, qstarts)
+        pbuf = np.frombuffer(s9_blob, dtype=np.uint8)
+    elif codec == "vbyte":
+        pbuf, pends = vbyte_encode_raw(deltas)
+        pstart_bytes = np.concatenate(([0], pends))[qstarts]
+    else:
+        raise ValueError(f"unknown postings codec {codec!r}")
     lbuf, lends = vbyte_encode_raw(len_s)
-    pstart_bytes = np.concatenate(([0], pends))[qstarts]  # quantum byte starts
 
     # group boundaries in quantum space and in posting space
     g_qb = np.flatnonzero(np.diff(q_gid) != 0) + 1
@@ -120,10 +137,12 @@ def build_segments_batch(
     g_qends = np.concatenate((g_qb, [q_gid.size]))
     g_pstarts = qstarts[g_qstarts]  # first posting index of each group
     g_pends = np.concatenate((qstarts[g_qstarts[1:]], [g_s.size]))
-    ends_all = np.concatenate(([0], pends))
     lends_all = np.concatenate(([0], lends))
     pb = pbuf.tobytes()
     lb = lbuf.tobytes()
+    # per-group byte spans = [first quantum's byte start, next group's)
+    g_bstarts = pstart_bytes[g_qstarts]
+    g_bends = np.concatenate((g_bstarts[1:], [len(pb)]))
 
     terms = tuniq[tcode_s[row_gstarts]]
     seg_groups = seg_s[row_gstarts]
@@ -134,7 +153,7 @@ def build_segments_batch(
         ps, pe = int(g_pstarts[gi]), int(g_pends[gi])
         impacts = q_impact[qs:qe]
         doc_counts = q_count[qs:qe]
-        base_byte = int(ends_all[ps])
+        base_byte = int(g_bstarts[gi])
         row = {
             "term": terms[gi],
             "seg_group": int(seg_groups[gi]),
@@ -145,7 +164,7 @@ def build_segments_batch(
             "doc_counts": doc_counts.astype(np.int32).tolist(),
             "offsets": (qstarts[qs:qe] - ps).tolist(),
             "byte_offsets": (pstart_bytes[qs:qe] - base_byte).tolist(),
-            "postings": pb[base_byte : int(ends_all[pe])],
+            "postings": pb[base_byte : int(g_bends[gi])],
             "doc_lens": lb[int(lends_all[ps]) : int(lends_all[pe])],
             "n_postings": pe - ps,
         }

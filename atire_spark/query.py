@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from atire_spark.build import IndexTables
 from atire_spark.kernels.bm25 import ACCUM_MOD, BM25_B, BM25_K1
-from atire_spark.kernels.impact import decode_segment
+from atire_spark.kernels.impact import decode_group, decode_segment
 from atire_spark.kernels.tokenizer import tokenize
 from atire_spark.kernels.vbyte import vbyte_decode
 
@@ -114,6 +114,7 @@ def _segment_contrib(
     coll_len: int = 0,
     take_counts: np.ndarray | None = None,
     term_aux: dict | None = None,
+    codec: str = "vbyte",
 ):
     """Decode one matching segment row.
 
@@ -174,6 +175,7 @@ def _segment_contrib(
         np.asarray(row.doc_counts),
         row.postings,
         row.doc_lens,
+        codec=codec,
     )
     if take_counts is not None:
         # partial decode to the trim point (search_engine.c:1040-1070):
@@ -449,6 +451,7 @@ class SearchEngine:
         self.n_docs = int(row["documents"])
         self.collection_len = int(row["collection_len"])
         self.unique_terms = int(row.get("unique_terms", 0) or 0)  # ~uniqueterms
+        self.codec = row.get("codec") or "vbyte"  # posting-stream codec
         self.mean_doc_len = float(row["mean_doc_len"])
         self.quantized = bool(row.get("quantized", 0))
         self.quant_bits = int(row.get("quant_bits", 0) or 0)
@@ -650,6 +653,7 @@ class SearchEngine:
         mean_len = self.mean_doc_len
         coll_len = self.collection_len
         quantized = self.quantized
+        codec = self.codec
 
         term_aux: dict | None = None
         if ranker in ("bm25t", "bm25adpt"):
@@ -673,7 +677,7 @@ class SearchEngine:
                 for row in pdf.itertuples(index=False):
                     dec = _segment_contrib(
                         row, ranker, conjunctive, quantized, n_docs, mean_len,
-                        coll_len, term_aux=term_aux,
+                        coll_len, term_aux=term_aux, codec=codec,
                     )
                     if dec is None:
                         continue  # df == N contributes nothing (bm25.c:91-92)
@@ -771,6 +775,7 @@ class SearchEngine:
         Catalyst's WindowGroupLimit bounds the top-k on both sides of
         the final exchange. No per-posting Python beyond the segment
         decode."""
+        codec = self.codec
         qmap: dict[str, list[int]] = {}
         for qid, text in queries:
             for term, _w in parse_query(text, self.stemmer):
@@ -789,6 +794,7 @@ class SearchEngine:
                         np.asarray(row.doc_counts),
                         row.postings,
                         row.doc_lens,
+                        codec=codec,
                     )
                     for qid in qmap[row.term]:
                         qids.append(np.full(docids.size, qid, dtype=np.int64))
@@ -842,6 +848,7 @@ class SearchEngine:
         index's docids."""
         k1, b = BM25_K1, BM25_B
         n_docs, mean_len = self.n_docs, self.mean_doc_len
+        codec = self.codec
         qmap: dict[str, list[tuple[int, int]]] = {}
         for qid, text in queries:
             for term, w in parse_query(text, self.stemmer):
@@ -865,6 +872,7 @@ class SearchEngine:
                         np.asarray(row.doc_counts),
                         row.postings,
                         row.doc_lens,
+                        codec=codec,
                     )
                     tf = impacts.astype(np.float64)
                     len_d = lens.astype(np.float64)
@@ -957,6 +965,7 @@ class SearchEngine:
         coll_len = float(self.collection_len)
         uniq_coll = float(self.unique_terms)
         u, lmp_g, idf_g = PUURULA_U, PUURULA_G, PUURULA_IDF_G
+        codec = self.codec
         g_idx, tg_idx = int(lmp_g * 10), int(idf_g * 1000)
         is_idf = ranker == "lmptfidf"
 
@@ -1008,6 +1017,7 @@ class SearchEngine:
                     np.asarray(row.doc_counts),
                     row.postings,
                     row.doc_lens,
+                    codec=codec,
                 )
                 pos = np.searchsorted(a_doc, docids)
                 tf = impacts.astype(np.float64)
@@ -1133,6 +1143,7 @@ class SearchEngine:
         )
 
         mean_len = self.mean_doc_len
+        codec = self.codec
         is_t = ranker == "bm25t"
         b = BM25T_B if is_t else BM25ADPT_B
 
@@ -1147,6 +1158,7 @@ class SearchEngine:
                         np.asarray(row.doc_counts),
                         row.postings,
                         row.doc_lens,
+                        codec=codec,
                     )
                     dfs[row.term] = int(row.df)
                     c = impacts.astype(np.float64) / (
@@ -1242,6 +1254,7 @@ class SearchEngine:
         n_docs, mean_len = self.n_docs, self.mean_doc_len
         coll_len = self.collection_len
         quantized = self.quantized
+        codec = self.codec
 
         def part_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             qids: list[np.ndarray] = []
@@ -1275,6 +1288,7 @@ class SearchEngine:
                                 row, ranker, conjunctive, quantized,
                                 n_docs, mean_len, coll_len,
                                 take_counts=tk, term_aux=term_aux,
+                                codec=codec,
                             )
                         dec = decs[tr]
                         if dec is None:
@@ -1417,6 +1431,7 @@ class SearchEngine:
         hits = self.postings.filter(F.col("term").isin(list(lmap)))
         n_docs, mean_len = self.n_docs, self.mean_doc_len
         quantized = self.quantized
+        codec = self.codec
 
         def part_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             qids: list[np.ndarray] = []
@@ -1426,7 +1441,8 @@ class SearchEngine:
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
                     dec = _segment_contrib(
-                        row, "bm25", False, quantized, n_docs, mean_len
+                        row, "bm25", False, quantized, n_docs, mean_len,
+                        codec=codec,
                     )
                     if dec is None:
                         continue  # df==N: no score AND no bits set
@@ -1530,6 +1546,7 @@ class SearchEngine:
 
         n_docs, mean_len = self.n_docs, self.mean_doc_len
         quantized = self.quantized
+        codec = self.codec
         k1, b = BM25_K1, BM25_B
         et = early_termination
 
@@ -1622,7 +1639,9 @@ class SearchEngine:
                     end_b = (
                         int(e["bo"][g + 1]) if g + 1 < e["bo"].size else len(e["blob"])
                     )
-                    deltas = vbyte_decode(e["blob"][int(e["bo"][g]) : end_b])
+                    deltas = decode_group(
+                        e["blob"][int(e["bo"][g]) : end_b], c, codec
+                    )
                     idxs = np.cumsum(deltas.astype(np.int64)) - 1 - lo
                     if quantized:
                         acc[idxs] += impact * e["w"]

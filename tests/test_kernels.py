@@ -335,3 +335,74 @@ class TestCJK:
         from atire_spark.query import parse_query
 
         assert [t for t, _ in parse_query("中文 search")] == ["中", "文", "search"]
+
+
+class TestSimple9:
+    """Simple-9 posting codec (compress_simple9.c wire format):
+    4-bit selector in the low bits, low-to-high packing, greedy
+    densest-selector choice, zero-padded tails; batch builder output
+    byte-identical to per-segment impact_order at every quantum."""
+
+    def test_batch_matches_impact_order(self):
+        import numpy as np
+        import pandas as pd
+
+        from atire_spark.kernels.impact import impact_order
+        from atire_spark.kernels.segment import build_segments_batch
+
+        rng = np.random.default_rng(11)
+        rows = []
+        for term in ("alpha", "beta", "gamma"):
+            for block in range(4):
+                n = int(rng.integers(1, 60))
+                docs = np.sort(
+                    rng.choice(2000, size=n, replace=False) + block * 4096
+                )
+                rows.append(
+                    {
+                        "term": term,
+                        "seg_group": block // 2,
+                        "block": block,
+                        "docids": docs.astype(np.int64),
+                        "tfs": rng.integers(1, 6, size=n).astype(np.int32),
+                        "lens": rng.integers(5, 100, size=n).astype(np.int64),
+                        "df_b": n,
+                        "cf_b": int(rng.integers(n, 3 * n)),
+                    }
+                )
+        pdf = pd.DataFrame(rows)
+        out = build_segments_batch(pdf, codec="simple9")
+        for (term, sg), g in pdf.groupby(["term", "seg_group"]):
+            g = g.sort_values("block")
+            docids = np.concatenate(list(g["docids"]))
+            tfs = np.concatenate(list(g["tfs"])).astype(np.int64)
+            lens = np.concatenate(list(g["lens"]))
+            seg = impact_order(docids, tfs, lens, codec="simple9")
+            row = out[(out.term == term) & (out.seg_group == sg)].iloc[0]
+            assert row["postings"] == seg.postings
+            assert list(row["byte_offsets"]) == list(seg.byte_offsets)
+            assert list(row["impacts"]) == list(seg.impacts)
+
+    def test_decode_equals_vbyte_decode(self):
+        import numpy as np
+
+        from atire_spark.kernels.impact import decode_segment, impact_order
+
+        rng = np.random.default_rng(12)
+        for _ in range(30):
+            n = int(rng.integers(1, 400))
+            docs = np.sort(rng.choice(1 << 20, size=n, replace=False))
+            tfs = rng.integers(1, 9, size=n)
+            lens = rng.integers(1, 400, size=n)
+            a = impact_order(docs, tfs, lens, codec="vbyte")
+            b = impact_order(docs, tfs, lens, codec="simple9")
+            da = decode_segment(
+                np.asarray(a.impacts), np.asarray(a.doc_counts),
+                a.postings, a.doc_lens, codec="vbyte",
+            )
+            db = decode_segment(
+                np.asarray(b.impacts), np.asarray(b.doc_counts),
+                b.postings, b.doc_lens, codec="simple9",
+            )
+            for x, y in zip(da, db):
+                assert np.array_equal(x, y)

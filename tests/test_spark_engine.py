@@ -336,3 +336,27 @@ class TestPuurula:
             assert 0 < len(rows) <= 5
             ranks = [r["rank"] for r in rows]
             assert ranks == list(range(1, len(rows) + 1))
+
+
+class TestSimple9Index:
+    """build_index(codec='simple9'): same postings, same ranking —
+    the codec changes only the wire format (compress_simple9.c)."""
+
+    def test_rank_identical_to_vbyte(self, spark):
+        from atire_spark.build import build_index
+        from atire_spark.query import SearchEngine
+        from atire_spark.synth import make_transcripts
+
+        pdf = make_transcripts("tiny")
+        res = {}
+        for codec in ("vbyte", "simple9"):
+            eng = SearchEngine(
+                spark, build_index(spark, spark.createDataFrame(pdf), codec=codec)
+            )
+            res[codec] = [
+                (r["query_id"], r["rank"], r["docid"], r["rsv_fixed"])
+                for r in eng.search_batch(
+                    [(1, "alpha bravo charlie"), (2, "delta")], k=20
+                ).collect()
+            ]
+        assert res["vbyte"] == res["simple9"]
