@@ -209,6 +209,24 @@ def _q_bm25_simple9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
 
 
+def _q_bm25_codec(codec: str):
+    """One entry per representative posting codec from the full
+    compression factory (compression_factory.c:59-77): same postings,
+    same scores as vbyte — the UNCHANGED batch BM25 oracle certifies
+    each codec's whole encode→store→decode round trip at sf scale.
+    simple8b_packed exercises the 64-bit DP packer with magic run
+    selectors; carryover12 the cross-word bit-state machine;
+    elias_gamma the bit-aligned family (bitio.py)."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = _build_engine(
+            spark, sf_dir, sf_dir.rstrip("/") + "#" + codec, codec=codec
+        )
+        return eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
+
+    return q
+
+
 def _puurula_engine(spark: SparkSession, sf_dir: str):
     """-Ilmp index: per-doc Puurula length vectors built at serialise
     time (memory_index.c:1270-1410) into the ``puurula`` side table —
@@ -2064,6 +2082,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25,
         "bm25_streamed_topk": _q_bm25_streamed,
         "bm25_simple9_topk": _q_bm25_simple9,
+        "bm25_simple8b_packed_topk": _q_bm25_codec("simple8b_packed"),
+        "bm25_carryover12_topk": _q_bm25_codec("carryover12"),
+        "bm25_elias_gamma_topk": _q_bm25_codec("elias_gamma"),
         "bm25_topk_k100": _q_bm25_k100,
         "bm25_conjunctive": _q_bm25_conjunctive,
         "termcount_topk": _q_termcount,
@@ -2141,8 +2162,12 @@ SELECT term, docid, tf FROM tf
         # the streamed (two-incremental-append) index must reproduce
         # the batch build's ranking exactly — same oracle, verbatim
         "bm25_streamed_topk": _bm25_sql(TOP_K),
-        # Simple-9-compressed index: identical ranking, same oracle
+        # codec-variant indexes: identical ranking, same oracle — the
+        # unchanged SQL certifies each codec's wire round trip
         "bm25_simple9_topk": _bm25_sql(TOP_K),
+        "bm25_simple8b_packed_topk": _bm25_sql(TOP_K),
+        "bm25_carryover12_topk": _bm25_sql(TOP_K),
+        "bm25_elias_gamma_topk": _bm25_sql(TOP_K),
         "bm25_topk_k100": _bm25_sql(100),
         "bm25_conjunctive": _bm25_sql(TOP_K, conjunctive=True),
         "boolean_topk": _boolean_sql(TOP_K),

@@ -883,8 +883,12 @@ def build_index(
         # the reference's -Q pipeline cannot change ranker afterwards
         # (atire_api.c:472-478), so lmp length vectors would be dead
         raise ValueError("puurula length vectors require an unquantized index")
-    if codec not in ("vbyte", "simple9"):
-        raise ValueError(f"unknown postings codec {codec!r}")
+    from atire_spark.kernels.codecs import CODEC_NAMES
+
+    if codec not in CODEC_NAMES:
+        raise ValueError(
+            f"unknown postings codec {codec!r}; known: {sorted(CODEC_NAMES)}"
+        )
     if stage_dir is None:
         stage_dir = tempfile.mkdtemp(prefix="atire_stage_")
     tokenized = tokenize_stage(

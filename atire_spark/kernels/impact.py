@@ -112,23 +112,15 @@ def impact_order(
     deltas[1:] -= shifted[:-1]
     deltas[starts] = shifted[starts]  # restart at each group boundary
 
-    # compress each group independently; record byte offsets
-    if codec == "simple9":
-        from atire_spark.kernels.simple9 import encode_groups
+    # compress each group independently; record byte offsets (every
+    # codec restarts its state at group boundaries — vbyte is
+    # stateless per value, so one bulk encode sliced at the starts is
+    # identical to per-group encodes)
+    from atire_spark.kernels.codecs import get_codec
 
-        postings_blob, byte_offsets = encode_groups(deltas, starts)
-    elif codec == "vbyte":
-        blobs = []
-        byte_offsets = np.zeros(impacts.size, dtype=np.int64)
-        pos = 0
-        for g in range(impacts.size):
-            blob = vbyte_encode(deltas[starts[g] : ends[g]])
-            byte_offsets[g] = pos
-            pos += len(blob)
-            blobs.append(blob)
-        postings_blob = b"".join(blobs)
-    else:
-        raise ValueError(f"unknown postings codec {codec!r}")
+    postings_blob, byte_offsets = get_codec(codec).encode_groups(
+        deltas, starts[: impacts.size]
+    )
 
     offsets = np.zeros(impacts.size, dtype=np.int64)
     np.cumsum(doc_counts[:-1], out=offsets[1:])
@@ -152,6 +144,7 @@ def decode_segment(
     doc_lens: bytes | None = None,
     max_groups: int | None = None,
     codec: str = "vbyte",
+    byte_offsets: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
     """Decode a segment back to ``(docids, tfs, doc_lens)``.
 
@@ -161,16 +154,30 @@ def decode_segment(
     (group-major), not docid order.
 
     ``codec``: ``vbyte`` streams concatenate with no per-group
-    padding, so one bulk decode + slice suffices; ``simple9`` words
-    zero-pad each group's tail, so groups decode individually (the
-    group/word walk is over ≤ n_quantums items, never per posting).
+    padding, so one bulk decode + slice suffices and ``byte_offsets``
+    is not needed; every other codec pads / restarts per group, so
+    groups decode individually at the stored per-group byte offsets
+    (the group walk is over ≤ n_quantums items, never per posting).
+    ``simple9`` alone can also locate its group boundaries without
+    offsets by walking the word selectors.
     """
     impacts = np.asarray(impacts, dtype=np.int64)
     doc_counts = np.asarray(doc_counts, dtype=np.int64)
     g = impacts.size if max_groups is None else min(max_groups, impacts.size)
     n = int(np.sum(doc_counts[:g]))
 
-    if codec == "simple9":
+    if codec == "vbyte":
+        deltas = vbyte_decode(postings)  # full decode; byte_offsets allow
+        deltas = deltas[:n].astype(np.int64)  # partial via slicing instead
+    elif byte_offsets is not None:
+        from atire_spark.kernels.codecs import get_codec
+
+        deltas = get_codec(codec).decode_prefix(
+            bytes(postings),
+            doc_counts[:g],
+            np.asarray(byte_offsets, dtype=np.int64)[:g],
+        )
+    elif codec == "simple9":
         from atire_spark.kernels.simple9 import S9_TABLE
         from atire_spark.kernels.simple9 import decode as s9_decode
 
@@ -191,11 +198,11 @@ def decode_segment(
         deltas = (
             np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int64)
         )
-    elif codec == "vbyte":
-        deltas = vbyte_decode(postings)  # full decode; byte_offsets allow
-        deltas = deltas[:n].astype(np.int64)  # partial via slicing instead
     else:
-        raise ValueError(f"unknown postings codec {codec!r}")
+        raise ValueError(
+            f"codec {codec!r} needs the segment byte_offsets for group "
+            "boundaries"
+        )
 
     # undo per-group delta encoding (prev = -1 per group): the global
     # cumsum minus the cumsum at the end of the previous group gives the
@@ -217,10 +224,6 @@ def decode_group(blob_slice: bytes, count: int, codec: str = "vbyte") -> np.ndar
     """Decode ONE quantum group's byte slice (located via the
     segment's per-group byte_offsets) to its ``count`` delta values —
     the QaaT per-quantum partial read."""
-    if codec == "simple9":
-        from atire_spark.kernels.simple9 import decode as s9_decode
+    from atire_spark.kernels.codecs import get_codec
 
-        return s9_decode(blob_slice, count=count)
-    if codec == "vbyte":
-        return vbyte_decode(blob_slice, count=count)
-    raise ValueError(f"unknown postings codec {codec!r}")
+    return get_codec(codec).decode_group(blob_slice, count)

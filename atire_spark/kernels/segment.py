@@ -119,16 +119,14 @@ def build_segments_batch(
     # ---- one bulk posting encode; slice per group at quantum
     # boundaries (vbyte also slices at value boundaries, but quantum
     # starts are the only cut points either codec needs)
-    if codec == "simple9":
-        from atire_spark.kernels.simple9 import encode_groups
-
-        s9_blob, pstart_bytes = encode_groups(deltas, qstarts)
-        pbuf = np.frombuffer(s9_blob, dtype=np.uint8)
-    elif codec == "vbyte":
+    if codec == "vbyte":
         pbuf, pends = vbyte_encode_raw(deltas)
         pstart_bytes = np.concatenate(([0], pends))[qstarts]
     else:
-        raise ValueError(f"unknown postings codec {codec!r}")
+        from atire_spark.kernels.codecs import get_codec
+
+        blob, pstart_bytes = get_codec(codec).encode_groups(deltas, qstarts)
+        pbuf = np.frombuffer(blob, dtype=np.uint8)
     lbuf, lends = vbyte_encode_raw(len_s)
 
     # group boundaries in quantum space and in posting space

@@ -176,6 +176,7 @@ def _segment_contrib(
         row.postings,
         row.doc_lens,
         codec=codec,
+        byte_offsets=np.asarray(row.byte_offsets, dtype=np.int64),
     )
     if take_counts is not None:
         # partial decode to the trim point (search_engine.c:1040-1070):
@@ -795,6 +796,7 @@ class SearchEngine:
                         row.postings,
                         row.doc_lens,
                         codec=codec,
+                        byte_offsets=np.asarray(row.byte_offsets, dtype=np.int64),
                     )
                     for qid in qmap[row.term]:
                         qids.append(np.full(docids.size, qid, dtype=np.int64))
@@ -873,6 +875,7 @@ class SearchEngine:
                         row.postings,
                         row.doc_lens,
                         codec=codec,
+                        byte_offsets=np.asarray(row.byte_offsets, dtype=np.int64),
                     )
                     tf = impacts.astype(np.float64)
                     len_d = lens.astype(np.float64)
@@ -1018,6 +1021,7 @@ class SearchEngine:
                     row.postings,
                     row.doc_lens,
                     codec=codec,
+                    byte_offsets=np.asarray(row.byte_offsets, dtype=np.int64),
                 )
                 pos = np.searchsorted(a_doc, docids)
                 tf = impacts.astype(np.float64)
@@ -1159,6 +1163,7 @@ class SearchEngine:
                         row.postings,
                         row.doc_lens,
                         codec=codec,
+                        byte_offsets=np.asarray(row.byte_offsets, dtype=np.int64),
                     )
                     dfs[row.term] = int(row.df)
                     c = impacts.astype(np.float64) / (
@@ -1193,7 +1198,8 @@ class SearchEngine:
 
         rows = (
             hits.select(
-                "term", "df", "impacts", "doc_counts", "postings", "doc_lens"
+                "term", "df", "impacts", "doc_counts", "byte_offsets",
+                "postings", "doc_lens"
             )
             .mapInPandas(
                 part, schema="term string, df long, s double, hist array<long>"

@@ -406,3 +406,170 @@ class TestSimple9:
             )
             for x, y in zip(da, db):
                 assert np.array_equal(x, y)
+
+
+class TestCodecFamily:
+    """The full compression factory (compression_factory.c:59-77):
+    every codec must (a) round-trip through impact_order /
+    decode_segment identically to vbyte, (b) batch-build identically
+    to per-segment impact_order, (c) support per-quantum partial
+    reads at the stored byte offsets."""
+
+    NAMES = None  # filled lazily from the registry
+
+    @staticmethod
+    def _names():
+        from atire_spark.kernels.codecs import CODEC_NAMES
+
+        return [n for n in CODEC_NAMES if n != "vbyte"]
+
+    def test_registry_covers_reference_factory(self):
+        from atire_spark.kernels.codecs import CODEC_NAMES
+
+        # 15 schemes in compression_factory.c:59-77 (incl. NONE)
+        assert len(CODEC_NAMES) == 15
+
+    def test_decode_equals_vbyte_decode(self):
+        import numpy as np
+
+        from atire_spark.kernels.impact import decode_segment, impact_order
+
+        rng = np.random.default_rng(21)
+        for trial in range(12):
+            n = int(rng.integers(1, 400))
+            docs = np.sort(rng.choice(1 << 20, size=n, replace=False))
+            tfs = rng.integers(1, 9, size=n)
+            lens = rng.integers(1, 400, size=n)
+            a = impact_order(docs, tfs, lens, codec="vbyte")
+            da = decode_segment(
+                np.asarray(a.impacts), np.asarray(a.doc_counts),
+                a.postings, a.doc_lens, codec="vbyte",
+            )
+            for name in self._names():
+                b = impact_order(docs, tfs, lens, codec=name)
+                db = decode_segment(
+                    np.asarray(b.impacts), np.asarray(b.doc_counts),
+                    b.postings, b.doc_lens, codec=name,
+                    byte_offsets=np.asarray(b.byte_offsets),
+                )
+                for x, y in zip(da, db):
+                    assert np.array_equal(x, y), (name, trial)
+
+    def test_batch_matches_impact_order(self):
+        import numpy as np
+        import pandas as pd
+
+        from atire_spark.kernels.impact import impact_order
+        from atire_spark.kernels.segment import build_segments_batch
+
+        rng = np.random.default_rng(22)
+        rows = []
+        for term in ("alpha", "beta"):
+            for block in range(4):
+                n = int(rng.integers(1, 60))
+                docs = np.sort(
+                    rng.choice(2000, size=n, replace=False) + block * 4096
+                )
+                rows.append(
+                    {
+                        "term": term,
+                        "seg_group": block // 2,
+                        "block": block,
+                        "docids": docs.astype(np.int64),
+                        "tfs": rng.integers(1, 6, size=n).astype(np.int32),
+                        "lens": rng.integers(5, 100, size=n).astype(np.int64),
+                        "df_b": n,
+                        "cf_b": int(rng.integers(n, 3 * n)),
+                    }
+                )
+        pdf = pd.DataFrame(rows)
+        for name in self._names():
+            out = build_segments_batch(pdf, codec=name)
+            for (term, sg), g in pdf.groupby(["term", "seg_group"]):
+                g = g.sort_values("block")
+                docids = np.concatenate(list(g["docids"]))
+                tfs = np.concatenate(list(g["tfs"])).astype(np.int64)
+                lens = np.concatenate(list(g["lens"]))
+                seg = impact_order(docids, tfs, lens, codec=name)
+                row = out[(out.term == term) & (out.seg_group == sg)].iloc[0]
+                assert row["postings"] == seg.postings, name
+                assert list(row["byte_offsets"]) == list(seg.byte_offsets), name
+
+    def test_partial_group_reads(self):
+        import numpy as np
+
+        from atire_spark.kernels.codecs import get_codec
+        from atire_spark.kernels.impact import (
+            decode_group,
+            decode_segment,
+            impact_order,
+        )
+
+        rng = np.random.default_rng(23)
+        n = 300
+        docs = np.sort(rng.choice(1 << 16, size=n, replace=False))
+        tfs = rng.integers(1, 6, size=n)
+        lens = rng.integers(1, 100, size=n)
+        ref = impact_order(docs, tfs, lens, codec="vbyte")
+        want = decode_segment(
+            np.asarray(ref.impacts), np.asarray(ref.doc_counts),
+            ref.postings, ref.doc_lens, codec="vbyte", max_groups=2,
+        )
+        for name in self._names():
+            seg = impact_order(docs, tfs, lens, codec=name)
+            got = decode_segment(
+                np.asarray(seg.impacts), np.asarray(seg.doc_counts),
+                seg.postings, seg.doc_lens, codec=name, max_groups=2,
+                byte_offsets=np.asarray(seg.byte_offsets),
+            )
+            assert np.array_equal(want[0], got[0]), name
+            assert np.array_equal(want[1], got[1]), name
+            # per-quantum decode_group at the stored byte offsets —
+            # the QaaT read path
+            bo = np.asarray(seg.byte_offsets, dtype=np.int64)
+            ends = np.concatenate((bo[1:], [len(seg.postings)]))
+            cum = np.concatenate(([0], np.cumsum(seg.doc_counts)))
+            full = decode_segment(
+                np.asarray(seg.impacts), np.asarray(seg.doc_counts),
+                seg.postings, seg.doc_lens, codec=name,
+                byte_offsets=bo,
+            )[0]
+            for gi in range(len(seg.impacts)):
+                deltas = decode_group(
+                    seg.postings[int(bo[gi]): int(ends[gi])],
+                    int(seg.doc_counts[gi]),
+                    codec=name,
+                )
+                got_docs = np.cumsum(deltas) - 1
+                assert np.array_equal(
+                    got_docs, full[cum[gi]: cum[gi + 1]]
+                ), (name, gi)
+
+    def test_none_codec_wire_format(self):
+        import numpy as np
+
+        from atire_spark.kernels.codecs import get_codec
+
+        # compress_none.c: raw little-endian uint32, 4 bytes/value
+        c = get_codec("none")
+        vals = np.asarray([1, 7, 300, 70000], dtype=np.int64)
+        blob, offs = c.encode_groups(vals, np.asarray([0, 2]))
+        assert blob == np.asarray(vals, dtype="<u4").tobytes()
+        assert list(offs) == [0, 8]
+
+    def test_group_varint_wire_format(self):
+        import numpy as np
+
+        from atire_spark.kernels.codecs import get_codec
+
+        # compress_four_integer_variable_byte: one header byte (2
+        # bits per value = byte length - 1, FIRST value in the high
+        # bits) then the 4 values big-endian
+        c = get_codec("group_varint")
+        vals = np.asarray([1, 256, 65536, 16777216], dtype=np.int64)
+        blob, _ = c.encode_groups(vals, np.zeros(1, dtype=np.int64))
+        sel = blob[0]
+        assert ((sel >> 6) & 3, (sel >> 4) & 3, (sel >> 2) & 3, sel & 3) == (
+            0, 1, 2, 3,
+        )
+        assert np.array_equal(c.decode_group(blob, 4), vals)

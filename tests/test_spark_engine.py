@@ -339,17 +339,19 @@ class TestPuurula:
 
 
 class TestSimple9Index:
-    """build_index(codec='simple9'): same postings, same ranking —
-    the codec changes only the wire format (compress_simple9.c)."""
+    """build_index(codec=...): same postings, same ranking — the
+    codec changes only the wire format (compression_factory.c:59-77).
+    Every factory scheme must rank identically to vbyte end-to-end."""
 
     def test_rank_identical_to_vbyte(self, spark):
         from atire_spark.build import build_index
+        from atire_spark.kernels.codecs import CODEC_NAMES
         from atire_spark.query import SearchEngine
         from atire_spark.synth import make_transcripts
 
         pdf = make_transcripts("tiny")
         res = {}
-        for codec in ("vbyte", "simple9"):
+        for codec in CODEC_NAMES:
             eng = SearchEngine(
                 spark, build_index(spark, spark.createDataFrame(pdf), codec=codec)
             )
@@ -359,4 +361,5 @@ class TestSimple9Index:
                     [(1, "alpha bravo charlie"), (2, "delta")], k=20
                 ).collect()
             ]
-        assert res["vbyte"] == res["simple9"]
+        for codec in CODEC_NAMES:
+            assert res["vbyte"] == res[codec], codec
