@@ -251,6 +251,36 @@ def _cull_engine(spark: SparkSession, sf_dir: str):
     )
 
 
+# TopSig entry parameters: 1024 bits keeps the oracle's doc×bit grid
+# small; density 12% is the reference default
+# (indexer_param_block_topsig.c:18-19 — reference width default 4096)
+TOPSIG_W = 1024
+TOPSIG_D = 12.0
+
+
+def _topsig_sigs(spark: SparkSession, sf_dir: str):
+    """Signature table for the sf_dir, materialized to parquet once —
+    both topsig entries then scan storage instead of re-running the
+    build."""
+    key = sf_dir.rstrip("/") + "#topsig"
+    if key not in _INDEX_CACHE:
+        import tempfile
+
+        from atire_spark.topsig import build_topsig
+
+        eng = _engine(spark, sf_dir)
+        d = tempfile.mkdtemp(prefix="atire_topsig_")
+        build_topsig(
+            spark,
+            _transcripts(spark, sf_dir),
+            eng.index,
+            width=TOPSIG_W,
+            density=TOPSIG_D,
+        ).write.parquet(d, mode="overwrite")
+        _INDEX_CACHE[key] = spark.read.parquet(d)
+    return _INDEX_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # shared SQL oracle scaffolding (DuckDB dialect of ANSI SQL)
 _CORPUS_CTE = """
@@ -2070,6 +2100,161 @@ k1a AS (
     )
 
 
+def _q_topsig_sig_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atire_spark.topsig import signature_stats
+
+    return signature_stats(_topsig_sigs(spark, sf_dir))
+
+
+def _q_topsig_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atire_spark.topsig import search_topsig
+
+    eng = _engine(spark, sf_dir)
+    return search_topsig(
+        spark,
+        _topsig_sigs(spark, sf_dir),
+        eng.index,
+        TESTDATA_QUERIES,
+        k=TOP_K,
+        width=TOPSIG_W,
+        density=TOPSIG_D,
+    )
+
+
+# ---------------------------------------------------------------------------
+# TopSig oracle: the signature construction transcribed to SQL.
+# splitmix64 runs on UBIGINT with every multiply/add widened to
+# UHUGEINT and wrapped mod 2^64 (DuckDB integer arithmetic is
+# overflow-checked, and mixed UHUGEINT+INTEGER ops promote through
+# DOUBLE — every operand is cast explicitly).
+_U64_MOD = "CAST(18446744073709551616 AS UHUGEINT)"
+
+
+def _splitmix_sql(prefix: str, src: str, keys: str, seed_expr: str) -> str:
+    """Chained CTEs ``{prefix}0..{prefix}4`` carrying ``keys`` and the
+    mixed hash ``h`` (exact splitmix64 of ``seed_expr``)."""
+    return f"""
+{prefix}0 AS (SELECT {keys}, CAST(({seed_expr}) % {_U64_MOD} AS UBIGINT) AS z FROM {src}),
+{prefix}1 AS (SELECT {keys}, CAST((CAST(z AS UHUGEINT) + CAST(11400714819323198485 AS UHUGEINT)) % {_U64_MOD} AS UBIGINT) AS z FROM {prefix}0),
+{prefix}2 AS (SELECT {keys}, CAST((CAST(xor(z, z >> 30) AS UHUGEINT) * CAST(13787848793156543929 AS UHUGEINT)) % {_U64_MOD} AS UBIGINT) AS z FROM {prefix}1),
+{prefix}3 AS (SELECT {keys}, CAST((CAST(xor(z, z >> 27) AS UHUGEINT) * CAST(10723151780598845931 AS UHUGEINT)) % {_U64_MOD} AS UBIGINT) AS z FROM {prefix}2),
+{prefix}4 AS (SELECT {keys}, xor(z, z >> 31) AS h FROM {prefix}3)"""
+
+
+def _topsig_cte(width: int, density: float, with_query: bool) -> str:
+    """CTE chain ending in ``sig(docid, bit, bit_set)`` (and, with
+    ``with_query``, ``qvec(query_id, pos, qv)``) — the exact integer
+    arithmetic of kernels/topsig.py."""
+    num_positive = int(width * (density / 200.0))
+    w_expr = (
+        "CAST(t.occurrences AS DOUBLE) * ln("
+        "(CAST(t.occurrences AS DOUBLE) / CAST(d.doc_len AS DOUBLE))"
+        " * (CAST(s.coll_len AS DOUBLE) / CAST(ts.cf AS DOUBLE)))"
+    )
+    vocab_src = (
+        "(SELECT term FROM termstats UNION SELECT DISTINCT term FROM q) v"
+        if with_query
+        else "(SELECT term FROM termstats) v"
+    )
+    sql = f"""
+tsw AS (
+  SELECT t.docid, t.term,
+         CAST(floor(1000.0 * ({w_expr}) + 0.5) AS BIGINT) AS wq
+  FROM tf t
+  JOIN docmap d USING (docid)
+  JOIN termstats ts USING (term)
+  CROSS JOIN stats s
+  WHERE {w_expr} >= 2.718281828459045
+),
+draws AS (SELECT unnest(generate_series(0, {2 * num_positive - 1})) AS j),
+tpj AS (SELECT v.term, dr.j FROM {vocab_src} CROSS JOIN draws dr),
+{_splitmix_sql("tp", "tpj", "term, j", "CAST(md5_number_lower(term) AS UHUGEINT) + CAST(j AS UHUGEINT)")},
+tpos AS (
+  SELECT term, CAST(h % {width} AS INTEGER) AS pos,
+         CASE WHEN j % 2 = 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sgn
+  FROM tp4
+),
+vec AS (
+  SELECT w.docid, p.pos, CAST(sum(p.sgn * w.wq) AS BIGINT) AS v
+  FROM tsw w JOIN tpos p USING (term)
+  GROUP BY w.docid, p.pos
+),
+grid AS (
+  SELECT d.docid, b.bit
+  FROM docmap d
+  CROSS JOIN (SELECT unnest(generate_series(0, {width - 1})) AS bit) b
+),
+{_splitmix_sql("fl", "grid", "docid, bit", "CAST(md5_number_lower('doc:' || CAST(docid AS VARCHAR)) AS UHUGEINT) + CAST(bit AS UHUGEINT)")},
+fill AS (SELECT docid, bit, CAST(h & 1 AS INTEGER) AS f FROM fl4),
+sig AS (
+  SELECT g.docid, g.bit,
+         CASE WHEN coalesce(v.v, 0) > 0 THEN 1
+              WHEN coalesce(v.v, 0) = 0 THEN f.f
+              ELSE 0 END AS bit_set
+  FROM grid g
+  LEFT JOIN vec v ON v.docid = g.docid AND v.pos = g.bit
+  JOIN fill f ON f.docid = g.docid AND f.bit = g.bit
+)"""
+    if with_query:
+        sql += f""",
+qw AS (
+  SELECT q.query_id,
+         q.term,
+         CAST(floor(1000.0 * ln(CAST(s.coll_len AS DOUBLE)
+                 / CAST(coalesce(ts.cf, 1) AS DOUBLE)) + 0.5) AS BIGINT)
+           * CAST(q.weight AS BIGINT) AS wq
+  FROM q
+  LEFT JOIN termstats ts USING (term)
+  CROSS JOIN stats s
+  WHERE ln(CAST(s.coll_len AS DOUBLE) / CAST(coalesce(ts.cf, 1) AS DOUBLE))
+        >= 2.718281828459045
+),
+qvec AS (
+  SELECT w.query_id, p.pos, CAST(sum(p.sgn * w.wq) AS BIGINT) AS qv
+  FROM qw w JOIN tpos p USING (term)
+  GROUP BY w.query_id, p.pos
+)"""
+    return sql
+
+
+def _topsig_stats_sql(width: int, density: float) -> str:
+    return f"""
+WITH {_CORPUS_CTE},
+{_topsig_cte(width, density, with_query=False)}
+SELECT docid, CAST(sum(bit_set) AS BIGINT) AS bits_set
+FROM sig GROUP BY docid
+"""
+
+
+def _topsig_topk_sql(width: int, density: float, k: int) -> str:
+    return f"""
+WITH {_CORPUS_CTE},
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+),
+{_topsig_cte(width, density, with_query=True)},
+score AS (
+  SELECT v.query_id, s.docid, CAST(count(*) AS BIGINT) AS rsv_fixed
+  FROM qvec v
+  JOIN sig s ON s.bit = v.pos
+  WHERE v.qv <> 0
+    AND ((v.qv > 0 AND s.bit_set = 1) OR (v.qv < 0 AND s.bit_set = 0))
+  GROUP BY v.query_id, s.docid
+),
+ranked AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM score
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) AS rsv
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from atire_spark.corpus import CORPUS_QUERIES
 
@@ -2131,6 +2316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qaat_exact_topk": _q_qaat_exact,
         "boolean_topk": _q_boolean,
         "topk_materialized": _q_topk_materialized,
+        "topsig_sig_stats": _q_topsig_sig_stats,
+        "topsig_topk": _q_topsig_topk,
     }
 
 
@@ -2489,6 +2676,11 @@ SELECT r.query_id, r.rank, r.docid, d.conv_id, d.turn_idx, r.rsv_fixed
 FROM ranked r JOIN docmap d USING (docid)
 WHERE r.rank <= {TOP_K}
 """,
+        # TopSig (index_document_topsig.c, ranking_function_topsig_*.c):
+        # integer-quantized signature arithmetic transcribed whole —
+        # per-doc bit density and agreement-count top-k
+        "topsig_sig_stats": _topsig_stats_sql(TOPSIG_W, TOPSIG_D),
+        "topsig_topk": _topsig_topk_sql(TOPSIG_W, TOPSIG_D, TOP_K),
     }
 
 

@@ -1,0 +1,276 @@
+"""TopSig signature indexing and search, Spark-first.
+
+The reference grafts TopSig onto its inverted index by treating every
+signature bit number as a pseudo-term (index_document_topsig.c:219-243)
+and scoring negative query dimensions by walking the *gaps* of that
+bit's postings list (ranking_function_topsig_negative.c). On Spark the
+natural physical design is the signature table itself: one row per
+document holding the packed width-bit signature — scoring is then a
+map-only scan with broadcast query masks (no join, no shuffle until the
+k-row-per-query top-k), which is the shape that survives 10^9+
+documents. Ranking is identical; the only divergence is that a
+negative dimension whose pseudo-term would be absent from the
+reference's dictionary (no document has the bit set) scores uniformly
+here instead of being skipped (atire_api.c:1081-1087) — a constant
+rsv offset that cannot reorder documents.
+
+Build dataflow (at 100 TB):
+  tokenized turns (map) → explode → join term cf (AQE broadcast for
+  small vocabularies, shuffle-hash otherwise) → weight/stop/quantize
+  in JVM codegen → groupBy(docid) collect compact (term, wq) arrays
+  (the one shuffle, token-row sized) → vectorized signature kernel
+  (mapInPandas) → (docid, sig) rows, ~width/8 bytes each.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from atire_spark.build import IndexTables, tokenize_stage
+from atire_spark.kernels.topsig import (
+    TOPSIG_DENSITY,
+    TOPSIG_WIDTH,
+    accumulate,
+    agreement_scores,
+    md5_u64,
+    pack_bits,
+    popcount_rows,
+    query_vector,
+    signature_bits,
+)
+from atire_spark.query import parse_query
+
+_E = math.e  # add_term's stop threshold (index_document_topsig_signature.c:117)
+
+
+def _term_cf(index: IndexTables) -> DataFrame:
+    """(term, cf) — postings rows carry the global cf, one value per
+    term across its segment rows."""
+    return index.postings.groupBy("term").agg(F.max("cf").alias("cf"))
+
+
+def build_topsig(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index: IndexTables,
+    width: int = TOPSIG_WIDTH,
+    density: float = TOPSIG_DENSITY,
+    stemmer: str | None = None,
+) -> DataFrame:
+    """→ (docid, sig array<long>) — one packed signature per document
+    in ``index.docmap`` (docids and doc lengths are the index's own, so
+    TopSig results materialize through the same docmap)."""
+    coll_len = float(
+        index.stats.select("collection_len").collect()[0][0]
+    )
+    toks = tokenize_stage(transcripts, stemmer=stemmer).join(
+        index.docmap.select("conv_id", "turn_idx", "docid"),
+        ["conv_id", "turn_idx"],
+    )
+    exploded = toks.select(
+        "docid",
+        F.col("doc_len").cast("double").alias("dl"),
+        F.explode(F.arrays_zip("terms", "occs")).alias("z"),
+    ).select(
+        "docid",
+        "dl",
+        F.col("z.terms").alias("term"),
+        F.col("z.occs").cast("double").alias("occ"),
+    )
+    # weight, stop filter and quantization run JVM-side (whole-stage
+    # codegen); operation order mirrors the oracle SQL exactly
+    w = F.col("occ") * F.log(
+        (F.col("occ") / F.col("dl"))
+        * (F.lit(coll_len) / F.col("cf").cast("double"))
+    )
+    contribs = (
+        exploded.join(_term_cf(index), "term")
+        .withColumn("w", w)
+        .filter(F.col("w") >= F.lit(_E))
+        .select(
+            "docid",
+            "term",
+            F.floor(F.lit(1000.0) * F.col("w") + F.lit(0.5))
+            .cast("long")
+            .alias("wq"),
+        )
+        .groupBy("docid")
+        .agg(
+            F.collect_list("term").alias("terms"),
+            F.collect_list("wq").alias("wqs"),
+        )
+    )
+    # every document gets a signature — docs whose terms were all
+    # stopped resolve to the zero vector (pure fill bits)
+    per_doc = index.docmap.select("docid").join(contribs, "docid", "left")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            docids = pdf["docid"].to_numpy(dtype=np.int64)
+            terms_flat: list[str] = []
+            wq_parts: list[np.ndarray] = []
+            idx_parts: list[np.ndarray] = []
+            for i, (tl, wl) in enumerate(zip(pdf["terms"], pdf["wqs"])):
+                if tl is None or len(tl) == 0:
+                    continue
+                terms_flat.extend(tl)
+                wq_parts.append(np.asarray(wl, dtype=np.int64))
+                idx_parts.append(np.full(len(tl), i, dtype=np.int64))
+            if terms_flat:
+                uniq, inv = np.unique(
+                    np.asarray(terms_flat, dtype=object), return_inverse=True
+                )
+                seeds = np.array(
+                    [md5_u64(t) for t in uniq], dtype=np.uint64
+                )[inv]
+                wq = np.concatenate(wq_parts)
+                didx = np.concatenate(idx_parts)
+            else:
+                seeds = np.empty(0, dtype=np.uint64)
+                wq = np.empty(0, dtype=np.int64)
+                didx = np.empty(0, dtype=np.int64)
+            acc = accumulate(seeds, wq, didx, len(docids), width, density)
+            sig = pack_bits(signature_bits(acc, docids))
+            yield pd.DataFrame(
+                {"docid": docids, "sig": [row for row in sig]}
+            )
+
+    return per_doc.mapInPandas(fn, schema="docid long, sig array<long>")
+
+
+def _query_masks(
+    queries: list[tuple[int, str]],
+    cfs: dict[str, int],
+    coll_len: float,
+    width: int,
+    density: float,
+    stemmer: str | None,
+) -> dict[int, np.ndarray]:
+    out: dict[int, np.ndarray] = {}
+    for qid, text in queries:
+        parsed = parse_query(text, stemmer)
+        if not parsed:
+            continue
+        qv = query_vector(
+            [t for t, _ in parsed],
+            [w for _, w in parsed],
+            cfs,
+            coll_len,
+            width,
+            density,
+        )
+        if np.any(qv != 0):
+            out[qid] = qv
+    return out
+
+
+def search_topsig(
+    spark: SparkSession,
+    signatures: DataFrame,
+    index: IndexTables,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    width: int = TOPSIG_WIDTH,
+    density: float = TOPSIG_DENSITY,
+    stemmer: str | None = None,
+) -> DataFrame:
+    """Agreement-count ranking over the signature table → the engine's
+    standard (query_id, rank, docid, rsv_fixed, rsv) shape; ties break
+    larger-docid-first like every other ranker
+    (search_engine_accumulator.h:36-50). rsv is the integer agreement
+    count (the topsig rankers accumulate longs, never fixed-point
+    hundredths)."""
+    qterms: set[str] = set()
+    for _, text in queries:
+        qterms.update(t for t, _ in parse_query(text, stemmer))
+    cfs: dict[str, int] = {}
+    if qterms:
+        cfs = {
+            r["term"]: int(r["cf"])
+            for r in _term_cf(index)
+            .filter(F.col("term").isin(list(qterms)))
+            .collect()
+        }
+    coll_len = float(index.stats.select("collection_len").collect()[0][0])
+    masks = _query_masks(queries, cfs, coll_len, width, density, stemmer)
+    if not masks:
+        return spark.createDataFrame(
+            [],
+            "query_id long, rank int, docid long, rsv_fixed long, rsv double",
+        )
+    qvecs = [(qid, qv) for qid, qv in sorted(masks.items())]
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            docids = pdf["docid"].to_numpy(dtype=np.int64)
+            words = np.stack(
+                [np.asarray(s, dtype=np.int64) for s in pdf["sig"]]
+            )
+            frames = []
+            for qid, qv in qvecs:
+                rsv = agreement_scores(words, qv)
+                hit = rsv > 0  # untouched accumulators stay out of the
+                # results list (is_zero_rsv docs are never added)
+                if not np.any(hit):
+                    continue
+                d, r = docids[hit], rsv[hit]
+                if d.size > k:  # partition-local bounded top-k
+                    order = np.lexsort((d, r))[::-1][:k]
+                    d, r = d[order], r[order]
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "docid": d, "rsv_fixed": r}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cand = signatures.mapInPandas(
+        part, schema="query_id long, docid long, rsv_fixed long"
+    )
+    w_ = Window.partitionBy("query_id").orderBy(
+        F.col("rsv_fixed").desc(), F.col("docid").desc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w_))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "docid",
+            "rsv_fixed",
+            F.col("rsv_fixed").cast("double").alias("rsv"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def signature_stats(signatures: DataFrame) -> DataFrame:
+    """(docid, bits_set) — the per-document signature density, the
+    cheapest full certification of the signature construction."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            words = np.stack(
+                [np.asarray(s, dtype=np.int64) for s in pdf["sig"]]
+            )
+            yield pd.DataFrame(
+                {
+                    "docid": pdf["docid"].to_numpy(dtype=np.int64),
+                    "bits_set": popcount_rows(words),
+                }
+            )
+
+    return signatures.mapInPandas(fn, schema="docid long, bits_set long")
