@@ -2121,6 +2121,25 @@ def _q_topsig_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOPSIG_FB_DOCS = 5
+
+
+def _q_topsig_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atire_spark.topsig import search_topsig_feedback
+
+    eng = _engine(spark, sf_dir)
+    return search_topsig_feedback(
+        spark,
+        _topsig_sigs(spark, sf_dir),
+        eng.index,
+        TESTDATA_QUERIES,
+        k=TOP_K,
+        feedback_docs=TOPSIG_FB_DOCS,
+        width=TOPSIG_W,
+        density=TOPSIG_D,
+    )
+
+
 # ---------------------------------------------------------------------------
 # TopSig oracle: the signature construction transcribed to SQL.
 # splitmix64 runs on UBIGINT with every multiply/add widened to
@@ -2255,6 +2274,60 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _topsig_feedback_sql(
+    width: int, density: float, k: int, fb_docs: int
+) -> str:
+    """atire_api.c:1606-1650: pass-1 top-fb_docs results' signature
+    bits sum into the feedback vector (only + increments →
+    positive-ranker-only re-query); pass-2 rsv = count of set bits
+    shared with any fed-back document."""
+    return f"""
+WITH {_CORPUS_CTE},
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+),
+{_topsig_cte(width, density, with_query=True)},
+score1 AS (
+  SELECT v.query_id, s.docid, CAST(count(*) AS BIGINT) AS rsv_fixed
+  FROM qvec v
+  JOIN sig s ON s.bit = v.pos
+  WHERE v.qv <> 0
+    AND ((v.qv > 0 AND s.bit_set = 1) OR (v.qv < 0 AND s.bit_set = 0))
+  GROUP BY v.query_id, s.docid
+),
+ranked1 AS (
+  SELECT query_id, docid,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS rank
+  FROM score1
+),
+fb AS (
+  SELECT r.query_id, s.bit
+  FROM ranked1 r JOIN sig s ON s.docid = r.docid
+  WHERE r.rank <= {fb_docs} AND s.bit_set = 1
+  GROUP BY r.query_id, s.bit
+),
+score2 AS (
+  SELECT f.query_id, s.docid, CAST(count(*) AS BIGINT) AS rsv_fixed
+  FROM fb f JOIN sig s ON s.bit = f.bit
+  WHERE s.bit_set = 1
+  GROUP BY f.query_id, s.docid
+),
+ranked2 AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM score2
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) AS rsv
+FROM ranked2 WHERE rank <= {k}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from atire_spark.corpus import CORPUS_QUERIES
 
@@ -2318,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_materialized": _q_topk_materialized,
         "topsig_sig_stats": _q_topsig_sig_stats,
         "topsig_topk": _q_topsig_topk,
+        "topsig_feedback_topk": _q_topsig_feedback,
     }
 
 
@@ -2681,6 +2755,9 @@ WHERE r.rank <= {TOP_K}
         # per-doc bit density and agreement-count top-k
         "topsig_sig_stats": _topsig_stats_sql(TOPSIG_W, TOPSIG_D),
         "topsig_topk": _topsig_topk_sql(TOPSIG_W, TOPSIG_D, TOP_K),
+        "topsig_feedback_topk": _topsig_feedback_sql(
+            TOPSIG_W, TOPSIG_D, TOP_K, TOPSIG_FB_DOCS
+        ),
     }
 
 

@@ -43,6 +43,7 @@ from atire_spark.kernels.topsig import (
     popcount_rows,
     query_vector,
     signature_bits,
+    unpack_bits,
 )
 from atire_spark.query import parse_query
 
@@ -225,6 +226,110 @@ def search_topsig(
                     continue
                 d, r = docids[hit], rsv[hit]
                 if d.size > k:  # partition-local bounded top-k
+                    order = np.lexsort((d, r))[::-1][:k]
+                    d, r = d[order], r[order]
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "docid": d, "rsv_fixed": r}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cand = signatures.mapInPandas(
+        part, schema="query_id long, docid long, rsv_fixed long"
+    )
+    w_ = Window.partitionBy("query_id").orderBy(
+        F.col("rsv_fixed").desc(), F.col("docid").desc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w_))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "docid",
+            "rsv_fixed",
+            F.col("rsv_fixed").cast("double").alias("rsv"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def search_topsig_feedback(
+    spark: SparkSession,
+    signatures: DataFrame,
+    index: IndexTables,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    feedback_docs: int = 5,
+    width: int = TOPSIG_WIDTH,
+    density: float = TOPSIG_DENSITY,
+    stemmer: str | None = None,
+) -> DataFrame:
+    """TopSig blind relevance feedback (atire_api.c:1606-1650 +
+    relevance_feedback_topsig.c): the top ``feedback_docs`` documents'
+    signature bits are summed into the feedback vector (add_to_index
+    increments per set bit, so every nonzero dimension is positive and
+    only the positive ranker fires) and that vector replaces the query.
+
+    The reference re-derives each fed-back document's signature from
+    its text (add_to_index, with its own running-length artifact); here
+    the stored signature rows ARE the signatures, so the feedback pass
+    reads them back — the same bits the first pass scored.
+
+    Scale shape: pass 1 is the normal signature scan; the feedback
+    vector is built from k·|queries| collected rows (result-sized, like
+    every feedback path), then pass 2 is another map-only scan."""
+    first = search_topsig(
+        spark, signatures, index, queries, feedback_docs, width, density,
+        stemmer,
+    )
+    top = first.select("query_id", "docid").collect()
+    if not top:
+        return spark.createDataFrame(
+            [],
+            "query_id long, rank int, docid long, rsv_fixed long, rsv double",
+        )
+    by_query: dict[int, list[int]] = {}
+    for r in top:
+        by_query.setdefault(int(r["query_id"]), []).append(int(r["docid"]))
+    fb_docids = sorted({d for ds in by_query.values() for d in ds})
+    sig_rows = {
+        int(r["docid"]): np.asarray(r["sig"], dtype=np.int64)
+        for r in signatures.filter(
+            F.col("docid").isin(fb_docids)
+        ).collect()
+    }
+    masks: list[tuple[int, np.ndarray]] = []
+    for qid in sorted(by_query):
+        fv = np.zeros(width, dtype=np.int64)
+        for d in by_query[qid]:
+            fv += unpack_bits(sig_rows[d][None, :], width)[0]
+        if np.any(fv != 0):
+            masks.append((qid, fv))
+    if not masks:
+        return spark.createDataFrame(
+            [],
+            "query_id long, rank int, docid long, rsv_fixed long, rsv double",
+        )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            docids = pdf["docid"].to_numpy(dtype=np.int64)
+            words = np.stack(
+                [np.asarray(s, dtype=np.int64) for s in pdf["sig"]]
+            )
+            frames = []
+            for qid, fv in masks:
+                rsv = agreement_scores(words, fv)
+                hit = rsv > 0
+                if not np.any(hit):
+                    continue
+                d, r = docids[hit], rsv[hit]
+                if d.size > k:
                     order = np.lexsort((d, r))[::-1][:k]
                     d, r = d[order], r[order]
                 frames.append(

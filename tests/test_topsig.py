@@ -280,6 +280,42 @@ def test_signature_stats_counts_bits(topsig_setup, spark):
     assert {int(d): int(b) for d, b in zip(st.docid, st.bits_set)} == want
 
 
+def test_topsig_feedback_scores_shared_bits(topsig_setup, spark):
+    from atire_spark.topsig import search_topsig, search_topsig_feedback
+
+    _, idx, sigs = topsig_setup
+    qs = [(1, "rare1"), (2, "rare2")]
+    fb = search_topsig_feedback(
+        spark, sigs, idx, qs, k=5, feedback_docs=2,
+        width=WIDTH, density=DENSITY,
+    ).toPandas()
+    assert (fb.rsv_fixed > 0).all()
+    # positive-only re-query: every fed-back doc shares all of its own
+    # set bits with the feedback mask, so the pass-1 top docs score at
+    # least their own bit count overlap — reproduce pass 2 by hand
+    first = search_topsig(
+        spark, sigs, idx, qs, k=2, width=WIDTH, density=DENSITY
+    ).toPandas()
+    raw = {int(r["docid"]): np.asarray(r["sig"], dtype=np.int64)
+           for r in sigs.collect()}
+    for qid, grp in first.groupby("query_id"):
+        mask = np.zeros(WIDTH, dtype=np.int64)
+        for d in grp.docid:
+            mask += unpack_bits(raw[int(d)][None, :], WIDTH)[0]
+        want = {}
+        for d, words in raw.items():
+            bits = unpack_bits(words[None, :], WIDTH)[0]
+            s = int(((mask > 0) & bits).sum())
+            if s > 0:
+                want[d] = s
+        got = {
+            int(r.docid): int(r.rsv_fixed)
+            for r in fb[fb.query_id == qid].itertuples()
+        }
+        for d, s in got.items():
+            assert want[d] == s
+
+
 def test_fill_bits_deterministic_per_doc():
     a = fill_bits(np.array([7, 8]), WIDTH)
     b = fill_bits(np.array([7]), WIDTH)
