@@ -722,6 +722,152 @@ SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= {k}
 
 
 # ------------------------------------------------------------- multimodal
+IVF_CELLS = 16  # coarse-quantizer size (nlist)
+IVF_PROBES = 3  # cells searched per query (nprobe)
+
+
+def _ivf_parts(spark: SparkSession, sf_dir: str):
+    """(centroids, assignment) for the IVF index.
+
+    Centroids are the ``IVF_CELLS`` lowest-vec_id embeddings —
+    deterministic seeding so the DuckDB oracle reproduces the exact
+    partition (a production deployment plugs k-means|| centroids into
+    the same two frames; every downstream step is unchanged).
+    Assignment is a map-only scan against the broadcast centroid set —
+    the cell id is the bucketing/partition column at scale."""
+    emb = _emb(spark, sf_dir)
+    cents = F.broadcast(
+        emb.orderBy("vec_id")
+        .limit(IVF_CELLS)
+        .select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+        )
+    )
+    cos = F.expr(
+        f"({_dot_expr('embedding', 'c_emb')})"
+        f" / (sqrt({_dot_expr('embedding', 'embedding')})"
+        f" * sqrt({_dot_expr('c_emb', 'c_emb')}))"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("c_id").asc()
+    )
+    assign = (
+        emb.crossJoin(cents)
+        .select("vec_id", "embedding", "c_id", cos.alias("c_cos"))
+        .withColumn("crank", F.row_number().over(w))
+    )
+    return cents, assign
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbour: assign every
+    vector to its nearest centroid cell, probe the query's
+    ``IVF_PROBES`` closest cells, exact-rerank only those candidates.
+
+    Scale shape: the candidate scan touches ~nprobe/nlist of the
+    collection (cells are storage partitions at scale, so the probe is
+    partition pruning, not a filter over a full scan); the rerank is
+    the brute-force scorer on the pruned set — same bounded partial
+    top-k merge as :func:`knn_brute_cosine`."""
+    cents, assign = _ivf_parts(spark, sf_dir)
+    cells = assign.filter(F.col("crank") == 1).select(
+        "vec_id", "embedding", F.col("c_id").alias("cell")
+    )
+    q = _emb(spark, sf_dir).filter(F.col("vec_id").isin(KNN_QUERY_IDS))
+    qcos = F.expr(
+        f"({_dot_expr('q_emb', 'c_emb')})"
+        f" / (sqrt({_dot_expr('q_emb', 'q_emb')})"
+        f" * sqrt({_dot_expr('c_emb', 'c_emb')}))"
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("q_cos").desc(), F.col("c_id").asc()
+    )
+    probes = (
+        q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        .crossJoin(cents)
+        .select("q_id", "q_emb", "c_id", qcos.alias("q_cos"))
+        .withColumn("qrank", F.row_number().over(wq))
+        .filter(F.col("qrank") <= IVF_PROBES)
+        .select("q_id", "q_emb", F.col("c_id").alias("cell"))
+    )
+    pair_cos = F.expr(
+        f"({_dot_expr('embedding', 'q_emb')})"
+        f" / (sqrt({_dot_expr('embedding', 'embedding')})"
+        f" * sqrt({_dot_expr('q_emb', 'q_emb')}))"
+    )
+    cand = F.broadcast(probes).join(cells, "cell")
+    scored = cand.select(
+        "q_id", "vec_id", F.round(pair_cos, 6).alias("cosine")
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cosine")
+    )
+
+
+def knn_ivf_sql(k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+  ORDER BY vec_id LIMIT {IVF_CELLS}
+),
+assign AS (
+  SELECT e.vec_id, c.c_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ({_duck_dot('e.embedding', 'c.c_emb')})
+                    / (sqrt({_duck_dot('e.embedding', 'e.embedding')})
+                       * sqrt({_duck_dot('c.c_emb', 'c.c_emb')})) DESC,
+                    c.c_id ASC
+         ) AS crank
+  FROM embeddings e CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id, c_id AS cell FROM assign WHERE crank = 1
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id IN ({ids})
+),
+probes AS (
+  SELECT q_id, q_emb, cell FROM (
+    SELECT q.q_id, q.q_emb, c.c_id AS cell,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY ({_duck_dot('q.q_emb', 'c.c_emb')})
+                      / (sqrt({_duck_dot('q.q_emb', 'q.q_emb')})
+                         * sqrt({_duck_dot('c.c_emb', 'c.c_emb')})) DESC,
+                      c.c_id ASC
+           ) AS qrank
+    FROM q CROSS JOIN cents c
+  ) WHERE qrank <= {IVF_PROBES}
+),
+scored AS (
+  SELECT p.q_id, s.vec_id,
+         round(({_duck_dot('e.embedding', 'p.q_emb')})
+               / (sqrt({_duck_dot('e.embedding', 'e.embedding')})
+                  * sqrt({_duck_dot('p.q_emb', 'p.q_emb')})), 6) AS cosine
+  FROM probes p
+  JOIN cells s USING (cell)
+  JOIN embeddings e ON e.vec_id = s.vec_id
+),
+ranked AS (
+  SELECT q_id,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC
+         ) AS INTEGER) AS rank,
+         vec_id, cosine
+  FROM scored
+)
+SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary media plumbing: a binary payload column flows
     through an Arrow mapInPandas stage that emits typed metadata.
@@ -987,6 +1133,7 @@ CORPUS_QUERIES = {
     "text_dalechall": dalechall,
     "knn_brute_cosine": knn_brute_cosine,
     "knn_lsh_bucketed": knn_lsh_bucketed,
+    "knn_ivf": knn_ivf,
     "multimodal_meta": multimodal_meta,
 }
 
@@ -1004,5 +1151,6 @@ def corpus_oracle_sql() -> dict[str, str]:
         "text_dalechall": dalechall_sql(),
         "knn_brute_cosine": knn_brute_cosine_sql(),
         "knn_lsh_bucketed": knn_lsh_bucketed_sql(),
+        "knn_ivf": knn_ivf_sql(),
         "multimodal_meta": multimodal_meta_sql(),
     }

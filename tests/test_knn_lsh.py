@@ -109,3 +109,23 @@ def test_lsh_matches_brute_on_shared_candidates(spark, emb):
     )
     for _, r in res.iterrows():
         assert r["cosine"] == pytest.approx(brute[r["vec_id"]])
+
+
+def test_ivf_recall_and_exact_scores(spark):
+    """IVF with nprobe=3 of nlist=16 cells keeps >=0.8 recall@10 vs the
+    brute-force scan on the sf0.001 embeddings, and every returned
+    cosine equals the brute value for that pair (candidate pruning
+    never changes a surviving score)."""
+    from atire_spark.corpus import knn_brute_cosine, knn_ivf
+
+    sf = "/root/testdata/sf0.001"
+    brute = knn_brute_cosine(spark, sf, k=10).toPandas()
+    ivf = knn_ivf(spark, sf, k=10).toPandas()
+    bset = set(map(tuple, brute[["q_id", "vec_id"]].values))
+    iset = set(map(tuple, ivf[["q_id", "vec_id"]].values))
+    assert len(bset & iset) / len(bset) >= 0.8
+    bcos = brute.set_index(["q_id", "vec_id"])["cosine"]
+    for _, r in ivf.iterrows():
+        key = (r["q_id"], r["vec_id"])
+        if key in bcos.index:
+            assert r["cosine"] == bcos[key]
