@@ -65,6 +65,12 @@ class IndexTables:
     build_log: DataFrame | None = None
     cached: list = field(default_factory=list)  # persisted intermediates
     puurula: DataFrame | None = None  # -Ilmp per-doc length vectors
+    # staged tokenized rows with docids (docid, doc_len, terms, occs) —
+    # present on a fresh build (reads the staging parquet; the token
+    # arrays already reflect the build's stem/stop flags) so secondary
+    # indexes (TopSig signatures) never re-tokenize the corpus; absent
+    # after load_index (staging is not part of the written index)
+    tokenized: DataFrame | None = None
 
     def unpersist(self) -> None:
         """Release the build's persisted intermediates (call after the
@@ -369,9 +375,11 @@ def assign_docids(tokenized: DataFrame, num_ranges: int | None = None) -> DataFr
     return parts.mapInPandas(fn, schema="docid long, " + TOKENIZED_SCHEMA)
 
 
-def _docmap_from_staged(staged: DataFrame, offsets: dict[int, int]) -> DataFrame:
-    """docmap straight off the staged parquet — parquet column pruning
-    reads only the four scalar columns; no Python, no token arrays.
+def _staged_select(
+    staged: DataFrame, offsets: dict[int, int], *cols: str
+) -> DataFrame:
+    """(docid, *cols) off the staged parquet — parquet column pruning
+    reads only the requested columns; no Python.
 
     docid = offsets[pid] + local_idx via a broadcast join against the
     tiny (pid, offset) table: a create_map literal of one entry per
@@ -381,15 +389,15 @@ def _docmap_from_staged(staged: DataFrame, offsets: dict[int, int]) -> DataFrame
         [(int(p), int(o)) for p, o in sorted(offsets.items())],
         "pid int, docid_offset long",
     )
-    return (
-        staged.join(F.broadcast(off), "pid")
-        .select(
-            (F.col("docid_offset") + F.col("local_idx")).cast("long").alias("docid"),
-            "conv_id",
-            "turn_idx",
-            "doc_len",
-        )
+    return staged.join(F.broadcast(off), "pid").select(
+        (F.col("docid_offset") + F.col("local_idx")).cast("long").alias("docid"),
+        *cols,
     )
+
+
+def _docmap_from_staged(staged: DataFrame, offsets: dict[int, int]) -> DataFrame:
+    """docmap straight off the staged parquet (four scalar columns)."""
+    return _staged_select(staged, offsets, "conv_id", "turn_idx", "doc_len")
 
 
 def _stage1_from_staged(
@@ -911,6 +919,7 @@ def build_index(
     # docmap reads only scalar columns off the staging parquet; the
     # token arrays are read once, inside the stage1 pass
     docmap = _docmap_from_staged(staged, offsets)
+    tok_staged = _staged_select(staged, offsets, "doc_len", "terms", "occs")
     stage1 = _stage1_from_staged(staged, offsets, block_bits)
 
     registry: list = []
@@ -966,6 +975,7 @@ def build_index(
             stats=stats,
             cached=registry,
             puurula=puu,
+            tokenized=tok_staged,
         )
 
     # quantized build needs N and mean length up front (cheap: docmap
@@ -1003,7 +1013,11 @@ def build_index(
         F.lit(codec).alias("codec"),
     )
     return IndexTables(
-        docmap=docmap, postings=postings, stats=stats, cached=registry
+        docmap=docmap,
+        postings=postings,
+        stats=stats,
+        cached=registry,
+        tokenized=tok_staged,
     )
 
 

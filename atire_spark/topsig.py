@@ -66,14 +66,23 @@ def build_topsig(
 ) -> DataFrame:
     """→ (docid, sig array<long>) — one packed signature per document
     in ``index.docmap`` (docids and doc lengths are the index's own, so
-    TopSig results materialize through the same docmap)."""
+    TopSig results materialize through the same docmap).
+
+    A fresh build carries ``index.tokenized`` (the staged tokenized
+    parquet, token arrays already stem/stop-processed) and the
+    signature pass reads it directly — the corpus is tokenized once
+    across both indexes. Only an index re-loaded from storage falls
+    back to re-tokenizing ``transcripts``."""
     coll_len = float(
         index.stats.select("collection_len").collect()[0][0]
     )
-    toks = tokenize_stage(transcripts, stemmer=stemmer).join(
-        index.docmap.select("conv_id", "turn_idx", "docid"),
-        ["conv_id", "turn_idx"],
-    )
+    if index.tokenized is not None:
+        toks = index.tokenized
+    else:
+        toks = tokenize_stage(transcripts, stemmer=stemmer).join(
+            index.docmap.select("conv_id", "turn_idx", "docid"),
+            ["conv_id", "turn_idx"],
+        )
     exploded = toks.select(
         "docid",
         F.col("doc_len").cast("double").alias("dl"),
