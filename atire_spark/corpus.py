@@ -921,6 +921,166 @@ FROM documents
 """
 
 
+MM_TARGET = 224  # resize target box (edge, aspect-fit)
+MM_FPS = 25  # fake container framerate for the frame sampler
+MM_SAMPLE_EVERY_S = 2  # one sampled frame per 2 seconds of "video"
+MM_BYTES_PER_FRAME = 64  # fake container: 64 payload bytes per frame
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-fit resize planning over decoded dimensions: the real
+    logic every image pipeline runs before the pixel op (which is the
+    stubbed part — a real backend maps ``scale_num/scale_den`` onto a
+    PIL/opencv resample inside the same Arrow stage).
+
+    Map-only over the payload column; integer arithmetic only, so the
+    SQL oracle is exact: the output box fits MM_TARGET² preserving
+    aspect ratio, never upscaling."""
+    import pandas as pd
+
+    payload = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            n = pdf["payload"].map(len).astype("int64")
+            w = (16 + n % 16).astype("int64")  # same fake decode as
+            h = (16 + (n // 16) % 16).astype("int64")  # multimodal_meta
+            long_edge = w.where(w >= h, h)
+            # floor-scale both edges by TARGET/long_edge, no upscale
+            out_w = w.where(
+                long_edge <= MM_TARGET, (w * MM_TARGET) // long_edge
+            ).astype("int32")
+            out_h = h.where(
+                long_edge <= MM_TARGET, (h * MM_TARGET) // long_edge
+            ).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "upscaled": pd.Series([False] * len(pdf)),
+                }
+            )
+
+    return payload.mapInPandas(
+        fn,
+        schema=(
+            "doc_id long, width int, height int, out_width int,"
+            " out_height int, upscaled boolean"
+        ),
+    )
+
+
+def multimodal_resize_sql() -> str:
+    t = MM_TARGET
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(16 + octet_length(encode(text)) % 16 AS BIGINT) AS w,
+         CAST(16 + (octet_length(encode(text)) // 16) % 16 AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(CASE WHEN greatest(w, h) <= {t} THEN w
+                 ELSE (w * {t}) // greatest(w, h) END AS INTEGER) AS out_width,
+       CAST(CASE WHEN greatest(w, h) <= {t} THEN h
+                 ELSE (h * {t}) // greatest(w, h) END AS INTEGER) AS out_height,
+       CAST(FALSE AS BOOLEAN) AS upscaled
+FROM dims
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque video-ish payloads: the container
+    metadata (frame count at MM_BYTES_PER_FRAME, MM_FPS) is the
+    deterministic fake; the sampling schedule (one frame every
+    MM_SAMPLE_EVERY_S seconds, clamped to the last frame) and the
+    row-exploding Arrow plumbing — one input payload → many frame
+    rows — are the real part a decoder slots into.
+
+    Each sampled frame carries a deterministic fingerprint (md5 over
+    doc/frame metadata; a real decoder would hash the decoded frame
+    bytes)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    payload = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    step = MM_FPS * MM_SAMPLE_EVERY_S
+
+    def fn(batches):
+        for pdf in batches:
+            n = pdf["payload"].map(len).astype("int64").to_numpy()
+            frames = np.maximum(n // MM_BYTES_PER_FRAME, 1)
+            n_samples = (frames + step - 1) // step
+            doc_ids = np.repeat(pdf["doc_id"].to_numpy(), n_samples)
+            tot = np.repeat(frames, n_samples)
+            sample_idx = np.concatenate(
+                [np.arange(k, dtype=np.int64) for k in n_samples]
+            )
+            frame_idx = np.minimum(sample_idx * step, tot - 1)
+            ts_ms = frame_idx * 1000 // MM_FPS
+            fps = [
+                hashlib.md5(f"{d}:{f}".encode()).hexdigest()
+                for d, f in zip(doc_ids, frame_idx)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "frame_idx": frame_idx,
+                    "ts_ms": ts_ms,
+                    "total_frames": tot,
+                    "frame_fp": fps,
+                }
+            )
+
+    return payload.mapInPandas(
+        fn,
+        schema=(
+            "doc_id long, frame_idx long, ts_ms long, total_frames long,"
+            " frame_fp string"
+        ),
+    )
+
+
+def multimodal_frame_sample_sql() -> str:
+    step = MM_FPS * MM_SAMPLE_EVERY_S
+    return f"""
+WITH vids AS (
+  SELECT doc_id,
+         greatest(octet_length(encode(text)) // {MM_BYTES_PER_FRAME}, 1)
+           AS total_frames
+  FROM documents
+),
+samples AS (
+  SELECT v.doc_id, v.total_frames,
+         least(s.i * {step}, v.total_frames - 1) AS frame_idx
+  FROM vids v,
+       LATERAL (
+         SELECT unnest(generate_series(
+           0, CAST((v.total_frames + {step} - 1) // {step} AS BIGINT) - 1
+         )) AS i
+       ) s
+)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * 1000 // {MM_FPS} AS BIGINT) AS ts_ms,
+       CAST(total_frames AS BIGINT) AS total_frames,
+       md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR))
+         AS frame_fp
+FROM samples
+"""
+
+
 def dedup_exact_sql() -> str:
     return """
 WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
@@ -1134,6 +1294,8 @@ CORPUS_QUERIES = {
     "knn_brute_cosine": knn_brute_cosine,
     "knn_lsh_bucketed": knn_lsh_bucketed,
     "knn_ivf": knn_ivf,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_meta": multimodal_meta,
 }
 
@@ -1152,5 +1314,7 @@ def corpus_oracle_sql() -> dict[str, str]:
         "knn_brute_cosine": knn_brute_cosine_sql(),
         "knn_lsh_bucketed": knn_lsh_bucketed_sql(),
         "knn_ivf": knn_ivf_sql(),
+        "multimodal_resize": multimodal_resize_sql(),
+        "multimodal_frame_sample": multimodal_frame_sample_sql(),
         "multimodal_meta": multimodal_meta_sql(),
     }

@@ -61,3 +61,40 @@ def test_csv_source_builds_identical_index(spark):
         dm_csv = idx_csv.docmap.orderBy("docid").collect()
         dm_mem = idx_mem.docmap.orderBy("docid").collect()
         assert [tuple(r) for r in dm_csv] == [tuple(r) for r in dm_mem]
+
+
+def test_multimodal_frame_sample_explodes_long_payloads(spark, tmp_path):
+    """A payload longer than one sampling window yields multiple frame
+    rows (frame every MM_FPS*MM_SAMPLE_EVERY_S frames of
+    MM_BYTES_PER_FRAME bytes), clamped to the final frame."""
+    import pandas as pd
+
+    from atire_spark.corpus import (
+        MM_BYTES_PER_FRAME,
+        MM_FPS,
+        MM_SAMPLE_EVERY_S,
+        multimodal_frame_sample,
+    )
+
+    step = MM_FPS * MM_SAMPLE_EVERY_S
+    n_frames = int(step * 2.5)  # → 3 samples: 0, step, 2*step
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["x" * (n_frames * MM_BYTES_PER_FRAME), "short"],
+        }
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+    out = (
+        multimodal_frame_sample(spark, d)
+        .toPandas()
+        .sort_values(["doc_id", "frame_idx"])
+    )
+    long_doc = out[out.doc_id == 0]
+    assert list(long_doc.frame_idx) == [0, step, 2 * step]
+    assert list(long_doc.ts_ms) == [0, MM_SAMPLE_EVERY_S * 1000,
+                                    2 * MM_SAMPLE_EVERY_S * 1000]
+    assert (long_doc.total_frames == n_frames).all()
+    short_doc = out[out.doc_id == 1]
+    assert list(short_doc.frame_idx) == [0]
