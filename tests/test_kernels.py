@@ -573,3 +573,49 @@ class TestCodecFamily:
             0, 1, 2, 3,
         )
         assert np.array_equal(c.decode_group(blob, 4), vals)
+
+
+class TestBooleanDegenerateGroups:
+    """Regression: empty/degenerate bracket groups must parse to the
+    surviving operand, never to a Node with a None child (which
+    crashed eval_tree / tree_to_sql_predicate)."""
+
+    def _eval(self, q):
+        import numpy as np
+
+        from atire_spark.boolean import (
+            assign_leaf_indexes,
+            eval_tree,
+            parse_boolean,
+            tree_to_sql_predicate,
+        )
+
+        t = parse_boolean(q)
+        if t is None:
+            return None, None
+        leaves = assign_leaf_indexes(t)
+        pres = [np.array([True, False]) for _ in leaves]
+        return eval_tree(t, pres), tree_to_sql_predicate(t, lambda i: f"f{i}")
+
+    def test_empty_group_then_operand(self):
+        r, sql = self._eval("() alpha")
+        assert list(r) == [True, False] and sql == "f0"
+
+    def test_operand_then_empty_group(self):
+        r, sql = self._eval("alpha AND ()")
+        assert list(r) == [True, False] and sql == "f0"
+
+    def test_nested_empty_groups_parse_to_none(self):
+        r, sql = self._eval("(())")
+        assert r is None and sql is None
+
+    def test_empty_group_inside_expression(self):
+        r, sql = self._eval("((alpha) OR ()) AND beta")
+        assert sql == "(f0 AND f1)"
+
+    def test_leading_operator_after_empty_group_is_a_term(self):
+        # with no left operand, an operator token is in leading
+        # position and is a term (query_boolean.c operator-position
+        # rule)
+        _, sql = self._eval("( ) AND alpha")
+        assert sql == "(f0 OR f1)"
