@@ -983,8 +983,11 @@ def build_index(
     row = docmap.agg(
         F.count("*").alias("n"), F.sum("doc_len").alias("s")
     ).collect()[0]
-    n_docs, coll_len = int(row["n"]), int(row["s"])
-    mean_len = coll_len / n_docs
+    # an all-empty corpus has no docmap rows: sum() is NULL and the
+    # mean is degenerate — the quantizer never runs (no postings), so
+    # zeros keep the stats row well-formed
+    n_docs, coll_len = int(row["n"]), int(row["s"] or 0)
+    mean_len = coll_len / n_docs if n_docs else 0.0
     postings, term_stats, qmin, qmax = quantized_segments_from_stage1(
         stage1,
         n_docs,

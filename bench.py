@@ -123,6 +123,29 @@ def main() -> None:
             "topk_agreement_pct": round(100.0 * agree / max(total_rows, 1), 1),
         }
 
+        # ---- TopSig signature index (same quarter corpus) ---------------
+        from atire_spark.topsig import build_topsig, search_topsig
+
+        t0 = time.monotonic()
+        sig_df = build_topsig(spark, None, qt, width=1024, density=12.0)
+        sig_df.write.parquet(f"{tmp}/sigs", mode="overwrite")
+        topsig_build_sec = time.monotonic() - t0
+        sigs = spark.read.parquet(f"{tmp}/sigs")
+        n_sig_docs = sigs.count()
+        t0 = time.monotonic()
+        search_topsig(
+            spark, sigs, qt,
+            [(i + 1, q) for i, (_, q) in enumerate(BENCH_QUERIES)],
+            k=10, width=1024, density=12.0,
+        ).collect()
+        topsig_query_sec = time.monotonic() - t0
+        topsig = {
+            "build_sec": round(topsig_build_sec, 3),
+            "docs": n_sig_docs,
+            "docs_per_sec": round(n_sig_docs / topsig_build_sec, 1),
+            "batch_query_sec": round(topsig_query_sec, 3),
+        }
+
         # ---- sf-dir corpus end-to-end (driver cross-round signal) -------
         t0 = time.monotonic()
         import __spark_entry__ as entry_mod
@@ -147,6 +170,7 @@ def main() -> None:
         "sf_corpus_sec": round(sf_sec, 3),
         "sf_corpus_rows": sf_rows,
         "qaat_pruning": qaat,
+        "topsig": topsig,
         "cpus": cpus,
         "gen_sec": round(gen_sec, 3),
     }

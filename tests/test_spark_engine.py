@@ -363,3 +363,25 @@ class TestSimple9Index:
             ]
         for codec in CODEC_NAMES:
             assert res["vbyte"] == res[codec], codec
+
+
+class TestDegenerateCorpora:
+    """Regression: builds over corpora with zero postings must not
+    crash (the quantized min/max aggregate returns NULL there)."""
+
+    def test_quantized_build_with_no_postings(self, spark):
+        import pandas as pd
+
+        from atire_spark.build import build_index
+
+        # every turn empty → no docids, no postings
+        tr = spark.createDataFrame(
+            pd.DataFrame(
+                {"conv_id": ["c0", "c0"], "turn_idx": [0, 1], "text": ["", "  "]}
+            )
+        )
+        idx = build_index(spark, tr, quantize_bits=8)
+        assert idx.postings.count() == 0
+        assert idx.docmap.count() == 0
+        row = idx.stats.collect()[0]
+        assert row["quant_min"] == 0.0 and row["quant_max"] == 0.0
