@@ -61,13 +61,27 @@ def md5_u64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
 
 
-def splitmix64(x: np.ndarray) -> np.ndarray:
+def splitmix64(x: np.ndarray, out: np.ndarray | None = None) -> np.ndarray:
+    """Vectorized splitmix64. Runs in-place over two buffers (``out``
+    and one scratch) — fresh large temporaries page-fault badly on a
+    memory-pressured host, and this kernel sits in every signature
+    build batch."""
     x = np.asarray(x, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        z = x + _SPLIT_C1
-        z = (z ^ (z >> np.uint64(30))) * _SPLIT_C2
-        z = (z ^ (z >> np.uint64(27))) * _SPLIT_C3
-        return z ^ (z >> np.uint64(31))
+        if out is None:
+            out = np.empty_like(x)
+        np.add(x, _SPLIT_C1, out=out)
+        tmp = np.empty_like(out)
+        for shift, mult in (
+            (30, _SPLIT_C2),
+            (27, _SPLIT_C3),
+        ):
+            np.right_shift(out, np.uint64(shift), out=tmp)
+            np.bitwise_xor(out, tmp, out=out)
+            np.multiply(out, mult, out=out)
+        np.right_shift(out, np.uint64(31), out=tmp)
+        np.bitwise_xor(out, tmp, out=out)
+        return out
 
 
 def num_positive(width: int, density: float) -> int:
@@ -114,23 +128,44 @@ def accumulate(
     seeds = term_seeds.astype(np.uint64)
     base = doc_idx.astype(np.int64) * width
     wq = wq.astype(np.int64)
-    for j in range(2 * num_positive(width, density)):
-        with np.errstate(over="ignore"):
-            h = splitmix64(seeds + np.uint64(j))
-        pos = (h % np.uint64(width)).astype(np.int64)
-        np.add.at(acc, base + pos, wq if j % 2 == 0 else -wq)
+    neg_wq = -wq
+    # preallocated per-draw buffers: the loop body is all in-place
+    h = np.empty_like(seeds)
+    shifted = np.empty_like(seeds)
+    flat = np.empty(seeds.size, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(2 * num_positive(width, density)):
+            np.add(seeds, np.uint64(j), out=shifted)
+            splitmix64(shifted, out=h)
+            np.remainder(h, np.uint64(width), out=h)
+            np.add(base, h.view(np.int64), out=flat)
+            np.add.at(acc, flat, wq if j % 2 == 0 else neg_wq)
     return acc.reshape(n_docs, width)
 
 
 def fill_bits(docids: np.ndarray, width: int) -> np.ndarray:
-    """The zero-dimension systematic-random fill, one bool row per doc."""
+    """The zero-dimension systematic-random fill, one bool row per doc.
+
+    Chunked over documents with reused buffers — the naive
+    (docs × width) broadcast materializes several multi-hundred-MB
+    uint64 temporaries per Arrow batch."""
+    docids = np.asarray(docids)
     dseeds = np.array(
         [md5_u64(f"doc:{int(d)}") for d in docids], dtype=np.uint64
     )
     bits = np.arange(width, dtype=np.uint64)
+    out = np.empty((len(docids), width), dtype=bool)
+    chunk = max(1, (1 << 20) // max(width, 1))  # ~8 MB of u64 per chunk
+    grid = np.empty((chunk, width), dtype=np.uint64)
     with np.errstate(over="ignore"):
-        h = splitmix64(dseeds[:, None] + bits[None, :])
-    return (h & np.uint64(1)).astype(bool)
+        for s in range(0, len(docids), chunk):
+            e = min(s + chunk, len(docids))
+            g = grid[: e - s]
+            np.add(dseeds[s:e, None], bits[None, :], out=g)
+            splitmix64(g, out=g)
+            np.bitwise_and(g, np.uint64(1), out=g)
+            out[s:e] = g.view(np.int64).astype(bool)
+    return out
 
 
 def signature_bits(acc: np.ndarray, docids: np.ndarray) -> np.ndarray:
