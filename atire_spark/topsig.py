@@ -50,6 +50,13 @@ from atire_spark.query import parse_query
 _E = math.e  # add_term's stop threshold (index_document_topsig_signature.c:117)
 
 
+def _index_stemmer(index: IndexTables) -> str | None:
+    """The index's recorded ~stemmer (memory_index.c:1487-1521) — the
+    reference stems TopSig query terms with the engine's stemmer
+    (atire_api.c:1057-1061), so both query paths follow it."""
+    return index.stats.collect()[0].asDict().get("stemmer") or None
+
+
 def _term_cf(index: IndexTables) -> DataFrame:
     """(term, cf) — postings rows carry the global cf, one value per
     term across its segment rows."""
@@ -62,7 +69,7 @@ def build_topsig(
     index: IndexTables,
     width: int = TOPSIG_WIDTH,
     density: float = TOPSIG_DENSITY,
-    stemmer: str | None = None,
+    stemmer: str | None = "auto",
 ) -> DataFrame:
     """→ (docid, sig array<long>) — one packed signature per document
     in ``index.docmap`` (docids and doc lengths are the index's own, so
@@ -79,6 +86,8 @@ def build_topsig(
     if index.tokenized is not None:
         toks = index.tokenized
     else:
+        if stemmer == "auto":  # follow the index's recorded ~stemmer
+            stemmer = _index_stemmer(index)
         toks = tokenize_stage(transcripts, stemmer=stemmer).join(
             index.docmap.select("conv_id", "turn_idx", "docid"),
             ["conv_id", "turn_idx"],
@@ -190,14 +199,17 @@ def search_topsig(
     k: int = 10,
     width: int = TOPSIG_WIDTH,
     density: float = TOPSIG_DENSITY,
-    stemmer: str | None = None,
+    stemmer: str | None = "auto",
 ) -> DataFrame:
     """Agreement-count ranking over the signature table → the engine's
     standard (query_id, rank, docid, rsv_fixed, rsv) shape; ties break
     larger-docid-first like every other ranker
     (search_engine_accumulator.h:36-50). rsv is the integer agreement
     count (the topsig rankers accumulate longs, never fixed-point
-    hundredths)."""
+    hundredths). ``stemmer="auto"`` follows the index's recorded
+    ~stemmer like SearchEngine does."""
+    if stemmer == "auto":
+        stemmer = _index_stemmer(index)
     qterms: set[str] = set()
     for _, text in queries:
         qterms.update(t for t, _ in parse_query(text, stemmer))
@@ -274,7 +286,7 @@ def search_topsig_feedback(
     feedback_docs: int = 5,
     width: int = TOPSIG_WIDTH,
     density: float = TOPSIG_DENSITY,
-    stemmer: str | None = None,
+    stemmer: str | None = "auto",
 ) -> DataFrame:
     """TopSig blind relevance feedback (atire_api.c:1606-1650 +
     relevance_feedback_topsig.c): the top ``feedback_docs`` documents'

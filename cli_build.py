@@ -30,6 +30,14 @@ def main() -> None:
     ap.add_argument("--term-chunks", type=int, default=8)
     ap.add_argument("--block-bits", type=int, default=20)
     ap.add_argument("--blocks-per-seg", type=int, default=16)
+    ap.add_argument(
+        "--topsig",
+        metavar="W:D",
+        help="also build a TopSig signature index of width W bits and "
+        "density D%% (the reference's -Topsig:<w>:<d>; default 4096:12)",
+        nargs="?",
+        const="4096:12",
+    )
     args = ap.parse_args()
 
     from atire_spark.checkpoint import build_index_checkpointed
@@ -54,6 +62,23 @@ def main() -> None:
         blocks_per_seg=args.blocks_per_seg,
     )
     wall = time.monotonic() - t0
+    topsig_info = None
+    if args.topsig:
+        from atire_spark.topsig import build_topsig
+
+        w_str, _, d_str = args.topsig.partition(":")
+        ts_w, ts_d = int(w_str), float(d_str or 12.0)
+        ts0 = time.monotonic()
+        build_topsig(
+            spark, transcripts, tables, width=ts_w, density=ts_d
+        ).write.parquet(f"{args.workdir}/topsig", mode="overwrite")
+        with open(f"{args.workdir}/topsig_meta.json", "w") as fh:
+            json.dump({"width": ts_w, "density": ts_d}, fh)
+        topsig_info = {
+            "topsig_width": ts_w,
+            "topsig_density": ts_d,
+            "topsig_sec": round(time.monotonic() - ts0, 2),
+        }
     stats = tables.stats.collect()[0].asDict()
     log = tables.build_log
     turns = (
@@ -66,7 +91,8 @@ def main() -> None:
                 "wall_sec": round(wall, 2),
                 "turns_parsed": int(turns or 0),
                 "turns_per_sec": round((turns or 0) / wall, 1),
-                **{k: (float(v) if isinstance(v, float) else int(v)) for k, v in stats.items()},
+                **{k: (v if isinstance(v, str) else float(v) if isinstance(v, float) else int(v)) for k, v in stats.items()},
+                **(topsig_info or {}),
             }
         )
     )

@@ -25,7 +25,9 @@ def main() -> None:
     ap.add_argument("--query", action="append", default=[], help="query text (repeatable)")
     ap.add_argument("--queries-file", help="ANT-format query file: '<id> <terms...>'")
     ap.add_argument("-k", type=int, default=10)
-    ap.add_argument("--ranker", choices=["bm25", "termcount"], default="bm25")
+    ap.add_argument(
+        "--ranker", choices=["bm25", "termcount", "topsig"], default="bm25"
+    )
     ap.add_argument("--conjunctive", action="store_true", help="allterms mode")
     ap.add_argument(
         "--boolean",
@@ -69,7 +71,19 @@ def main() -> None:
         ap.error("no queries given")
 
     t0 = time.monotonic()
-    if args.boolean:
+    if args.ranker == "topsig":
+        import json as _json
+
+        from atire_spark.topsig import search_topsig
+
+        with open(f"{args.index}/topsig_meta.json") as fh:
+            meta = _json.load(fh)
+        sigs = spark.read.parquet(f"{args.index}/topsig")
+        res = search_topsig(
+            spark, sigs, idx, batch, k=args.k,
+            width=meta["width"], density=meta["density"],
+        )
+    elif args.boolean:
         res = eng.search_boolean(batch, k=args.k)
     elif args.qaat:
         res = eng.search_qaat(batch, k=args.k, early_termination="diff")

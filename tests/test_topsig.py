@@ -321,3 +321,35 @@ def test_fill_bits_deterministic_per_doc():
     b = fill_bits(np.array([7]), WIDTH)
     assert np.array_equal(a[0], b[0])
     assert not np.array_equal(a[0], a[1])
+
+
+def test_topsig_follows_index_stemmer(spark):
+    """A stemmed index stems TopSig query terms automatically
+    (atire_api.c:1057-1061 stems with the engine's stemmer): plural
+    query forms hit the singular stemmed vocabulary."""
+    from atire_spark.build import build_index
+    from atire_spark.topsig import build_topsig, search_topsig
+
+    # collection length must exceed e^e (~15.2) tokens or the query
+    # weight ln(L/cf) stops even a cf=1 term
+    rows = [
+        ("c0", 0, "rareword banana cherry peach pear"),
+        ("c0", 1, "banana cherry apple grape melon lime"),
+        ("c1", 0, "cherry apple grape melon kiwi plum fig date"),
+    ]
+    tr = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    )
+    idx = build_index(spark, tr, stemmer="s")
+    sigs = build_topsig(spark, tr, idx, width=WIDTH, density=DENSITY)
+    plural = search_topsig(
+        spark, sigs, idx, [(1, "rarewords")], k=3,
+        width=WIDTH, density=DENSITY,
+    ).toPandas()
+    singular = search_topsig(
+        spark, sigs, idx, [(1, "rareword")], k=3,
+        width=WIDTH, density=DENSITY,
+    ).toPandas()
+    assert len(plural) > 0
+    assert plural[["docid", "rsv_fixed"]].values.tolist() == \
+        singular[["docid", "rsv_fixed"]].values.tolist()
