@@ -1525,20 +1525,36 @@ class SearchEngine:
         QUANTUM_STOP_DIFF rule (atire_api.c:759-782): once the top-k
         heap is full and the sum of every term's current-max quantum
         cannot close the gap between the (k-1)th and kth result, stop.
-        Like the reference this is a heuristic (results can differ from
+        ``"diff_smallest"`` / ``"diff_largest"`` are the
+        QUANTUM_STOP_DIFF_SMALLEST / _LARGEST refinements (same gate,
+        then the smallest adjacent gap among the top — reference
+        quirks reproduced — or the gap between the top two). Like the
+        reference these are heuristics (results can differ from
         exhaustive evaluation near ties); ``None`` processes every
         quantum and is rank-identical to :meth:`search_batch`.
 
         Pruning state is partition-local (each task owns a disjoint
         docid range via seg_group, so its accumulator is complete for
-        its docids); a local top-k threshold is at most as large as the
-        global one, which only makes the stop rule fire later — never
-        wrongly relative to the reference rule.
+        its docids); for the base rule a local top-k threshold is at
+        most as large as the global one, which only makes the stop
+        fire later — never wrongly relative to the reference rule.
+        The SMALLEST/LARGEST variant gaps are not conservatively
+        bounded by their global counterparts (a local top list can
+        have wider gaps), which is acceptable for an explicitly
+        results-changing heuristic.
 
         Requires a quantized index for early termination — on an
         unquantized index the termination is reset to None with the
         reference's warning semantics (atire_api.c:1854-1857).
         """
+        if early_termination is not None and early_termination not in (
+            "diff",
+            "diff_smallest",
+            "diff_largest",
+        ):
+            raise ValueError(
+                f"unknown early_termination {early_termination!r}"
+            )
         if early_termination is not None and not self.quantized:
             early_termination = None  # reference resets + warns
         qmap: dict[str, list[tuple[int, int]]] = {}
@@ -1633,10 +1649,31 @@ class SearchEngine:
                         vals = acc[touched] % ACCUM_MOD  # wrapped uint16 view
                         topv = np.partition(vals, vals.size - k)[vals.size - k :]
                         topv.sort()
-                        # diff between (k-1)th and kth largest
-                        # (search_engine_result.h:132-135)
+                        # base gate: diff between (k-1)th and kth
+                        # largest (search_engine_result.h:132-135);
+                        # the SMALLEST/LARGEST variants only apply
+                        # once it holds (atire_api.c:759-782)
                         if max_remaining < int(topv[1] - topv[0]):
-                            break
+                            if et == "diff":
+                                break
+                            if et == "diff_smallest":
+                                # get_smallest_diff_amoung_the_top
+                                # (result.h:47-62): seeded with the
+                                # second-largest VALUE, then min over
+                                # adjacent gaps excluding the top gap
+                                # — reproduced quirk and all
+                                cand = int(topv[-2])
+                                if topv.size > 2:
+                                    cand = min(
+                                        cand, int(np.diff(topv[:-1]).min())
+                                    )
+                                if max_remaining < cand:
+                                    break
+                            elif et == "diff_largest":
+                                # get_diff_between_largest_and_second_
+                                # largest (result.h:64-95)
+                                if max_remaining < int(topv[-1] - topv[-2]):
+                                    break
                     neg_imp, i = heapq.heappop(heap)
                     e = entries[i]
                     g = e["g"]

@@ -80,6 +80,10 @@ def build_topsig(
     signature pass reads it directly — the corpus is tokenized once
     across both indexes. Only an index re-loaded from storage falls
     back to re-tokenizing ``transcripts``."""
+    if width % 64 != 0 or width <= 0:
+        # signatures pack into 64-bit words (the reference's widths —
+        # 4096 default — are word-aligned too)
+        raise ValueError(f"topsig width must be a positive multiple of 64, got {width}")
     coll_len = float(
         index.stats.select("collection_len").collect()[0][0]
     )

@@ -385,3 +385,30 @@ class TestDegenerateCorpora:
         assert idx.docmap.count() == 0
         row = idx.stats.collect()[0]
         assert row["quant_min"] == 0.0 and row["quant_max"] == 0.0
+
+
+class TestQaatVariants:
+    """QUANTUM_STOP_DIFF_SMALLEST / _LARGEST (atire_api.c:771-794):
+    same base gate, tighter variant thresholds — stats-reporting
+    heuristics whose exact mode stays rank-identical."""
+
+    @pytest.fixture(scope="class")
+    def qv_engine(self, spark):
+        tdf = spark.createDataFrame(make_transcripts(200))
+        idx = build_index(
+            spark, tdf, block_bits=9, blocks_per_seg=3, quantize_bits=8
+        )
+        return SearchEngine(spark, idx)
+
+    def test_variants_run_and_report_stats(self, qv_engine):
+        for et in ("diff_smallest", "diff_largest"):
+            res, stats = qv_engine.search_qaat(
+                [(1, "alpha"), (2, "term00001 term00002")], k=5,
+                early_termination=et, return_stats=True,
+            )
+            assert res.count() > 0
+            assert 0 < stats["processed_quantums"] <= stats["total_quantums"]
+
+    def test_unknown_variant_rejected(self, qv_engine):
+        with pytest.raises(ValueError, match="early_termination"):
+            qv_engine.search_qaat([(1, "alpha")], early_termination="wdand")

@@ -353,3 +353,11 @@ def test_topsig_follows_index_stemmer(spark):
     assert len(plural) > 0
     assert plural[["docid", "rsv_fixed"]].values.tolist() == \
         singular[["docid", "rsv_fixed"]].values.tolist()
+
+
+def test_build_topsig_rejects_unaligned_width(topsig_setup, spark):
+    from atire_spark.topsig import build_topsig
+
+    tr, idx, _ = topsig_setup
+    with pytest.raises(ValueError, match="multiple of 64"):
+        build_topsig(spark, tr, idx, width=100, density=12.0)
