@@ -279,6 +279,146 @@ def expected_reciprocal_rank(
     )
 
 
+def rank_effectiveness(
+    results: DataFrame, qrels: DataFrame, depth: int | None = None
+) -> DataFrame:
+    """Rank effectiveness (evaluation_rank_effectiveness.c:23-61,
+    the corrected Büttcher et al. form): per relevant retrieved doc
+    add ``1 − nonrelevant_seen_before / total_nonrelevant``; divide by
+    the total relevant count. A topic whose judged documents are all
+    relevant scores a perfect 1. Unjudged retrieved documents are
+    skipped entirely (they advance the rank but neither count)."""
+    r = results.select("query_id", "rank", "docid")
+    if depth is not None:
+        r = r.filter(F.col("rank") <= depth)
+    j = r.join(
+        qrels.select(
+            "query_id",
+            "docid",
+            F.col("relevance").cast("long").alias("rel"),
+            F.lit(1).alias("judged"),
+        ),
+        ["query_id", "docid"],
+        "left",
+    ).fillna({"rel": 0, "judged": 0})
+    w = Window.partitionBy("query_id").orderBy("rank")
+    per_doc = j.withColumn(
+        "nonrel_seen",
+        F.sum(((F.col("judged") == 1) & (F.col("rel") == 0)).cast("long")).over(
+            w
+        ),
+    ).filter((F.col("judged") == 1) & (F.col("rel") > 0))
+    stats = _topic_stats(qrels).filter(F.col("n_rel") > 0)
+    acc = per_doc.join(
+        stats.select("query_id", "n_nonrel"), "query_id"
+    ).groupBy("query_id").agg(
+        F.sum(
+            1.0
+            - F.col("nonrel_seen").cast("double")
+            # n_nonrel == 0 takes the perfect-score branch below; the
+            # greatest() only keeps ANSI mode from evaluating 0/0
+            / F.greatest(F.col("n_nonrel"), F.lit(1)).cast("double")
+        ).alias("re_sum")
+    )
+    return stats.join(acc, "query_id", "left").select(
+        "query_id",
+        F.when(F.col("n_nonrel") == 0, F.lit(1.0))
+        .otherwise(
+            F.coalesce(F.col("re_sum"), F.lit(0.0))
+            / F.col("n_rel").cast("double")
+        )
+        .alias("rank_effectiveness"),
+    )
+
+
+MAGP_BETA = 0.25  # evaluation_mean_average_generalised_precision_document.c:24
+
+
+def magp_document(
+    results: DataFrame, qrels: DataFrame, depth: int | None = None
+) -> DataFrame:
+    """MAgP for whole documents
+    (evaluation_mean_average_generalised_precision_document.c:17-76):
+    graded qrels carry ``relevance`` = relevant characters and a
+    ``doc_length``; each relevant retrieved document contributes an
+    F-score (β=0.25, recall 1 since the whole document is retrieved)
+    to a running generalised-found count, and precision accumulates
+    ``found_so_far / rank``; divided by the total relevant count."""
+    b2 = MAGP_BETA * MAGP_BETA
+    r = results.select("query_id", "rank", "docid")
+    if depth is not None:
+        r = r.filter(F.col("rank") <= depth)
+    j = r.join(
+        qrels.select(
+            "query_id",
+            "docid",
+            F.col("relevance").cast("double").alias("rel_chars"),
+            F.col("doc_length").cast("double").alias("dlen"),
+        ),
+        ["query_id", "docid"],
+        "inner",
+    ).filter(F.col("rel_chars") > 0)
+    p = F.col("rel_chars") / F.col("dlen")
+    fsc = ((1.0 + b2) * p) / (b2 * p + 1.0)
+    w = Window.partitionBy("query_id").orderBy("rank")
+    per_doc = j.withColumn("found", F.sum(fsc).over(w))
+    acc = per_doc.groupBy("query_id").agg(
+        F.sum(F.col("found") / F.col("rank").cast("double")).alias("gp_sum")
+    )
+    stats = _topic_stats(qrels).filter(F.col("n_rel") > 0)
+    return stats.join(acc, "query_id", "left").select(
+        "query_id",
+        (
+            F.coalesce(F.col("gp_sum"), F.lit(0.0))
+            / F.col("n_rel").cast("double")
+        ).alias("magp"),
+    )
+
+
+def intent_aware(
+    metric_fn,
+    results: DataFrame,
+    subtopic_qrels: DataFrame,
+    *args,
+    **kwargs,
+) -> DataFrame:
+    """Intent-aware wrapper
+    (evaluation_intent_aware_mean_average_precision.c:17-41 and
+    siblings): the base metric evaluated once per (topic, subtopic)
+    against that subtopic's qrels, then the unweighted mean over the
+    topic's subtopics. ``subtopic_qrels``: (query_id, subtopic, docid,
+    relevance[, ...]).
+
+    Implemented by re-keying (topic, subtopic) as a composite query id
+    — the base metric's grouped computation then evaluates every
+    subtopic of every topic in the same single pass. The returned
+    ``query_id`` is the string form of the original id."""
+    pairs = subtopic_qrels.select("query_id", "subtopic").distinct()
+    comp = F.concat_ws("#", F.col("query_id").cast("string"), F.col("subtopic").cast("string"))
+    exp_results = (
+        results.join(pairs, "query_id")
+        .withColumn("cq", comp)
+        .drop("query_id", "subtopic")
+        .withColumnRenamed("cq", "query_id")
+    )
+    exp_qrels = (
+        subtopic_qrels.withColumn("cq", comp)
+        .drop("query_id", "subtopic")
+        .withColumnRenamed("cq", "query_id")
+    )
+    per_sub = metric_fn(exp_results, exp_qrels, *args, **kwargs)
+    score_col = [c for c in per_sub.columns if c != "query_id"][0]
+    split = F.split(F.col("query_id"), "#")
+    return (
+        per_sub.select(
+            split.getItem(0).alias("query_id"),
+            F.col(score_col).alias("s"),
+        )
+        .groupBy("query_id")
+        .agg(F.avg("s").alias(f"ia_{score_col}"))
+    )
+
+
 def evaluate(
     results: DataFrame,
     qrels: DataFrame,
@@ -303,6 +443,8 @@ def evaluate(
             df = ndcg(results, qrels, depth, trec_mode=False)
         elif m == "ERR":
             df = expected_reciprocal_rank(results, qrels, depth)
+        elif m == "RE":
+            df = rank_effectiveness(results, qrels, depth)
         else:
             raise ValueError(f"unknown metric {m!r}")
         out = df if out is None else out.join(df, "query_id", "outer")

@@ -119,3 +119,109 @@ def test_evaluate_combined(spark, frames):
         "err",
     }
     assert len(df) == 2
+
+
+class TestRankEffectiveness:
+    """evaluation_rank_effectiveness.c:23-61 hand-computed values."""
+
+    def test_hand_value(self, spark):
+        import pandas as pd
+
+        # ranked list: d1(rel) d2(nonrel) d3(unjudged) d4(rel)
+        results = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "query_id": [1, 1, 1, 1],
+                    "rank": [1, 2, 3, 4],
+                    "docid": [10, 20, 30, 40],
+                }
+            )
+        )
+        qrels = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "query_id": [1, 1, 1, 1],
+                    "docid": [10, 20, 40, 50],
+                    "relevance": [5, 0, 3, 7],
+                }
+            )
+        )
+        from atire_spark.eval import rank_effectiveness
+
+        got = rank_effectiveness(results, qrels).collect()[0]
+        # total_nonrel=1, n_rel=3; d10: 1-0/1=1; d40: 1-1/1=0 → 1/3
+        assert got["rank_effectiveness"] == pytest.approx(1.0 / 3.0)
+
+    def test_all_relevant_scores_one(self, spark):
+        import pandas as pd
+
+        results = spark.createDataFrame(
+            pd.DataFrame({"query_id": [1], "rank": [1], "docid": [10]})
+        )
+        qrels = spark.createDataFrame(
+            pd.DataFrame(
+                {"query_id": [1, 1], "docid": [10, 20], "relevance": [1, 2]}
+            )
+        )
+        from atire_spark.eval import rank_effectiveness
+
+        got = rank_effectiveness(results, qrels).collect()[0]
+        assert got["rank_effectiveness"] == 1.0
+
+
+class TestMagp:
+    def test_hand_value(self, spark):
+        import pandas as pd
+
+        from atire_spark.eval import magp_document
+
+        results = spark.createDataFrame(
+            pd.DataFrame(
+                {"query_id": [1, 1], "rank": [1, 2], "docid": [10, 20]}
+            )
+        )
+        # d10: 40 of 100 chars relevant; d20 judged nonrel; one more
+        # relevant doc (d30) not retrieved
+        qrels = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "query_id": [1, 1, 1],
+                    "docid": [10, 20, 30],
+                    "relevance": [40, 0, 10],
+                    "doc_length": [100, 50, 10],
+                }
+            )
+        )
+        got = magp_document(results, qrels).collect()[0]
+        b2 = 0.25 * 0.25
+        p = 0.4
+        f = (1 + b2) * p / (b2 * p + 1)
+        # precision += f/1 at rank 1; divided by n_rel=2
+        assert got["magp"] == pytest.approx(f / 2.0)
+
+
+class TestIntentAware:
+    def test_ia_map_is_mean_over_subtopics(self, spark):
+        import pandas as pd
+
+        from atire_spark.eval import intent_aware, mean_average_precision
+
+        results = spark.createDataFrame(
+            pd.DataFrame(
+                {"query_id": [1, 1], "rank": [1, 2], "docid": [10, 20]}
+            )
+        )
+        # subtopic 0: d10 relevant (AP=1); subtopic 1: d20 relevant
+        # (AP=1/2)
+        qrels = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "query_id": [1, 1],
+                    "subtopic": [0, 1],
+                    "docid": [10, 20],
+                    "relevance": [1, 1],
+                }
+            )
+        )
+        got = intent_aware(mean_average_precision, results, qrels).collect()[0]
+        assert got["ia_average_precision"] == pytest.approx(0.75)
