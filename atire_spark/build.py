@@ -86,12 +86,16 @@ def tokenize_stage(
     stemmer: str | None = None,
     stop_before_indexing: str | None = None,
     cjk_bigrams: bool = False,
+    cjk_segmenter=None,
 ) -> DataFrame:
     """Per-turn tokenization + per-doc term counts, one Arrow pass.
 
     ``cjk_bigrams`` switches CJK runs from the parser's unsegmented
     default (one char per token, parser.c:251-258) to
-    BIGRAM_SEGMENTATION (parser.c:259-283).
+    BIGRAM_SEGMENTATION (parser.c:259-283); ``cjk_segmenter`` is the
+    ONFLY plugin slot (a ``str → list[str]`` callable over whole CJK
+    runs — :func:`atire_spark.kernels.tokenizer.dict_segmenter` builds
+    the dictionary-driven one).
 
     Output: one row per turn with (terms[], tfs[]) already aggregated
     per document (the reference's memory_index_one per-doc hash) and
@@ -120,7 +124,11 @@ def tokenize_stage(
         for pdf in batches:
             pdf = pdf.reset_index(drop=True)
             n = len(pdf)
-            toks, lens = tokenize_batch(pdf["text"], cjk_bigrams=cjk_bigrams)
+            toks, lens = tokenize_batch(
+                pdf["text"],
+                cjk_bigrams=cjk_bigrams,
+                cjk_segmenter=cjk_segmenter,
+            )
             flat = toks.explode().dropna()
             if stops is not None and not flat.empty:
                 # length already counted; drop stops from the posting
@@ -849,6 +857,7 @@ def build_index(
     cull_stoplist: str | None = None,
     puurula: bool = False,
     cjk_bigrams: bool = False,
+    cjk_segmenter=None,
     codec: str = "vbyte",
 ) -> IndexTables:
     """Full build. Returns lazily-evaluated DataFrames; call
@@ -904,6 +913,7 @@ def build_index(
         stemmer=stemmer,
         stop_before_indexing=stop_before_indexing,
         cjk_bigrams=cjk_bigrams,
+        cjk_segmenter=cjk_segmenter,
     )
     n_ranges = max(spark.sparkContext.defaultParallelism, 4)
     staged, offsets, n_total = _stage_sorted(

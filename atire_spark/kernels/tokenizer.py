@@ -74,29 +74,70 @@ def _cjk_bigrams(run: str) -> list[str]:
     return [run[i : i + 2] for i in range(len(run) - 1)] + [run[-1]]
 
 
-def tokenize(text: str | None, cjk_bigrams: bool = False) -> list[str]:
+def dict_segmenter(dictionary, max_word_len: int | None = None):
+    """Dictionary-driven CJK segmenter — the ONFLY_SEGMENTATION plugin
+    slot (parser.c:27-29,53-60: the plugin receives a CJK run and
+    returns a space-separated token list; everything else about the
+    tokenization is unchanged).
+
+    Greedy forward longest-match against ``dictionary`` (a set of
+    words); characters that begin no dictionary word fall back to
+    single-char tokens, so the unsegmented default is the identity
+    dictionary. The returned callable is what ``cjk_segmenter``
+    parameters accept — any ``str → list[str]`` plugin works.
+
+    The dictionary ships inside the task closure; keep it modest or
+    wrap it in a Spark broadcast at very large sizes."""
+    words = frozenset(dictionary)
+    longest = max_word_len or (max((len(w) for w in words), default=1))
+
+    def segment(run: str) -> list[str]:
+        out, i, n = [], 0, len(run)
+        while i < n:
+            for ln in range(min(longest, n - i), 1, -1):
+                if run[i : i + ln] in words:
+                    out.append(run[i : i + ln])
+                    i += ln
+                    break
+            else:
+                out.append(run[i])
+                i += 1
+        return out
+
+    return segment
+
+
+def tokenize(
+    text: str | None, cjk_bigrams: bool = False, cjk_segmenter=None
+) -> list[str]:
     """Tokenize one string → list of indexable terms (lowercased words,
-    raw digit runs, CJK chars — single per token by default or
-    overlapping bigrams), with the >20KB raw-length drop applied."""
+    raw digit runs, CJK chars — single per token by default,
+    overlapping bigrams, or ``cjk_segmenter`` applied to whole CJK
+    runs), with the >20KB raw-length drop applied."""
     if not text:
         return []
+    if cjk_bigrams and cjk_segmenter is not None:
+        raise ValueError("cjk_bigrams and cjk_segmenter are exclusive")
     out = []
+    scan_runs = cjk_bigrams or cjk_segmenter is not None
     toks = (
-        _TOKEN_RUN_RE.findall(text) if cjk_bigrams else _TOKEN_RE.findall(text)
+        _TOKEN_RUN_RE.findall(text) if scan_runs else _TOKEN_RE.findall(text)
     )
     for tok in toks:
         # byte_len <= 4 * char_len, so char_len <= MAX/4 can never exceed
         if len(tok) > MAX_TERM_BYTES // 4 and len(tok.encode("utf-8")) > MAX_TERM_BYTES:
             continue
-        if cjk_bigrams and _CJK_RUN_RE.match(tok):
-            out.extend(_cjk_bigrams(tok))
+        if scan_runs and _CJK_RUN_RE.match(tok):
+            out.extend(
+                _cjk_bigrams(tok) if cjk_bigrams else cjk_segmenter(tok)
+            )
         else:
             out.append(tok.lower())
     return out
 
 
 def tokenize_batch(
-    texts: pd.Series, cjk_bigrams: bool = False
+    texts: pd.Series, cjk_bigrams: bool = False, cjk_segmenter=None
 ) -> tuple[pd.Series, np.ndarray]:
     """Vectorized batch tokenization.
 
@@ -108,13 +149,18 @@ def tokenize_batch(
     ``str.findall`` over the batch, an exploded ``str.lower`` pass, and
     a length filter — no per-row Python beyond list regrouping.
     ``cjk_bigrams`` switches CJK runs to the reference's
-    BIGRAM_SEGMENTATION (expansion only touches CJK-run tokens; the
+    BIGRAM_SEGMENTATION; ``cjk_segmenter`` applies a plugin callable
+    to whole CJK runs instead (ONFLY_SEGMENTATION, parser.c:27-29) —
+    the two are exclusive (expansion only touches CJK-run tokens; the
     downstream bag-of-words makes intra-doc order irrelevant).
     """
     if not texts.index.is_unique:
         raise ValueError("tokenize_batch requires a unique index")
+    if cjk_bigrams and cjk_segmenter is not None:
+        raise ValueError("cjk_bigrams and cjk_segmenter are exclusive")
+    scan_runs = cjk_bigrams or cjk_segmenter is not None
     raw = texts.fillna("").astype(str).str.findall(
-        _TOKEN_RUN_RE if cjk_bigrams else _TOKEN_RE
+        _TOKEN_RUN_RE if scan_runs else _TOKEN_RE
     )
     flat = raw.explode().dropna()
     if flat.empty:
@@ -136,10 +182,11 @@ def tokenize_batch(
         keep[suspect[too_long]] = False
         flat = flat[keep]
     flat = flat.str.lower()
-    if cjk_bigrams and len(flat):
+    if scan_runs and len(flat):
         is_run = flat.str.match(_CJK_RUN_RE) & (flat.str.len() > 1)
         if is_run.any():
-            expanded = flat[is_run].map(_cjk_bigrams).explode()
+            expand = _cjk_bigrams if cjk_bigrams else cjk_segmenter
+            expanded = flat[is_run].map(expand).explode()
             flat = pd.concat([flat[~is_run], expanded])
     grouped = flat.groupby(level=0).agg(list)
     tokens = grouped.reindex(texts.index)

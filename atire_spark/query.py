@@ -347,9 +347,14 @@ from dataclasses import dataclass as _dataclass
 # punctuation one char at a time, parser.c:339-346). A bigram-indexed
 # corpus needs query bigrams passed via ``parsed_terms``.
 from atire_spark.kernels.tokenizer import _CJK as _CJK_RANGES
+from atire_spark.kernels.tokenizer import _CJK_RUN_RE
 
 _NEXI_TOKEN_RE = re.compile(
     rf"[{_CJK_RANGES}]|(?:(?![{_CJK_RANGES}])[^\W\d_])+|\d+|\S", re.UNICODE
+)
+# with a segmenter the scan takes whole CJK runs (ONFLY, parser.c:27-29)
+_NEXI_TOKEN_RUN_RE = re.compile(
+    rf"[{_CJK_RANGES}]+|(?:(?![{_CJK_RANGES}])[^\W\d_])+|\d+|\S", re.UNICODE
 )
 
 
@@ -363,7 +368,7 @@ class NEXITerm:
     rsv_weight: float = 1.0  # POSTSCALAR (feedback sets KL scores)
 
 
-def parse_nexi(text: str) -> list[NEXITerm]:
+def parse_nexi(text: str, cjk_segmenter=None) -> list[NEXITerm]:
     """NEXI CO parse (reference nexi.c:437-505 ``read_CO``):
 
     - ``+``/``-`` single-char tokens set the sign of the NEXT term
@@ -383,9 +388,18 @@ def parse_nexi(text: str) -> list[NEXITerm]:
     out: list[NEXITerm] = []
     sign = 0
     in_phrase = False
-    for tok in _NEXI_TOKEN_RE.findall(text or ""):
+    rex = _NEXI_TOKEN_RE if cjk_segmenter is None else _NEXI_TOKEN_RUN_RE
+    for tok in rex.findall(text or ""):
         first = tok[0]
         if first.isalpha() or first.isdigit():
+            if cjk_segmenter is not None and _CJK_RUN_RE.match(tok):
+                # query-time plugin segmentation — same dictionary as
+                # the index side, like the reference loading the same
+                # plugin in the search engine
+                for w in cjk_segmenter(tok):
+                    out.append(NEXITerm(term=w, sign=sign))
+                    sign = 0
+                continue
             out.append(NEXITerm(term=tok.lower(), sign=sign))
             sign = 0
             continue
@@ -404,7 +418,9 @@ def parse_nexi(text: str) -> list[NEXITerm]:
     return out
 
 
-def parse_query(text: str, stemmer: str | None = None) -> list[tuple[str, int]]:
+def parse_query(
+    text: str, stemmer: str | None = None, cjk_segmenter=None
+) -> list[tuple[str, int]]:
     """Query string → [(term, multiplicity)] via the NEXI CO scan.
 
     Phrases degrade to bags (no positions in the index) and a repeated
@@ -416,7 +432,7 @@ def parse_query(text: str, stemmer: str | None = None) -> list[tuple[str, int]]:
     ``stemmer`` applies the query-side stemming gate
     (search_engine.c:775-779) to each token before bagging.
     """
-    terms = (t.term for t in parse_nexi(text))
+    terms = (t.term for t in parse_nexi(text, cjk_segmenter))
     if stemmer is None:
         return list(Counter(terms).items())
     from atire_spark.kernels.stem import query_stem
@@ -431,6 +447,7 @@ class SearchEngine:
         index: IndexTables,
         cache: bool = False,
         stemmer: str | None = "auto",
+        cjk_segmenter=None,
     ):
         """``cache=False`` (default) leaves the postings scan on
         storage so the pushed-down term ``isin`` filter prunes
@@ -445,8 +462,13 @@ class SearchEngine:
         (memory_index.c:1487-1521); passing an explicit stemmer that
         differs from the index's is rejected — querying a stemmed
         index with the wrong stemmer silently misses terms in the
-        reference, we refuse instead."""
+        reference, we refuse instead.
+
+        ``cjk_segmenter``: the same ONFLY plugin callable the index
+        was built with (the reference loads the plugin in the search
+        engine too) — query CJK runs segment identically."""
         self.spark = spark
+        self.cjk_segmenter = cjk_segmenter
         self.index = index
         row = index.stats.collect()[0].asDict()
         self.n_docs = int(row["documents"])
@@ -611,7 +633,7 @@ class SearchEngine:
                 parsed = parsed_terms.get(qid, [])
             else:
                 parsed = [
-                    (t, w, 1.0) for t, w in parse_query(text, self.stemmer)
+                    (t, w, 1.0) for t, w in parse_query(text, self.stemmer, self.cjk_segmenter)
                 ]
             parsed_by_q[qid] = parsed
             n_terms_per_q[qid] = len(parsed)
@@ -779,7 +801,7 @@ class SearchEngine:
         codec = self.codec
         qmap: dict[str, list[int]] = {}
         for qid, text in queries:
-            for term, _w in parse_query(text, self.stemmer):
+            for term, _w in parse_query(text, self.stemmer, self.cjk_segmenter):
                 qmap.setdefault(term, []).append(qid)
         if not qmap:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
@@ -853,7 +875,7 @@ class SearchEngine:
         codec = self.codec
         qmap: dict[str, list[tuple[int, int]]] = {}
         for qid, text in queries:
-            for term, w in parse_query(text, self.stemmer):
+            for term, w in parse_query(text, self.stemmer, self.cjk_segmenter):
                 qmap.setdefault(term, []).append((qid, w))
         if not qmap:
             return self.spark.createDataFrame(
@@ -1559,7 +1581,7 @@ class SearchEngine:
             early_termination = None  # reference resets + warns
         qmap: dict[str, list[tuple[int, int]]] = {}
         for qid, text in queries:
-            for term, weight in parse_query(text, self.stemmer):
+            for term, weight in parse_query(text, self.stemmer, self.cjk_segmenter):
                 qmap.setdefault(term, []).append((qid, weight))
         if not qmap:
             empty = self.spark.createDataFrame([], RESULT_SCHEMA)
@@ -1784,7 +1806,7 @@ class SearchEngine:
 
         toks: list[str] = []
         for text in texts:
-            for t in tokenize(text):
+            for t in tokenize(text, cjk_segmenter=self.cjk_segmenter):
                 if t[0].isdigit():
                     continue  # numbers are not TT_WORD
                 toks.append(query_stem(t, self.stemmer))
@@ -1867,7 +1889,7 @@ class SearchEngine:
         any_fb = False
         for qid, text in queries:
             base = [
-                (t, w, 1.0) for t, w in parse_query(text, self.stemmer)
+                (t, w, 1.0) for t, w in parse_query(text, self.stemmer, self.cjk_segmenter)
             ]
             fb = self._kl_select(texts.get(qid, []), feedback_terms)
             if fb:
@@ -1926,7 +1948,7 @@ class SearchEngine:
             tfs: list[Counter] = []
             lens: list[int] = []
             for _rank, _docid, doc_text in docs:
-                toks = tokenize(doc_text)
+                toks = tokenize(doc_text, cjk_segmenter=self.cjk_segmenter)
                 if self.stemmer is not None:
                     toks = [index_stem(t, self.stemmer) for t in toks]
                 lens.append(len(toks))
@@ -1935,7 +1957,7 @@ class SearchEngine:
             mean_sub = sum(lens) / n_sub
             acc = np.zeros(n_sub, dtype=np.int64)
             touched = np.zeros(n_sub, dtype=bool)
-            for term, weight in parse_query(text, self.stemmer):
+            for term, weight in parse_query(text, self.stemmer, self.cjk_segmenter):
                 hit = [
                     (i, min(c[term], 255)) for i, c in enumerate(tfs) if term in c
                 ]

@@ -619,3 +619,55 @@ class TestBooleanDegenerateGroups:
         # rule)
         _, sql = self._eval("( ) AND alpha")
         assert sql == "(f0 OR f1)"
+
+
+class TestDictSegmenter:
+    """ONFLY_SEGMENTATION plugin slot (parser.c:27-29,53-60): a
+    dictionary-driven segmenter over whole CJK runs."""
+
+    def test_greedy_longest_match(self):
+        from atire_spark.kernels.tokenizer import dict_segmenter
+
+        seg = dict_segmenter({"北京", "大学", "北京大学"})
+        assert seg("北京大学") == ["北京大学"]
+        seg2 = dict_segmenter({"北京", "大学"})
+        assert seg2("北京大学生") == ["北京", "大学", "生"]
+
+    def test_fallback_is_single_chars(self):
+        from atire_spark.kernels.tokenizer import dict_segmenter
+
+        seg = dict_segmenter(set())
+        assert seg("日本語") == ["日", "本", "語"]
+
+    def test_tokenize_mixes_ascii_and_segmented_runs(self):
+        from atire_spark.kernels.tokenizer import dict_segmenter, tokenize
+
+        seg = dict_segmenter({"東京"})
+        assert tokenize("Hello 東京都 123", cjk_segmenter=seg) == [
+            "hello", "東京", "都", "123",
+        ]
+
+    def test_exclusive_with_bigrams(self):
+        import pytest
+
+        from atire_spark.kernels.tokenizer import dict_segmenter, tokenize
+
+        with pytest.raises(ValueError, match="exclusive"):
+            tokenize("x", cjk_bigrams=True, cjk_segmenter=dict_segmenter(set()))
+
+    def test_batch_matches_scalar(self):
+        import pandas as pd
+
+        from atire_spark.kernels.tokenizer import (
+            dict_segmenter,
+            tokenize,
+            tokenize_batch,
+        )
+
+        seg = dict_segmenter({"北京", "大学"})
+        texts = ["北京大学 rocks", "", "plain text", "学大 北京北京"]
+        toks, lens = tokenize_batch(pd.Series(texts), cjk_segmenter=seg)
+        for i, t in enumerate(texts):
+            want = tokenize(t, cjk_segmenter=seg)
+            assert sorted(toks.iloc[i]) == sorted(want), t
+            assert lens[i] == len(want)

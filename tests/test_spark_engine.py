@@ -412,3 +412,28 @@ class TestQaatVariants:
     def test_unknown_variant_rejected(self, qv_engine):
         with pytest.raises(ValueError, match="early_termination"):
             qv_engine.search_qaat([(1, "alpha")], early_termination="wdand")
+
+
+class TestCjkDictSegmentedBuild:
+    def test_build_and_search_with_dict_segmenter(self, spark):
+        import pandas as pd
+
+        from atire_spark.kernels.tokenizer import dict_segmenter
+
+        seg = dict_segmenter({"北京", "大学"})
+        rows = [
+            ("c0", 0, "visit 北京大学 campus"),
+            ("c0", 1, "plain english turn here"),
+            ("c1", 0, "北京 tourism guide text"),
+        ]
+        tr = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+        )
+        idx = build_index(spark, tr, cjk_segmenter=seg)
+        eng = SearchEngine(spark, idx, cjk_segmenter=seg)
+        # the dictionary word is ONE term in the index
+        terms = {r["term"] for r in idx.postings.select("term").collect()}
+        assert "北京" in terms and "大学" in terms
+        assert "北" not in terms  # no single-char fallout for dict words
+        res = eng.search_batch([(1, "北京")], k=5).toPandas()
+        assert set(res.docid) == {0, 2}
