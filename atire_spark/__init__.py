@@ -15,19 +15,26 @@ Reimplements the *capabilities* of the reference ATIRE engine
   BM25T/ADPT, Pitman-Yor lmp/lmptfidf, readable, pregen),
   quantum-at-a-time block-max pruning, boolean retrieval, read-side
   trims, blind-KL feedback, more-like-this, two-stage rerank, snippets
-  and evaluation metrics.
+  and the full evaluator family (MAP, P@n, S@n, bpref, nDCG/nDCGt,
+  ERR, rank effectiveness, MAgP, intent-aware wrappers).
+- TopSig: the reference's signature-index mode (-st) as a packed
+  signature table — build, agreement-count search, blind feedback —
+  with bit-identical DuckDB oracles (md5-seeded splitmix64 PRNG).
 - streaming: Structured Streaming incremental index build
   (foreachBatch partial-index appends, the reference's build+merge
   recipe run continuously; score-identical to a batch build).
 - text pipeline: S-stripper/Porter stemming, NCBI/Puurula stopwords,
-  serialise-time term culling — all with the reference's gates.
-- corpus operators: dedup (exact/MinHash-LSH/SimHash), fingerprints,
-  token stats, quality, language ID, brute + multi-band-LSH cosine kNN,
-  multimodal binary plumbing.
+  serialise-time term culling — all with the reference's gates; CJK
+  single-char/bigram modes plus the ONFLY dictionary-segmenter plugin
+  slot on both index and query side.
+- corpus operators: dedup (exact/MinHash-LSH/SimHash/embedding-cosine),
+  fingerprints, token stats, quality, language ID, Dale-Chall, brute +
+  multi-band-LSH + IVF cosine kNN, multimodal binary plumbing
+  (metadata, resize planning, frame sampling; decode stubbed).
 
 Nothing here is a port: the reference's hash tables, B-trees and byte
 buffers are replaced by DataFrame aggregations, Iceberg/Parquet segment
 tables and numpy kernels.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.2.1"
