@@ -279,6 +279,63 @@ def expected_reciprocal_rank(
     )
 
 
+def read_qrels(
+    spark, path: str, fmt: str = "auto"
+) -> DataFrame:
+    """Assessment-file reader (assessment_factory.c:25-54 — format
+    sniffed by separator count; TREC ``topic subtopic docno rel``
+    per assessment_TREC.c, INEX ``topic Q0 docno relevant_characters
+    document_length ...`` per assessment_INEX.c:58).
+
+    Distributed: ``spark.read.text`` + column splits, so a
+    million-line qrel file never passes through the driver. Returns
+    (query_id, subtopic, doc, relevance[, doc_length]) with ``doc``
+    the external document id — resolve to docids with
+    :func:`qrels_with_docids`."""
+    lines = (
+        spark.read.text(path)
+        .select(F.trim("value").alias("v"))
+        .filter(F.col("v") != "")
+    )
+    if fmt == "auto":
+        first = lines.select("v").head()
+        nsep = first["v"].count(" ") if first else 3
+        fmt = "inex" if nsep >= 4 else "trec"
+    parts = F.split(F.col("v"), r"\s+")
+    if fmt == "trec":
+        return lines.select(
+            parts.getItem(0).cast("long").alias("query_id"),
+            parts.getItem(1).cast("long").alias("subtopic"),
+            parts.getItem(2).alias("doc"),
+            parts.getItem(3).cast("long").alias("relevance"),
+        )
+    if fmt == "inex":
+        return lines.select(
+            parts.getItem(0).cast("long").alias("query_id"),
+            F.lit(0).cast("long").alias("subtopic"),  # assessment_INEX.c:104
+            parts.getItem(2).alias("doc"),
+            parts.getItem(3).cast("long").alias("relevance"),
+            parts.getItem(4).cast("long").alias("doc_length"),
+        )
+    raise ValueError(f"unknown qrel format {fmt!r}")
+
+
+def qrels_with_docids(qrels: DataFrame, docmap: DataFrame) -> DataFrame:
+    """Resolve external ``doc`` ids (``conv_id:turn_idx``, the
+    engine's materialized form) against the index docmap — the
+    reference's bsearch over the sorted doclist
+    (assessment_TREC.c:55-70); assessments naming documents absent
+    from the collection are dropped with the same semantics as the
+    reference's warn-and-skip."""
+    ext = docmap.select(
+        F.concat_ws(
+            ":", F.col("conv_id"), F.col("turn_idx").cast("string")
+        ).alias("doc"),
+        "docid",
+    )
+    return qrels.join(ext, "doc").drop("doc")
+
+
 def rank_effectiveness(
     results: DataFrame, qrels: DataFrame, depth: int | None = None
 ) -> DataFrame:

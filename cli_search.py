@@ -41,6 +41,16 @@ def main() -> None:
         "(quantized index; resets to exact on unquantized)",
     )
     ap.add_argument("--trec", action="store_true", help="TREC run-file output")
+    ap.add_argument(
+        "--assess",
+        help="qrel/assessment file (TREC or INEX format, auto-sniffed) — "
+        "evaluate the run like the reference's -a",
+    )
+    ap.add_argument(
+        "--metrics",
+        default="MAP,P@10,bpref",
+        help="comma-separated metric list for --assess (the -m flags)",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -104,6 +114,27 @@ def main() -> None:
                 f"doc={ext_id} rsv_fixed={r['rsv_fixed']} rsv={r['rsv']:.2f}"
             )
     print(f"# {len(batch)} queries in {wall:.3f}s", file=sys.stderr)
+
+    if args.assess:
+        from atire_spark.eval import evaluate, qrels_with_docids, read_qrels
+
+        qrels = qrels_with_docids(
+            read_qrels(spark, args.assess), idx.docmap
+        )
+        per_query = evaluate(
+            res, qrels, metrics=tuple(args.metrics.split(","))
+        ).toPandas()
+        for _, row in per_query.iterrows():
+            cells = " ".join(
+                f"{c}={row[c]:.4f}" for c in per_query.columns if c != "query_id"
+            )
+            print(f"# eval qid={int(row.query_id)} {cells}", file=sys.stderr)
+        means = per_query.drop(columns=["query_id"]).mean()
+        print(
+            "# eval mean "
+            + " ".join(f"{c}={v:.4f}" for c, v in means.items()),
+            file=sys.stderr,
+        )
     spark.stop()
 
 

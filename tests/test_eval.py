@@ -225,3 +225,65 @@ class TestIntentAware:
         )
         got = intent_aware(mean_average_precision, results, qrels).collect()[0]
         assert got["ia_average_precision"] == pytest.approx(0.75)
+
+
+class TestQrelReaders:
+    def test_trec_format(self, spark, tmp_path):
+        p = tmp_path / "q.qrels"
+        p.write_text("51 0 conv0:0 1\n51 0 conv0:1 0\n52 0 conv1:0 2\n")
+        from atire_spark.eval import read_qrels
+
+        df = read_qrels(spark, str(p)).toPandas()
+        assert list(df.columns) == ["query_id", "subtopic", "doc", "relevance"]
+        assert len(df) == 3
+        assert set(df.query_id) == {51, 52}
+        assert df[df.doc == "conv1:0"].relevance.iloc[0] == 2
+
+    def test_inex_format_and_docid_resolution(self, spark, tmp_path):
+        import pandas as pd
+
+        p = tmp_path / "inex.qrels"
+        p.write_text(
+            "51 Q0 conv0:0 120 500 10:20\n51 Q0 convX:9 50 100\n"
+        )
+        from atire_spark.eval import qrels_with_docids, read_qrels
+
+        df = read_qrels(spark, str(p))
+        pdf = df.toPandas()
+        assert "doc_length" in pdf.columns
+        assert pdf.iloc[0].relevance == 120 and pdf.iloc[0].doc_length == 500
+        docmap = spark.createDataFrame(
+            pd.DataFrame(
+                {"docid": [0], "conv_id": ["conv0"], "turn_idx": [0],
+                 "doc_len": [7]}
+            )
+        )
+        resolved = qrels_with_docids(df, docmap).toPandas()
+        # the assessment naming a document outside the collection drops
+        assert len(resolved) == 1 and resolved.iloc[0].docid == 0
+
+    def test_metrics_run_from_file(self, spark, tmp_path):
+        import pandas as pd
+
+        from atire_spark.eval import (
+            mean_average_precision,
+            qrels_with_docids,
+            read_qrels,
+        )
+
+        p = tmp_path / "t.qrels"
+        p.write_text("1 0 c0:0 1\n1 0 c0:1 0\n")
+        docmap = spark.createDataFrame(
+            pd.DataFrame(
+                {"docid": [0, 1], "conv_id": ["c0", "c0"],
+                 "turn_idx": [0, 1], "doc_len": [5, 5]}
+            )
+        )
+        qrels = qrels_with_docids(read_qrels(spark, str(p)), docmap)
+        results = spark.createDataFrame(
+            pd.DataFrame(
+                {"query_id": [1, 1], "rank": [1, 2], "docid": [0, 1]}
+            )
+        )
+        got = mean_average_precision(results, qrels).collect()[0]
+        assert got["average_precision"] == 1.0
