@@ -361,3 +361,53 @@ def test_build_topsig_rejects_unaligned_width(topsig_setup, spark):
     tr, idx, _ = topsig_setup
     with pytest.raises(ValueError, match="multiple of 64"):
         build_topsig(spark, tr, idx, width=100, density=12.0)
+
+
+# ------------------------------------------------------- property tests
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 9),  # doc index
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            st.integers(2719, 50000),  # wq (post-stop weights)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.randoms(),
+)
+def test_accumulate_is_order_invariant(pairs, rnd):
+    """Integer quantization makes the signature accumulation an exact
+    sum — any contribution order (i.e. any partitioning / Arrow batch
+    boundary) yields identical vectors. This is the invariant that
+    lets the distributed build equal the oracle bit-for-bit."""
+    seeds = np.array([md5_u64(t) for _, t, _ in pairs], dtype=np.uint64)
+    wq = np.array([w for _, _, w in pairs], dtype=np.int64)
+    didx = np.array([d for d, _, _ in pairs], dtype=np.int64)
+    a1 = accumulate(seeds, wq, didx, 10, 128, DENSITY)
+    perm = list(range(len(pairs)))
+    rnd.shuffle(perm)
+    perm = np.array(perm)
+    a2 = accumulate(seeds[perm], wq[perm], didx[perm], 10, 128, DENSITY)
+    assert np.array_equal(a1, a2)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 6).map(lambda k: k * 64),  # width, word-aligned
+    st.integers(0, 2**32),
+)
+def test_pack_agreement_roundtrip_any_width(width, seed):
+    rng = np.random.default_rng(seed)
+    bits = rng.random((4, width)) < 0.5
+    words = pack_bits(bits)
+    assert np.array_equal(unpack_bits(words, width), bits)
+    qv = rng.integers(-2, 3, width).astype(np.int64)
+    got = agreement_scores(words, qv)
+    want = ((qv > 0) & bits).sum(axis=1) + ((qv < 0) & ~bits).sum(axis=1)
+    assert np.array_equal(got, want)
