@@ -127,7 +127,15 @@ def main() -> None:
         from atire_spark.topsig import build_topsig, search_topsig
 
         t0 = time.monotonic()
-        sig_df = build_topsig(spark, None, qt, width=1024, density=12.0)
+        # qt is a fresh build so the staged tokenized table is reused;
+        # the transcripts frame only backs the re-tokenize fallback
+        sig_df = build_topsig(
+            spark,
+            spark.createDataFrame(pdf.iloc[: len(pdf) // 4]),
+            qt,
+            width=1024,
+            density=12.0,
+        )
         sig_df.write.parquet(f"{tmp}/sigs", mode="overwrite")
         topsig_build_sec = time.monotonic() - t0
         sigs = spark.read.parquet(f"{tmp}/sigs")
