@@ -1199,6 +1199,7 @@ def _q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpref,
         mean_average_precision,
         precision_at,
+        rank_effectiveness,
         success_at,
     )
 
@@ -1243,6 +1244,7 @@ def _q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(precision_at(results, qrels, 10), "query_id")
         .join(success_at(results, qrels, 10), "query_id")
         .join(bpref(results, qrels), "query_id")
+        .join(rank_effectiveness(results, qrels), "query_id")
     )
     return out.select(
         "query_id",
@@ -1250,6 +1252,7 @@ def _q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("precision_at_10", 9).alias("precision_at_10"),
         F.round("success_at_10", 9).alias("success_at_10"),
         F.round("bpref", 9).alias("bpref"),
+        F.round("rank_effectiveness", 9).alias("rank_effectiveness"),
     )
 
 
@@ -1325,18 +1328,24 @@ p10 AS (
          count(*) AS examined
   FROM j WHERE rank <= 10 GROUP BY query_id
 ),
+jj AS (
+  SELECT j.query_id, j.rank, j.rel, t.n_rel, t.n_nonrel,
+         coalesce(sum(CASE WHEN j.rel = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY j.query_id ORDER BY j.rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS nonrel_before
+  FROM j JOIN topic t USING (query_id) WHERE j.judged = 1
+),
 bp AS (
   SELECT query_id,
          sum(1.0 - (least(nonrel_before, n_rel) * 1.0)
                    / least(n_rel, n_nonrel)) AS pref_sum
-  FROM (
-    SELECT j.query_id, j.rank, j.rel, t.n_rel, t.n_nonrel,
-           coalesce(sum(CASE WHEN j.rel = 0 THEN 1 ELSE 0 END)
-             OVER (PARTITION BY j.query_id ORDER BY j.rank
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             0) AS nonrel_before
-    FROM j JOIN topic t USING (query_id) WHERE j.judged = 1
-  ) WHERE rel > 0 GROUP BY query_id
+  FROM jj WHERE rel > 0 GROUP BY query_id
+),
+re AS (
+  SELECT query_id,
+         sum(1.0 - nonrel_before * 1.0 / greatest(n_nonrel, 1)) AS re_sum
+  FROM jj WHERE rel > 0 GROUP BY query_id
 )
 SELECT t.query_id,
        round(coalesce(ap.p_sum, 0) / t.n_rel, 9) AS average_precision,
@@ -1346,11 +1355,15 @@ SELECT t.query_id,
        CASE WHEN coalesce(p10.found, 0) > 0 THEN 1.0 ELSE 0.0 END
          AS success_at_10,
        round(CASE WHEN t.n_nonrel = 0 THEN 1.0
-                  ELSE coalesce(bp.pref_sum, 0) / t.n_rel END, 9) AS bpref
+                  ELSE coalesce(bp.pref_sum, 0) / t.n_rel END, 9) AS bpref,
+       round(CASE WHEN t.n_nonrel = 0 THEN 1.0
+                  ELSE coalesce(re.re_sum, 0) / t.n_rel END, 9)
+         AS rank_effectiveness
 FROM topic t
 LEFT JOIN ap USING (query_id)
 LEFT JOIN p10 USING (query_id)
 LEFT JOIN bp USING (query_id)
+LEFT JOIN re USING (query_id)
 WHERE t.n_rel > 0
 """
 
