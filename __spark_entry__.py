@@ -1256,6 +1256,156 @@ def _q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_eval_intent_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intent-aware MAP over two deterministic subtopics: subtopic 0's
+    relevance grades come from 'dup' term frequencies, subtopic 1's
+    from 'window' (the judged pool for both is the union of documents
+    containing either term)."""
+    import numpy as np
+    import pandas as pd
+
+    from atire_spark.eval import intent_aware, mean_average_precision
+
+    eng = _engine(spark, sf_dir)
+    results = eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
+
+    def decode_fn(batches):
+        from atire_spark.kernels.impact import decode_segment
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                d, t, _ = decode_segment(
+                    np.asarray(row.impacts),
+                    np.asarray(row.doc_counts),
+                    row.postings,
+                    None,
+                )
+                yield pd.DataFrame(
+                    {
+                        "docid": d,
+                        "tf": t.astype(np.int64),
+                        "term": np.full(d.size, row.term, dtype=object),
+                    }
+                )
+
+    tfd = eng.postings.filter(
+        F.col("term").isin(["dup", "window"])
+    ).mapInPandas(decode_fn, schema="docid long, tf long, term string")
+    per_doc = tfd.groupBy("docid").agg(
+        F.max(
+            F.when(F.col("term") == "dup", F.col("tf")).otherwise(0)
+        ).alias("rel0"),
+        F.max(
+            F.when(F.col("term") == "window", F.col("tf")).otherwise(0)
+        ).alias("rel1"),
+    )
+    rel = per_doc.select(
+        "docid", F.lit(0).alias("subtopic"), F.col("rel0").alias("relevance")
+    ).unionByName(
+        per_doc.select(
+            "docid",
+            F.lit(1).alias("subtopic"),
+            F.col("rel1").alias("relevance"),
+        )
+    )
+    qids = spark.createDataFrame(
+        [(q,) for q, _ in TESTDATA_QUERIES], "query_id long"
+    )
+    subqrels = qids.crossJoin(rel).select(
+        "query_id", "subtopic", "docid",
+        F.col("relevance").cast("int").alias("relevance"),
+    )
+    out = intent_aware(mean_average_precision, results, subqrels)
+    return out.select(
+        "query_id",
+        F.round("ia_average_precision", 9).alias("ia_average_precision"),
+    )
+
+
+def _eval_intent_aware_sql(k: int) -> str:
+    return f"""
+WITH {_CORPUS_CTE},
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+),
+scored AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, t.docid,
+         CASE WHEN ts.df = s.n_docs THEN CAST(0 AS BIGINT)
+              ELSE CAST(q.weight AS BIGINT)
+                   * (1 + CAST(trunc({_BM25_CONTRIB}) AS BIGINT))
+         END AS contrib,
+         CASE WHEN ts.df = s.n_docs THEN 0 ELSE 1 END AS is_hit
+  FROM q
+  JOIN termstats ts USING (term)
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  CROSS JOIN stats s
+),
+acc AS (
+  SELECT query_id, docid, CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  FROM scored
+  WHERE is_hit = 1 OR contrib <> 0
+  GROUP BY query_id, docid
+  HAVING sum(is_hit) > 0
+),
+results AS (
+  SELECT query_id, docid, rank FROM (
+    SELECT query_id, docid,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+           ) AS rank
+    FROM acc
+  ) WHERE rank <= {k}
+),
+relsub AS (
+  SELECT docid, 0 AS subtopic,
+         max(CASE WHEN term = 'dup' THEN tf ELSE 0 END) AS relevance
+  FROM tf WHERE term IN ('dup', 'window') GROUP BY docid
+  UNION ALL
+  SELECT docid, 1 AS subtopic,
+         max(CASE WHEN term = 'window' THEN tf ELSE 0 END) AS relevance
+  FROM tf WHERE term IN ('dup', 'window') GROUP BY docid
+),
+qrels2 AS (
+  SELECT qq.query_id, r.subtopic, r.docid, r.relevance
+  FROM (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id FROM q) qq
+  CROSS JOIN relsub r
+),
+topic2 AS (
+  SELECT query_id, subtopic,
+         sum(CASE WHEN relevance > 0 THEN 1 ELSE 0 END) AS n_rel
+  FROM qrels2 GROUP BY query_id, subtopic
+),
+j2 AS (
+  SELECT r.query_id, qr.subtopic, r.rank, coalesce(qr.relevance, 0) AS rel
+  FROM results r
+  JOIN qrels2 qr ON qr.query_id = r.query_id AND qr.docid = r.docid
+),
+ap2 AS (
+  SELECT query_id, subtopic, sum(found * 1.0 / rank) AS p_sum FROM (
+    SELECT query_id, subtopic, rank, rel,
+           sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY query_id, subtopic ORDER BY rank) AS found
+    FROM j2
+  ) WHERE rel > 0 GROUP BY query_id, subtopic
+),
+persub AS (
+  SELECT t.query_id, t.subtopic,
+         coalesce(a.p_sum, 0) / t.n_rel AS ap
+  FROM topic2 t LEFT JOIN ap2 a USING (query_id, subtopic)
+  WHERE t.n_rel > 0
+),
+nsub AS (
+  SELECT query_id, CAST(count(DISTINCT subtopic) AS BIGINT) AS n
+  FROM qrels2 GROUP BY query_id
+)
+SELECT CAST(n.query_id AS VARCHAR) AS query_id,
+       round(coalesce(sum(p.ap), 0) / n.n, 9) AS ia_average_precision
+FROM nsub n LEFT JOIN persub p USING (query_id)
+GROUP BY n.query_id, n.n
+"""
+
+
 def _eval_metrics_sql(k: int) -> str:
     return f"""
 WITH {_CORPUS_CTE},
@@ -2367,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_feedback_kl_topk": _q_feedback_kl,
         "more_like_this_topk": _q_more_like_this,
         "eval_metrics": _q_eval_metrics,
+        "eval_intent_aware": _q_eval_intent_aware,
         "bm25_single_term_pruned": _q_single_term_pruned,
         "bm25_trimmed_topk": _q_bm25_trimmed,
         "snippet_beginning": _q_snippet_beginning,
@@ -2493,6 +2644,7 @@ SELECT term, docid, tf FROM tf
         # evaluation metrics (evaluator.c:126-260; MAP/P@n/S@n/bpref —
         # nDCG and ERR are pytest-certified with hand values)
         "eval_metrics": _eval_metrics_sql(TOP_K),
+        "eval_intent_aware": _eval_intent_aware_sql(TOP_K),
         # single-term top-k prune (atire_api.c:989-997)
         "bm25_single_term_pruned": _trimmed_bm25_sql(
             TOP_K,

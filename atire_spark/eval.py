@@ -466,13 +466,30 @@ def intent_aware(
     per_sub = metric_fn(exp_results, exp_qrels, *args, **kwargs)
     score_col = [c for c in per_sub.columns if c != "query_id"][0]
     split = F.split(F.col("query_id"), "#")
-    return (
+    sums = (
         per_sub.select(
             split.getItem(0).alias("query_id"),
             F.col(score_col).alias("s"),
         )
         .groupBy("query_id")
-        .agg(F.avg("s").alias(f"ia_{score_col}"))
+        .agg(F.sum("s").alias("s_sum"))
+    )
+    # divide by ALL of the topic's subtopics — a subtopic the base
+    # metric marked invalid (no relevant docs) contributes 0 but still
+    # counts (the reference's  precision / number_of_subtopics,
+    # evaluation_intent_aware_mean_average_precision.c:36-38)
+    n_subs = (
+        pairs.withColumn("q", F.col("query_id").cast("string"))
+        .groupBy("q")
+        .agg(F.count("*").alias("n_subtopics"))
+        .withColumnRenamed("q", "query_id")
+    )
+    return n_subs.join(sums, "query_id", "left").select(
+        "query_id",
+        (
+            F.coalesce(F.col("s_sum"), F.lit(0.0))
+            / F.col("n_subtopics").cast("double")
+        ).alias(f"ia_{score_col}"),
     )
 
 

@@ -287,3 +287,29 @@ class TestQrelReaders:
         )
         got = mean_average_precision(results, qrels).collect()[0]
         assert got["average_precision"] == 1.0
+
+
+def test_ia_counts_invalid_subtopics_in_denominator(spark):
+    """A subtopic with no relevant docs contributes 0 but still counts
+    (evaluate() returns 0 with valid=false; the IA wrapper divides by
+    number_of_subtopics regardless)."""
+    import pandas as pd
+
+    from atire_spark.eval import intent_aware, mean_average_precision
+
+    results = spark.createDataFrame(
+        pd.DataFrame({"query_id": [1], "rank": [1], "docid": [10]})
+    )
+    qrels = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [1, 1],
+                "subtopic": [0, 1],
+                "docid": [10, 20],
+                "relevance": [1, 0],  # subtopic 1: judged-nonrel only
+            }
+        )
+    )
+    got = intent_aware(mean_average_precision, results, qrels).collect()[0]
+    # subtopic 0 AP = 1; subtopic 1 invalid → 0; mean over 2 subtopics
+    assert got["ia_average_precision"] == 0.5
