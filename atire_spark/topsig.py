@@ -204,6 +204,8 @@ def search_topsig(
     width: int = TOPSIG_WIDTH,
     density: float = TOPSIG_DENSITY,
     stemmer: str | None = "auto",
+    cfs: dict[str, int] | None = None,
+    coll_len: float | None = None,
 ) -> DataFrame:
     """Agreement-count ranking over the signature table → the engine's
     standard (query_id, rank, docid, rsv_fixed, rsv) shape; ties break
@@ -211,21 +213,37 @@ def search_topsig(
     (search_engine_accumulator.h:36-50). rsv is the integer agreement
     count (the topsig rankers accumulate longs, never fixed-point
     hundredths). ``stemmer="auto"`` follows the index's recorded
-    ~stemmer like SearchEngine does."""
+    ~stemmer like SearchEngine does.
+
+    ``cfs``/``coll_len`` optionally preload the global term statistics
+    — the reference's load_topsig reads the whole stats file once at
+    startup (index_document_topsig.c:31-80) and every query reuses it;
+    passing :func:`topsig_global_stats` output here removes the
+    per-batch stats lookup jobs."""
     if stemmer == "auto":
         stemmer = _index_stemmer(index)
     qterms: set[str] = set()
     for _, text in queries:
         qterms.update(t for t, _ in parse_query(text, stemmer))
-    cfs: dict[str, int] = {}
-    if qterms:
-        cfs = {
-            r["term"]: int(r["cf"])
-            for r in _term_cf(index)
-            .filter(F.col("term").isin(list(qterms)))
-            .collect()
-        }
-    coll_len = float(index.stats.select("collection_len").collect()[0][0])
+    if cfs is None:
+        cfs = {}
+        if qterms:
+            # filter BEFORE the cf aggregation: the term isin pushes
+            # into the postings scan (parquet file pruning) instead of
+            # paying a full-table groupBy per query batch
+            cfs = {
+                r["term"]: int(r["cf"])
+                for r in index.postings.filter(
+                    F.col("term").isin(list(qterms))
+                )
+                .groupBy("term")
+                .agg(F.max("cf").alias("cf"))
+                .collect()
+            }
+    if coll_len is None:
+        coll_len = float(
+            index.stats.select("collection_len").collect()[0][0]
+        )
     masks = _query_masks(queries, cfs, coll_len, width, density, stemmer)
     if not masks:
         return spark.createDataFrame(
@@ -383,6 +401,22 @@ def search_topsig_feedback(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def topsig_global_stats(index: IndexTables) -> tuple[dict[str, int], float]:
+    """(term→cf map, collection length) — the reference's
+    topsig_globalstats file loaded once (load_topsig,
+    atire_api.c:326-341); pass to :func:`search_topsig` to amortize
+    the stats lookup across query batches. The full map is
+    driver-resident — suitable whenever the vocabulary fits (the
+    reference makes the identical assumption, holding the whole stats
+    file in a hash table)."""
+    cfs = {
+        r["term"]: int(r["cf"])
+        for r in _term_cf(index).collect()
+    }
+    coll_len = float(index.stats.select("collection_len").collect()[0][0])
+    return cfs, coll_len
 
 
 def signature_stats(signatures: DataFrame) -> DataFrame:

@@ -136,7 +136,9 @@ def main() -> None:
             width=1024,
             density=12.0,
         )
-        sig_df.write.parquet(f"{tmp}/sigs", mode="overwrite")
+        # the 4x-cpus shuffle leaves 128 tiny files; one scan task per
+        # file pays python-worker startup, so compact to cpus files
+        sig_df.coalesce(cpus).write.parquet(f"{tmp}/sigs", mode="overwrite")
         topsig_build_sec = time.monotonic() - t0
         sigs = spark.read.parquet(f"{tmp}/sigs")
         n_sig_docs = sigs.count()

@@ -411,3 +411,22 @@ def test_pack_agreement_roundtrip_any_width(width, seed):
     got = agreement_scores(words, qv)
     want = ((qv > 0) & bits).sum(axis=1) + ((qv < 0) & ~bits).sum(axis=1)
     assert np.array_equal(got, want)
+
+
+def test_preloaded_global_stats_identical(topsig_setup, spark):
+    """The reference loads topsig global stats once at startup
+    (load_topsig); the preloaded-cfs path must rank identically to the
+    per-batch lookup."""
+    from atire_spark.topsig import search_topsig, topsig_global_stats
+
+    _, idx, sigs = topsig_setup
+    qs = [(1, "rare1"), (2, "rare2 rare3")]
+    base = search_topsig(
+        spark, sigs, idx, qs, k=5, width=WIDTH, density=DENSITY
+    ).toPandas()
+    cfs, coll_len = topsig_global_stats(idx)
+    pre = search_topsig(
+        spark, sigs, idx, qs, k=5, width=WIDTH, density=DENSITY,
+        cfs=cfs, coll_len=coll_len,
+    ).toPandas()
+    assert base.values.tolist() == pre.values.tolist()
