@@ -113,3 +113,45 @@ def test_readstream_file_source_drains(spark, stream_dirs):
     assert eng.n_docs == 5
     got = eng.search_one("alpha", k=10).count()
     assert got == 3  # three docs contain alpha (s0/0, s1/0, s2/1)
+
+
+def test_streamed_index_topsig_equals_batch(spark, stream_dirs):
+    """TopSig signatures built over a streamed index equal the batch
+    build's bit-for-bit (arrival order here coincides with the sorted
+    order, so docids match and even the docid-seeded zero-fill bits
+    agree). The streamed side exercises the re-tokenize fallback while
+    the batch side reads the staged tokenized parquet — so this also
+    certifies the two tokenized sources are interchangeable."""
+    import numpy as np
+
+    from atire_spark.build import build_index
+    from atire_spark.streaming import append_batch, load_stream_index
+    from atire_spark.topsig import build_topsig
+
+    index_dir, _ = stream_dirs
+    os.makedirs(index_dir, exist_ok=True)
+    append_batch(spark, spark.createDataFrame(BATCH1), index_dir, 0)
+    append_batch(spark, spark.createDataFrame(BATCH2), index_dir, 1)
+    streamed_idx = load_stream_index(spark, index_dir)
+    assert streamed_idx.tokenized is None  # loaded → fallback path
+
+    full = pd.concat([BATCH1, BATCH2], ignore_index=True)
+    full_df = spark.createDataFrame(full)
+    batch_idx = build_index(spark, full_df)
+    assert batch_idx.tokenized is not None  # fresh → staged path
+
+    s_sigs = {
+        int(r["docid"]): np.asarray(r["sig"], dtype=np.int64)
+        for r in build_topsig(
+            spark, full_df, streamed_idx, width=256, density=12.0
+        ).collect()
+    }
+    b_sigs = {
+        int(r["docid"]): np.asarray(r["sig"], dtype=np.int64)
+        for r in build_topsig(
+            spark, full_df, batch_idx, width=256, density=12.0
+        ).collect()
+    }
+    assert s_sigs.keys() == b_sigs.keys() and len(s_sigs) == 5
+    for d in s_sigs:
+        assert np.array_equal(s_sigs[d], b_sigs[d]), f"doc {d}"
