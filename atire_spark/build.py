@@ -1057,10 +1057,16 @@ def write_index(tables: IndexTables, path: str, mode: str = "overwrite") -> None
 
 
 def load_index(spark: SparkSession, path: str) -> IndexTables:
-    try:
-        puu = spark.read.parquet(f"{path}/puurula")
-    except Exception:  # not built with puurula=True
-        puu = None
+    # existence-probe the optional puurula side table instead of
+    # catch-reading it: a read of a missing path makes py4j print a
+    # Java stack trace even when the exception is caught, polluting
+    # bench/driver output with a failure that isn't one. Probed via
+    # the Hadoop FS API so it works on any cluster filesystem, not
+    # just local paths.
+    puu_path = f"{path}/puurula"
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(puu_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    puu = spark.read.parquet(puu_path) if fs.exists(jpath) else None
     return IndexTables(
         docmap=spark.read.parquet(f"{path}/docmap"),
         postings=spark.read.parquet(f"{path}/postings"),

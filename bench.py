@@ -50,6 +50,12 @@ def main() -> None:
     from atire_spark.session import get_spark
     from atire_spark.synth import make_transcripts_bench
 
+    if hasattr(os, "sched_setaffinity") and cpus < (os.cpu_count() or cpus):
+        # same affinity discipline as scaling_bench.py: a local[N]
+        # JVM on a wider host would run GC/netty/shuffle threads on
+        # extra cores, inflating the measured throughput for small N
+        os.sched_setaffinity(0, set(range(cpus)))
+
     spark = get_spark(cpus=cpus, app="atire_spark_bench")
 
     # ---- index-build throughput on synthetic transcripts ----------------
@@ -66,10 +72,17 @@ def main() -> None:
             f"{tmp}/input"
         )
         tdf = spark.read.parquet(f"{tmp}/input")
-        t0 = time.monotonic()
-        tables = build_index(spark, tdf)
-        write_index(tables, f"{tmp}/idx")
-        build_sec = time.monotonic() - t0
+        # the sandbox host's spare CPU drifts minute-to-minute (3x
+        # run-to-run swings on identical code are documented in
+        # BENCH.md) — median of 3 repeats so the driver's cross-round
+        # build number compares medians, not single drift samples
+        build_runs: list[float] = []
+        for rep in range(3):
+            t0 = time.monotonic()
+            tables = build_index(spark, tdf)
+            write_index(tables, f"{tmp}/idx", mode="overwrite")
+            build_runs.append(time.monotonic() - t0)
+        build_sec = statistics.median(build_runs)
 
         # ---- query latency on the built index (warm) --------------------
         idx = load_index(spark, f"{tmp}/idx")
@@ -180,6 +193,7 @@ def main() -> None:
         "queries": q_secs,
         "sf": sf,
         "build_sec": round(build_sec, 3),
+        "build_sec_runs": [round(x, 3) for x in build_runs],
         "build_turns": n_turns,
         "build_turns_per_sec": round(n_turns / build_sec, 1),
         "query_p50_sec": round(p50, 4),
