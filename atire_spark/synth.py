@@ -187,3 +187,57 @@ def make_queries(seed: int = SEED) -> pd.DataFrame:
     return pd.DataFrame(
         {"query_id": np.arange(1, len(queries) + 1), "query": queries}
     )
+
+
+def make_transcripts_skewed(n_docs: int = 4096) -> pd.DataFrame:
+    """Skewed-impact corpus for the QaaT QUANTUM_STOP_DIFF demo
+    (reference atire/atire_api.c:759-782).
+
+    The uniform bench corpus never fires the stop rule — adjacent
+    top-k scores sit ~1 fixed-point unit apart, so the gap between the
+    (k-1)th and kth result can't exceed the remaining quantum bound.
+    This corpus is built so it does, the regime the rule exists for:
+
+    - 9 "head" docs: tf(skewterm)=200, short → quantized impact ~255;
+    - 1 "bridge" doc: tf=1, short → one mid impact, the kth result;
+    - ~5% "tail" docs: tf=1 with geometrically spread lengths → the
+      BM25 length prior fans their scores across ~60 distinct LOW
+      impact levels (many separate quanta);
+    - the rest: pad-only docs (the pad term's df=N makes its idf — and
+      so the quantization floor — exactly 0, reference semantics).
+
+    After the two head quanta the in-heap gap (255 - bridge) exceeds
+    the tail's max impact, so QUANTUM_STOP_DIFF stops and every tail
+    quantum is skipped. Deterministic, no RNG.
+    """
+    n_tail = max(n_docs // 20, 16)
+    tail_lens = np.unique(
+        np.geomspace(95, 950, n_tail).astype(np.int64)
+    )  # distinct lengths → distinct impact levels
+    rows = []
+    t = 0
+
+    def emit(text: str) -> None:
+        nonlocal t
+        rows.append(
+            (
+                f"skew{t:06d}",
+                0,
+                ROLES[t % 3],
+                text,
+                None,
+                BASE_TS + timedelta(minutes=t),
+            )
+        )
+        t += 1
+
+    for _ in range(9):  # heads
+        emit(" ".join(["skewterm"] * 200 + ["pad"] * 20))
+    emit(" ".join(["skewterm"] + ["pad"] * 12))  # bridge (kth result)
+    for ln in tail_lens:  # tail: tf=1, long docs
+        emit(" ".join(["skewterm"] + ["pad"] * int(ln - 1)))
+    while t < n_docs:  # pad-only docs
+        emit(" ".join(["pad"] * 13))
+    return pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )

@@ -136,6 +136,47 @@ def main() -> None:
             "topk_agreement_pct": round(100.0 * agree / max(total_rows, 1), 1),
         }
 
+        # ---- QaaT pruning on a skewed-impact corpus ----------------------
+        # the uniform corpus's quantized score gaps are ~1 fixed-point
+        # unit, so the stop rule honestly never fires above (skipped
+        # 0%); the skewed fixture is the regime QUANTUM_STOP_DIFF
+        # exists for — a decisive top-k gap over a long low-impact tail
+        from atire_spark.synth import make_transcripts_skewed
+
+        skew_tables = build_index(
+            spark,
+            spark.createDataFrame(make_transcripts_skewed(4096)),
+            quantize_bits=8,
+            block_bits=13,
+        )
+        write_index(skew_tables, f"{tmp}/skidx")
+        skeng = _SE(spark, load_index(spark, f"{tmp}/skidx"))
+        sk_q = [(1, "skewterm")]
+        sk_pruned, sk_stats = skeng.search_qaat(
+            sk_q, k=10, early_termination="diff", return_stats=True
+        )
+        sk_p = sk_pruned.toPandas()
+        sk_exact = skeng.search_qaat(
+            sk_q, k=10, early_termination=None
+        ).toPandas()
+        sk_agree = sum(
+            1 for a, b in zip(sk_p.docid, sk_exact.docid) if a == b
+        ) / max(len(sk_exact), 1)
+        qaat_skewed = {
+            "processed_quantums": sk_stats["processed_quantums"],
+            "total_quantums": sk_stats["total_quantums"],
+            "skipped_pct": round(
+                100.0
+                * (
+                    1
+                    - sk_stats["processed_quantums"]
+                    / max(sk_stats["total_quantums"], 1)
+                ),
+                1,
+            ),
+            "topk_agreement_pct": round(100.0 * sk_agree, 1),
+        }
+
         # ---- TopSig signature index (same quarter corpus) ---------------
         from atire_spark.topsig import build_topsig, search_topsig
 
@@ -200,6 +241,7 @@ def main() -> None:
         "sf_corpus_sec": round(sf_sec, 3),
         "sf_corpus_rows": sf_rows,
         "qaat_pruning": qaat,
+        "qaat_pruning_skewed": qaat_skewed,
         "topsig": topsig,
         "cpus": cpus,
         "gen_sec": round(gen_sec, 3),

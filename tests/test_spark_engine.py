@@ -437,3 +437,34 @@ class TestCjkDictSegmentedBuild:
         assert "北" not in terms  # no single-char fallout for dict words
         res = eng.search_batch([(1, "北京")], k=5).toPandas()
         assert set(res.docid) == {0, 2}
+
+
+class TestQaatSkewedPruning:
+    """The uniform fixtures never trip QUANTUM_STOP_DIFF (adjacent
+    top-k scores ~1 fixed-point unit apart); the skewed corpus
+    (synth.make_transcripts_skewed) is the regime the rule exists
+    for (atire_api.c:759-782): a decisive top-k gap over a long
+    low-impact tail, so the tail quanta must be skipped while the
+    top-k stays identical to exhaustive evaluation."""
+
+    @pytest.fixture(scope="class")
+    def skew_engine(self, spark):
+        from atire_spark.synth import make_transcripts_skewed
+
+        tdf = spark.createDataFrame(make_transcripts_skewed(2048))
+        idx = build_index(spark, tdf, block_bits=13, quantize_bits=8)
+        return SearchEngine(spark, idx)
+
+    def test_stop_rule_fires_and_topk_agrees(self, skew_engine):
+        q = [(1, "skewterm")]
+        res, stats = skew_engine.search_qaat(
+            q, k=10, early_termination="diff", return_stats=True
+        )
+        # the long tail (dozens of low quanta) must be skipped
+        assert stats["processed_quantums"] < stats["total_quantums"] // 2
+        got = res.toPandas()
+        exact = skew_engine.search_qaat(
+            q, k=10, early_termination=None
+        ).toPandas()
+        assert list(got.docid) == list(exact.docid)
+        assert list(got.rsv_fixed) == list(exact.rsv_fixed)
