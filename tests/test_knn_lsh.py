@@ -112,13 +112,15 @@ def test_lsh_matches_brute_on_shared_candidates(spark, emb):
 
 
 def test_ivf_recall_and_exact_scores(spark):
-    """IVF with nprobe=3 of nlist=16 cells keeps >=0.8 recall@10 vs the
-    brute-force scan on the sf0.001 embeddings, and every returned
-    cosine equals the brute value for that pair (candidate pruning
-    never changes a surviving score)."""
+    """IVF with k-means-trained centroids (nprobe=5 of nlist=16 cells)
+    keeps >=0.8 recall@10 vs the brute-force scan on the sf0.01
+    embeddings (sf0.001's 50 vectors over 16 cells is a degenerate
+    quantizer geometry), and every returned cosine equals the brute
+    value for that pair (candidate pruning never changes a surviving
+    score)."""
     from atire_spark.corpus import knn_brute_cosine, knn_ivf
 
-    sf = "/root/testdata/sf0.001"
+    sf = "/root/testdata/sf0.01"
     brute = knn_brute_cosine(spark, sf, k=10).toPandas()
     ivf = knn_ivf(spark, sf, k=10).toPandas()
     bset = set(map(tuple, brute[["q_id", "vec_id"]].values))
@@ -129,3 +131,17 @@ def test_ivf_recall_and_exact_scores(spark):
         key = (r["q_id"], r["vec_id"])
         if key in bcos.index:
             assert r["cosine"] == bcos[key]
+
+
+def test_ivf_query_plan_prunes_cell_partitions(spark):
+    """The IVF query must read only the probed cells: the cells scan
+    carries a PartitionFilters literal (storage partition pruning),
+    and no full-collection window appears at query time."""
+    from atire_spark.corpus import knn_ivf
+
+    df = knn_ivf(spark, "/root/testdata/sf0.01", k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        line for line in plan.splitlines() if "atire_ivf" in line
+    ]
+    assert any("PartitionFilters: [cell" in line for line in scan_lines), plan
