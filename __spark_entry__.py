@@ -1676,6 +1676,16 @@ def _q_bm25_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
 
 
+def _q_bm25_quantized_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-Q with automatic bit selection (memory_index.c:1553-1556):
+    bits = trunc(5.4 + 5.4e-4*sqrt(N)) — 5 bits at sf0.01, so the
+    oracle certifies a genuinely different impact scale than fixed8."""
+    eng = _build_engine(
+        spark, sf_dir, sf_dir.rstrip("/") + "#quant_auto", quantize_bits="auto"
+    )
+    return eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
+
+
 def _q_qaat_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantum-at-a-time traversal in exact mode
     (early_termination=None): processes every quantum in global
@@ -2674,7 +2684,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg["qaat_exact_topk"] = _q_qaat_exact
     reg["pregen_recent_topk"] = _q_pregen_recent
     reg["readable_topk"] = _q_readable
-    reg["bm25_quantized_topk"] = _q_bm25_quantized
+    reg["bm25_quantized_topk"] = _suite_fn(
+        [("fixed8", _q_bm25_quantized), ("auto", _q_bm25_quantized_auto)],
+        "bits",
+    )
     reg["boolean_topk"] = _q_boolean
     reg["topk_materialized"] = _q_topk_materialized
     for suite, tags in _RANKER_SUITE_MEMBERS.items():
@@ -3092,7 +3105,13 @@ WHERE r.rank <= {TOP_K}
     reg["qaat_exact_topk"] = parts["qaat_exact_topk"]
     reg["pregen_recent_topk"] = parts["pregen_recent_topk"]
     reg["readable_topk"] = parts["readable_topk"]
-    reg["bm25_quantized_topk"] = parts["bm25_quantized_topk"]
+    reg["bm25_quantized_topk"] = _suite_sql(
+        [
+            ("fixed8", parts["bm25_quantized_topk"]),
+            ("auto", _quantized_sql(auto_bits=True)),
+        ],
+        "bits",
+    )
     reg["boolean_topk"] = parts["boolean_topk"]
     reg["topk_materialized"] = parts["topk_materialized"]
     for suite, tags in _RANKER_SUITE_MEMBERS.items():
@@ -3214,7 +3233,18 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def _quantized_sql() -> str:
+def _quantized_sql(auto_bits: bool = False) -> str:
+    """Quantized-index BM25 oracle; ``auto_bits`` switches the scale
+    from the fixed 8-bit 254.0 to the reference's automatic formula
+    (memory_index.c:1553-1556, truncating C cast): bits =
+    trunc(5.4 + 5.4e-4*sqrt(N)), scale = 2^bits - 2."""
+    scale = (
+        "(pow(2.0, trunc(5.4 + 5.4e-4 * sqrt(CAST(s2.n_docs AS DOUBLE))))"
+        " - 2.0)"
+        if auto_bits
+        else "254.0"
+    )
+    stats_join = "CROSS JOIN stats s2" if auto_bits else ""
     return f"""
 WITH {_CORPUS_CTE},
 scored_all AS (
@@ -3233,9 +3263,9 @@ scored_all AS (
 qrange AS (SELECT min(rsv) AS qmin, max(rsv) AS qmax FROM scored_all),
 impacts AS (
   SELECT term, docid,
-         CAST(trunc(((rsv - qmin) / (qmax - qmin)) * 254.0 + 1.0) AS BIGINT)
+         CAST(trunc(((rsv - qmin) / (qmax - qmin)) * {scale} + 1.0) AS BIGINT)
            AS impact
-  FROM scored_all CROSS JOIN qrange
+  FROM scored_all CROSS JOIN qrange {stats_join}
 ),
 q(query_id, term, weight) AS (
   VALUES {_query_values_sql()}

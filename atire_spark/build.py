@@ -847,7 +847,7 @@ def build_index(
     transcripts: DataFrame,
     block_bits: int | None = None,
     blocks_per_seg: int = 1,
-    quantize_bits: int | None = None,
+    quantize_bits: int | str | None = None,
     stage_dir: str | None = None,
     stemmer: str | None = None,
     stop_before_indexing: str | None = None,
@@ -873,7 +873,10 @@ def build_index(
     outlive the returned lazy DataFrames — after :func:`write_index`
     it can be deleted.
 
-    ``quantize_bits`` switches on the reference's -Q mode: postings
+    ``quantize_bits`` switches on the reference's -Q mode (an int bit
+    width, or ``"auto"`` for the reference's collection-size formula
+    ``(long long)(5.4 + 5.4e-4*sqrt(N))``, memory_index.c:1553-1556):
+    postings
     store pre-scored integer impacts instead of saturated tfs, and the
     stats row records (quantized, quant_bits, quant_min, quant_max) —
     the reference's ``~quantized``/``~quantmax``/``~quantmin`` index
@@ -998,6 +1001,15 @@ def build_index(
     # zeros keep the stats row well-formed
     n_docs, coll_len = int(row["n"]), int(row["s"] or 0)
     mean_len = coll_len / n_docs if n_docs else 0.0
+    if quantize_bits == "auto":
+        # memory_index.c:1553-1556: bits = (long long)(5.4 +
+        # 5.4e-4*sqrt(df)) where df is the ~length squiggle node's
+        # document frequency — i.e. the collection size (Crane,
+        # Trotman & O'Keefe, CIKM 2013: maintaining discriminatory
+        # power in quantized indexes)
+        import math
+
+        quantize_bits = int(5.4 + 5.4e-4 * math.sqrt(n_docs))
     postings, term_stats, qmin, qmax = quantized_segments_from_stage1(
         stage1,
         n_docs,

@@ -265,6 +265,29 @@ class TestQuantized:
             quant_engine.index.postings.filter(F.col("max_impact") > 255).count() == 0
         )
 
+    def test_auto_bits_formula(self, spark, quant_pdf):
+        """quantize_bits='auto' applies the reference's collection-size
+        formula (memory_index.c:1553-1556, truncating cast) and every
+        stored impact fits the selected width."""
+        import math
+
+        idx = build_index(
+            spark,
+            spark.createDataFrame(quant_pdf),
+            block_bits=9,
+            blocks_per_seg=3,
+            quantize_bits="auto",
+        )
+        eng = SearchEngine(spark, idx)
+        n = idx.docmap.count()
+        assert eng.quant_bits == int(5.4 + 5.4e-4 * math.sqrt(n))
+        assert (
+            idx.postings.filter(
+                F.col("max_impact") >= 2 ** eng.quant_bits
+            ).count()
+            == 0
+        )
+
     def test_qaat_exact_equals_taat(self, quant_engine):
         a = quant_engine.search_batch(self.QUERIES, k=10).toPandas()
         b = quant_engine.search_qaat(
