@@ -1030,54 +1030,137 @@ SELECT q_id, rank, vec_id, cosine FROM ranked WHERE rank <= {k}
 """
 
 
-def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque-binary media plumbing: a binary payload column flows
-    through an Arrow mapInPandas stage that emits typed metadata.
+def _synth_media_payloads(doc_ids, texts) -> list[bytes]:
+    """Deterministic REAL container payloads for the multimodal
+    entries: even doc_ids get a valid PNG signature + IHDR chunk
+    (big-endian, CRC32 included), odd doc_ids a valid BMP file header
+    + BITMAPINFOHEADER (little-endian); the utf-8 text rides along as
+    body bytes. Dimensions derive from doc_id so the SQL oracle can
+    state the expected metadata WITHOUT parsing — the engine-side
+    parser is checked against an independent derivation."""
+    import struct
+    import zlib
 
-    The decode itself is a STUB (this container has no image/audio
-    libraries): dimensions are a deterministic fake derived from the
-    payload size, clearly marked below. The Spark-side plumbing —
-    binary column in Arrow batches, schema'd UDF output, map-only
-    plan — is the real, tested part; a real decoder slots into
-    ``_fake_decode`` unchanged.
-    """
+    out = []
+    for d, txt in zip(doc_ids, texts):
+        d = int(d)
+        body = txt.encode("utf-8")
+        w = 16 + d % 509
+        h = 16 + (d * 7) % 277
+        if d % 2 == 0:
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            chunk = b"IHDR" + ihdr
+            out.append(
+                b"\x89PNG\r\n\x1a\n"
+                + struct.pack(">I", len(ihdr))
+                + chunk
+                + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+                + body
+            )
+        else:
+            dib = struct.pack("<IiiHH", 40, w, h, 1, 24) + b"\x00" * 24
+            out.append(
+                b"BM"
+                + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+                + dib
+                + body
+            )
+    return out
+
+
+def parse_media_header(buf: bytes) -> tuple[str, int, int, int]:
+    """REAL container-header decode — pure byte parsing, no codec
+    libraries: PNG IHDR (PNG spec 11.2.2: width/height as big-endian
+    uint32 at bytes 16..24, bit depth + color type after) and BMP
+    BITMAPINFOHEADER (width/height little-endian int32 at offsets
+    18/22, bits-per-pixel uint16 at 28; negative height = top-down
+    row order). Returns (format, width, height, channels). Pixel
+    decoding (zlib IDAT inflation / BMP row unpacking) stays out of
+    scope — the metadata path is what the table pipeline needs."""
+    import struct
+
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", buf[16:24])
+        color_type = buf[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        return "png", w, h, channels
+    if buf[:2] == b"BM":
+        w, h = struct.unpack("<ii", buf[18:26])
+        bpp = struct.unpack("<H", buf[28:30])[0]
+        return "bmp", w, abs(h), bpp // 8
+    raise ValueError("unknown container magic")
+
+
+def _media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload binary) — the synthetic media table the
+    multimodal operators consume (at deployment this is the real
+    binary column of an Iceberg media table)."""
     import pandas as pd
 
-    payload = _docs(spark, sf_dir).select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
 
-    def _fake_decode(n_bytes: int) -> tuple[int, int, int]:
-        # STUB decode: a real implementation would parse the container
-        # header (PIL / ffmpeg). Deterministic fake keeps the contract
-        # testable without the codec libraries.
-        return 16 + n_bytes % 16, 16 + (n_bytes // 16) % 16, 3
-
-    def fn(batches):
+    def gen(batches):
         for pdf in batches:
-            n_bytes = pdf["payload"].map(len)
-            dims = n_bytes.map(_fake_decode)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": n_bytes.astype("int64"),
-                    "width": dims.map(lambda d: d[0]).astype("int32"),
-                    "height": dims.map(lambda d: d[1]).astype("int32"),
-                    "channels": dims.map(lambda d: d[2]).astype("int32"),
+                    "payload": _synth_media_payloads(
+                        pdf["doc_id"], pdf["text"]
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media metadata: the binary payload column flows
+    through an Arrow mapInPandas stage whose :func:`parse_media_header`
+    REALLY parses the container bytes (PNG IHDR / BMP info header) —
+    format, dimensions, channel count. The oracle derives the expected
+    values independently from the payload generation rule, so the
+    byte parser itself is under test."""
+    import pandas as pd
+
+    payload = _media_payloads(spark, sf_dir)
+
+    def fn(batches):
+        for pdf in batches:
+            metas = [parse_media_header(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": [m[0] for m in metas],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "width": pd.Series([m[1] for m in metas], dtype="int32"),
+                    "height": pd.Series([m[2] for m in metas], dtype="int32"),
+                    "channels": pd.Series(
+                        [m[3] for m in metas], dtype="int32"
+                    ),
                 }
             )
 
     return payload.mapInPandas(
-        fn, schema="doc_id long, n_bytes long, width int, height int, channels int"
+        fn,
+        schema=(
+            "doc_id long, format string, n_bytes long, width int,"
+            " height int, channels int"
+        ),
     )
 
 
 def multimodal_meta_sql() -> str:
+    # expected metadata restated from the GENERATION rule (doc_id
+    # arithmetic + fixed header sizes: PNG 8+4+4+13+4=33, BMP 14+40=54)
+    # — intentionally NOT a parse, so the engine parser is truly checked
     return """
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(16 + octet_length(encode(text)) % 16 AS INTEGER) AS width,
-       CAST(16 + (octet_length(encode(text)) // 16) % 16 AS INTEGER) AS height,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+       CAST(octet_length(encode(text))
+            + CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 54 END AS BIGINT)
+         AS n_bytes,
+       CAST(16 + doc_id % 509 AS INTEGER) AS width,
+       CAST(16 + (doc_id * 7) % 277 AS INTEGER) AS height,
        CAST(3 AS INTEGER) AS channels
 FROM documents
 """
@@ -1090,27 +1173,21 @@ MM_BYTES_PER_FRAME = 64  # fake container: 64 payload bytes per frame
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-fit resize planning over decoded dimensions: the real
-    logic every image pipeline runs before the pixel op (which is the
-    stubbed part — a real backend maps ``scale_num/scale_den`` onto a
-    PIL/opencv resample inside the same Arrow stage).
-
-    Map-only over the payload column; integer arithmetic only, so the
-    SQL oracle is exact: the output box fits MM_TARGET² preserving
-    aspect ratio, never upscaling."""
+    """Aspect-fit resize planning over REAL decoded dimensions
+    (:func:`parse_media_header`): the output box fits MM_TARGET**2
+    preserving aspect ratio, never upscaling — integer arithmetic
+    only, so the SQL oracle is exact. The pixel resample itself is
+    the backend slot (PIL/opencv inside the same Arrow stage)."""
     import pandas as pd
 
-    payload = _docs(spark, sf_dir).select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
+    payload = _media_payloads(spark, sf_dir)
 
     def fn(batches):
         for pdf in batches:
-            n = pdf["payload"].map(len).astype("int64")
-            w = (16 + n % 16).astype("int64")  # same fake decode as
-            h = (16 + (n // 16) % 16).astype("int64")  # multimodal_meta
+            metas = [parse_media_header(b) for b in pdf["payload"]]
+            w = pd.Series([m[1] for m in metas], dtype="int64")
+            h = pd.Series([m[2] for m in metas], dtype="int64")
             long_edge = w.where(w >= h, h)
-            # floor-scale both edges by TARGET/long_edge, no upscale
             out_w = w.where(
                 long_edge <= MM_TARGET, (w * MM_TARGET) // long_edge
             ).astype("int32")
@@ -1142,8 +1219,8 @@ def multimodal_resize_sql() -> str:
     return f"""
 WITH dims AS (
   SELECT doc_id,
-         CAST(16 + octet_length(encode(text)) % 16 AS BIGINT) AS w,
-         CAST(16 + (octet_length(encode(text)) // 16) % 16 AS BIGINT) AS h
+         CAST(16 + doc_id % 509 AS BIGINT) AS w,
+         CAST(16 + (doc_id * 7) % 277 AS BIGINT) AS h
   FROM documents
 )
 SELECT doc_id,

@@ -98,3 +98,29 @@ def test_multimodal_frame_sample_explodes_long_payloads(spark, tmp_path):
     assert (long_doc.total_frames == n_frames).all()
     short_doc = out[out.doc_id == 1]
     assert list(short_doc.frame_idx) == [0]
+
+
+def test_media_header_parser_roundtrip():
+    """parse_media_header really parses container bytes: synth PNG/BMP
+    payloads round-trip their dimensions, a hand-built top-down BMP
+    (negative height) normalizes, and unknown magic raises."""
+    import struct
+
+    import pytest
+
+    from atire_spark.corpus import _synth_media_payloads, parse_media_header
+
+    payloads = _synth_media_payloads([0, 1, 2, 3], ["a", "bb", "ccc", "d"])
+    for d, buf in zip([0, 1, 2, 3], payloads):
+        fmt, w, h, ch = parse_media_header(buf)
+        assert fmt == ("png" if d % 2 == 0 else "bmp")
+        assert (w, h, ch) == (16 + d % 509, 16 + (d * 7) % 277, 3)
+    topdown = (
+        b"BM"
+        + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, 640, -480, 1, 32)
+        + b"\x00" * 24
+    )
+    assert parse_media_header(topdown) == ("bmp", 640, 480, 4)
+    with pytest.raises(ValueError):
+        parse_media_header(b"GIF89a...")
