@@ -2645,6 +2645,201 @@ FROM ({ia_sql}) sub
 """
 
 
+# ---------------------------------------------------------------------------
+# stemmer suite entry: every factory stemmer applied through the
+# distributed build-side kernel (stem_unique over Arrow batches, the
+# same code path tokenize_stage runs) to a fixed probe vocabulary.
+# The oracle is a FROZEN LITERAL table: the paice_husk/otago/otago_v2
+# rows were verified against the compiled reference C
+# (stem_paice_husk.c, stem_otago.c, stem_otago_v2.c — see
+# tests/test_stem.py, 6,091/6,091-word sweep), the s/porter rows
+# against the hand-derived rule tables already certified there.
+STEM_SUITE_WORDS = [
+    'queries',
+    'tables',
+    'running',
+    'happiness',
+    'connection',
+    'maximum',
+    'nationally',
+    'classified',
+    'kilometres',
+    'splitting',
+    'realization',
+    'organizations',
+    'troubles',
+    'computes',
+    'magnetic',
+    'specialized',
+    'ponies',
+    'caresses',
+    'motoring',
+    'generalization',
+    'ab',
+    'up',
+    '12345',
+]
+
+# (stemmer, word) -> expected index-side stem; the three new
+# stemmers' rows verified against the compiled reference C
+_STEM_SUITE_EXPECTED = [
+    ('s', 'queries', 'query'),
+    ('s', 'tables', 'tabl'),
+    ('s', 'running', 'running'),
+    ('s', 'happiness', 'happines'),
+    ('s', 'connection', 'connection'),
+    ('s', 'maximum', 'maximum'),
+    ('s', 'nationally', 'nationally'),
+    ('s', 'classified', 'classified'),
+    ('s', 'kilometres', 'kilometr'),
+    ('s', 'splitting', 'splitting'),
+    ('s', 'realization', 'realization'),
+    ('s', 'organizations', 'organization'),
+    ('s', 'troubles', 'troubl'),
+    ('s', 'computes', 'comput'),
+    ('s', 'magnetic', 'magnetic'),
+    ('s', 'specialized', 'specialized'),
+    ('s', 'ponies', 'pony'),
+    ('s', 'caresses', 'caress'),
+    ('s', 'motoring', 'motoring'),
+    ('s', 'generalization', 'generalization'),
+    ('s', 'ab', 'ab'),
+    ('s', 'up', 'up'),
+    ('s', '12345', '12345'),
+    ('porter', 'queries', 'queri'),
+    ('porter', 'tables', 'tabl'),
+    ('porter', 'running', 'run'),
+    ('porter', 'happiness', 'happi'),
+    ('porter', 'connection', 'connect'),
+    ('porter', 'maximum', 'maximum'),
+    ('porter', 'nationally', 'nation'),
+    ('porter', 'classified', 'classifi'),
+    ('porter', 'kilometres', 'kilometr'),
+    ('porter', 'splitting', 'split'),
+    ('porter', 'realization', 'realiz'),
+    ('porter', 'organizations', 'organ'),
+    ('porter', 'troubles', 'troubl'),
+    ('porter', 'computes', 'comput'),
+    ('porter', 'magnetic', 'magnet'),
+    ('porter', 'specialized', 'special'),
+    ('porter', 'ponies', 'poni'),
+    ('porter', 'caresses', 'caress'),
+    ('porter', 'motoring', 'motor'),
+    ('porter', 'generalization', 'gener'),
+    ('porter', 'ab', 'ab'),
+    ('porter', 'up', 'up'),
+    ('porter', '12345', '12345'),
+    ('paice_husk', 'queries', 'query'),
+    ('paice_husk', 'tables', 'tabl'),
+    ('paice_husk', 'running', 'runn'),
+    ('paice_husk', 'happiness', 'happy'),
+    ('paice_husk', 'connection', 'connect'),
+    ('paice_husk', 'maximum', 'maxim'),
+    ('paice_husk', 'nationally', 'nation'),
+    ('paice_husk', 'classified', 'class'),
+    ('paice_husk', 'kilometres', 'kilomet'),
+    ('paice_husk', 'splitting', 'split'),
+    ('paice_husk', 'realization', 'real'),
+    ('paice_husk', 'organizations', 'org'),
+    ('paice_husk', 'troubles', 'troubl'),
+    ('paice_husk', 'computes', 'comput'),
+    ('paice_husk', 'magnetic', 'magnet'),
+    ('paice_husk', 'specialized', 'spec'),
+    ('paice_husk', 'ponies', 'pony'),
+    ('paice_husk', 'caresses', 'caress'),
+    ('paice_husk', 'motoring', 'motor'),
+    ('paice_husk', 'generalization', 'gener'),
+    ('paice_husk', 'ab', 'ab'),
+    ('paice_husk', 'up', 'up'),
+    ('paice_husk', '12345', '12345'),
+    ('otago', 'queries', 'querie'),
+    ('otago', 'tables', 'table'),
+    ('otago', 'running', 'running'),
+    ('otago', 'happiness', 'happines'),
+    ('otago', 'connection', 'connection'),
+    ('otago', 'maximum', 'maximum'),
+    ('otago', 'nationally', 'nationally'),
+    ('otago', 'classified', 'classified'),
+    ('otago', 'kilometres', 'kilometr'),
+    ('otago', 'splitting', 'splitting'),
+    ('otago', 'realization', 'realization'),
+    ('otago', 'organizations', 'organization'),
+    ('otago', 'troubles', 'trouble'),
+    ('otago', 'computes', 'comput'),
+    ('otago', 'magnetic', 'magnet'),
+    ('otago', 'specialized', 'specialized'),
+    ('otago', 'ponies', 'ponie'),
+    ('otago', 'caresses', 'caress'),
+    ('otago', 'motoring', 'motoring'),
+    ('otago', 'generalization', 'generalization'),
+    ('otago', 'ab', 'ab'),
+    ('otago', 'up', 'up'),
+    ('otago', '12345', '12345'),
+    ('otago_v2', 'queries', 'querie'),
+    ('otago_v2', 'tables', 'table'),
+    ('otago_v2', 'running', 'running'),
+    ('otago_v2', 'happiness', 'happin'),
+    ('otago_v2', 'connection', 'connectio'),
+    ('otago_v2', 'maximum', 'maximum'),
+    ('otago_v2', 'nationally', 'nationalli'),
+    ('otago_v2', 'classified', 'classified'),
+    ('otago_v2', 'kilometres', 'kilometr'),
+    ('otago_v2', 'splitting', 'splitting'),
+    ('otago_v2', 'realization', 'realizatio'),
+    ('otago_v2', 'organizations', 'organizatio'),
+    ('otago_v2', 'troubles', 'trouble'),
+    ('otago_v2', 'computes', 'comput'),
+    ('otago_v2', 'magnetic', 'magneti'),
+    ('otago_v2', 'specialized', 'specialized'),
+    ('otago_v2', 'ponies', 'ponie'),
+    ('otago_v2', 'caresses', 'caress'),
+    ('otago_v2', 'motoring', 'motoring'),
+    ('otago_v2', 'generalization', 'generalizatio'),
+    ('otago_v2', 'ab', 'ab'),
+    ('otago_v2', 'up', 'up'),
+    ('otago_v2', '12345', '12345'),
+]
+
+
+def _q_stemmer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from atire_spark.kernels.stem import STEMMERS, stem_unique
+
+    words = spark.createDataFrame(
+        [(w,) for w in STEM_SUITE_WORDS], "word string"
+    )
+
+    def mk(stemmer: str):
+        def fn(batches):
+            for pdf in batches:
+                u = np.asarray(pdf["word"].to_numpy(), dtype=object)
+                yield pd.DataFrame(
+                    {"word": pdf["word"], "stem": stem_unique(u, stemmer)}
+                )
+
+        return fn
+
+    out = None
+    for st in STEMMERS:
+        d = words.mapInPandas(mk(st), schema="word string, stem string").select(
+            F.lit(st).alias("stemmer"), "*"
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def _stemmer_suite_sql() -> str:
+    rows = ",\n       ".join(
+        f"({st!r}, {w!r}, {expect!r})"
+        for st, w, expect in _STEM_SUITE_EXPECTED
+    )
+    return f"""
+SELECT * FROM (VALUES {rows}) AS t(stemmer, word, stem)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from atire_spark.corpus import CORPUS_QUERIES
 
@@ -2690,6 +2885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     reg["boolean_topk"] = _q_boolean
     reg["topk_materialized"] = _q_topk_materialized
+    reg["stemmer_suite_map"] = _q_stemmer_suite
     for suite, tags in _RANKER_SUITE_MEMBERS.items():
         reg[suite] = _suite_fn([(t, ranker_fns[t]) for t in tags], "ranker")
     # previously certified entries
@@ -3114,6 +3310,7 @@ WHERE r.rank <= {TOP_K}
     )
     reg["boolean_topk"] = parts["boolean_topk"]
     reg["topk_materialized"] = parts["topk_materialized"]
+    reg["stemmer_suite_map"] = _stemmer_suite_sql()
     for suite, tags in _RANKER_SUITE_MEMBERS.items():
         reg[suite] = _suite_sql(
             [(t, parts[f"{t}_topk"]) for t in tags], "ranker"

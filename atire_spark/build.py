@@ -101,7 +101,7 @@ def tokenize_stage(
     per document (the reference's memory_index_one per-doc hash) and
     doc_len = surviving WORD+NUMBER token count.
 
-    ``stemmer`` ("s" | "porter" | None) applies index-side stemming
+    ``stemmer`` (any kernels.stem.STEMMERS name | None) applies index-side stemming
     (index_document.c:103-111: words > 3 chars only, numbers raw) to
     the batch *vocabulary* — one Python stem call per distinct term
     per batch, then a vectorized code remap; tf/cf then count stems.
@@ -882,7 +882,8 @@ def build_index(
     the reference's ``~quantized``/``~quantmax``/``~quantmin`` index
     variables (memory_index.c:1562-1580).
 
-    ``stemmer`` ("s" | "porter") stems at index time and records the
+    ``stemmer`` (any kernels.stem.STEMMERS name: "s", "porter",
+    "paice_husk", "otago", "otago_v2") stems at index time and records the
     stemmer name in the stats row — the reference's ``~stemmer`` index
     variable (memory_index.c:1487-1521); SearchEngine reads it and
     stems query terms with the same stemmer (search_engine.c:775-779).
@@ -897,8 +898,12 @@ def build_index(
     """
     import tempfile
 
-    if stemmer is not None and stemmer not in ("s", "porter"):
-        raise ValueError(f"unknown stemmer {stemmer!r} (use 's' or 'porter')")
+    from atire_spark.kernels.stem import STEMMERS
+
+    if stemmer is not None and stemmer not in STEMMERS:
+        raise ValueError(
+            f"unknown stemmer {stemmer!r} (known: {', '.join(STEMMERS)})"
+        )
     if puurula and quantize_bits is not None:
         # the reference's -Q pipeline cannot change ranker afterwards
         # (atire_api.c:472-478), so lmp length vectors would be dead

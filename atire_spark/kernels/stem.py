@@ -32,7 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-STEMMERS = ("s", "porter")
+STEMMERS = ("s", "porter", "paice_husk", "otago", "otago_v2")
 
 _VOWELS = "aeiou"
 
@@ -305,7 +305,375 @@ def stem_porter(term: str) -> str:
     return "".join(reversed(r[at:]))
 
 
-_STEM_FN = {"s": stem_s, "porter": stem_porter}
+# ------------------------------------------------------------ Paice-Husk
+# The published Lancaster (Paice/Husk) rule set — DATA, not code: the
+# same rule file the reference inlines (stem_paice_husk.c:460-577,
+# from the official Lancaster stemming site), attributed per its
+# BSD-like terms. Tuple = (key, replacement, intact, protect, cont).
+_PAICE_HUSK_RULES: list[tuple[str, str, bool, bool, bool]] = [
+    ('ia', '', True, False, False),
+    ('a', '', True, False, False),
+    ('bb', 'b', False, False, False),
+    ('ytic', 'ys', False, False, False),
+    ('ic', '', False, False, True),
+    ('nc', 'nt', False, False, True),
+    ('dd', 'd', False, False, False),
+    ('ied', 'y', False, False, True),
+    ('ceed', 'cess', False, False, False),
+    ('eed', 'ee', False, False, False),
+    ('ed', '', False, False, True),
+    ('hood', '', False, False, True),
+    ('e', '', False, False, True),
+    ('lief', 'liev', False, False, False),
+    ('if', '', False, False, True),
+    ('ing', '', False, False, True),
+    ('iag', 'y', False, False, False),
+    ('ag', '', False, False, True),
+    ('gg', 'g', False, False, False),
+    ('th', '', True, False, False),
+    ('guish', 'ct', False, False, False),
+    ('ish', '', False, False, True),
+    ('i', '', True, False, False),
+    ('i', 'y', False, False, True),
+    ('ij', 'id', False, False, False),
+    ('fuj', 'fus', False, False, False),
+    ('uj', 'ud', False, False, False),
+    ('oj', 'od', False, False, False),
+    ('hej', 'her', False, False, False),
+    ('verj', 'vert', False, False, False),
+    ('misj', 'mit', False, False, False),
+    ('nj', 'nd', False, False, False),
+    ('j', 's', False, False, False),
+    ('ifiabl', '', False, False, False),
+    ('iabl', 'y', False, False, False),
+    ('abl', '', False, False, True),
+    ('ibl', '', False, False, False),
+    ('bil', 'bl', False, False, True),
+    ('cl', 'c', False, False, False),
+    ('iful', 'y', False, False, False),
+    ('ful', '', False, False, True),
+    ('ul', '', False, False, False),
+    ('ial', '', False, False, True),
+    ('ual', '', False, False, True),
+    ('al', '', False, False, True),
+    ('ll', 'l', False, False, False),
+    ('ium', '', False, False, False),
+    ('um', '', True, False, False),
+    ('ism', '', False, False, True),
+    ('mm', 'm', False, False, False),
+    ('sion', 'j', False, False, True),
+    ('xion', 'ct', False, False, False),
+    ('ion', '', False, False, True),
+    ('ian', '', False, False, True),
+    ('an', '', False, False, True),
+    ('een', '', False, True, False),
+    ('en', '', False, False, True),
+    ('nn', 'n', False, False, False),
+    ('ship', '', False, False, True),
+    ('pp', 'p', False, False, False),
+    ('er', '', False, False, True),
+    ('ear', '', False, True, False),
+    ('ar', '', False, False, False),
+    ('or', '', False, False, True),
+    ('ur', '', False, False, True),
+    ('rr', 'r', False, False, False),
+    ('tr', 't', False, False, True),
+    ('ier', 'y', False, False, True),
+    ('ies', 'y', False, False, True),
+    ('sis', 's', False, False, False),
+    ('is', '', False, False, True),
+    ('ness', '', False, False, True),
+    ('ss', '', False, True, False),
+    ('ous', '', False, False, True),
+    ('us', '', True, False, False),
+    ('s', '', True, False, True),
+    ('s', '', False, False, False),
+    ('plicat', 'ply', False, False, False),
+    ('at', '', False, False, True),
+    ('ment', '', False, False, True),
+    ('ent', '', False, False, True),
+    ('ant', '', False, False, True),
+    ('ript', 'rib', False, False, False),
+    ('orpt', 'orb', False, False, False),
+    ('duct', 'duc', False, False, False),
+    ('sumpt', 'sum', False, False, False),
+    ('cept', 'ceiv', False, False, False),
+    ('olut', 'olv', False, False, False),
+    ('sist', '', False, True, False),
+    ('ist', '', False, False, True),
+    ('tt', 't', False, False, False),
+    ('iqu', '', False, False, False),
+    ('ogu', 'og', False, False, False),
+    ('siv', 'j', False, False, True),
+    ('eiv', '', False, True, False),
+    ('iv', '', False, False, True),
+    ('bly', 'bl', False, False, True),
+    ('ily', 'y', False, False, True),
+    ('ply', '', False, True, False),
+    ('ly', '', False, False, True),
+    ('ogy', 'og', False, False, False),
+    ('phy', 'ph', False, False, False),
+    ('omy', 'om', False, False, False),
+    ('opy', 'op', False, False, False),
+    ('ity', '', False, False, True),
+    ('ety', '', False, False, True),
+    ('lty', 'l', False, False, False),
+    ('istry', '', False, False, False),
+    ('ary', '', False, False, True),
+    ('ory', '', False, False, True),
+    ('ify', '', False, False, False),
+    ('ncy', 'nt', False, False, True),
+    ('acy', '', False, False, True),
+    ('iz', '', False, False, True),
+    ('yz', 'ys', False, False, False),
+]
+
+# bucketed by last letter of the key, file order preserved
+# (stem_paice_husk.c tblindex/addrule)
+_PH_BUCKETS: dict[str, list] = {}
+for _r in _PAICE_HUSK_RULES:
+    _PH_BUCKETS.setdefault(_r[0][-1], []).append(_r)
+
+
+def _ph_acceptable(s: str) -> bool:
+    """acceptable() (stem_paice_husk.c:433-453) with its quirks kept:
+    only a-z stems qualify; length > 3 always accepted; vowel-initial
+    (y counts as vowel) needs a consonant second letter; and the
+    consonant-initial short branch is ALWAYS false — the reference's
+    ``isvowel((*(s+1)) || isvowel(*(s+2))) && (x > 3)`` parenthesizes
+    the vowel test around the boolean OR (so it tests chr(1)) and the
+    x>3 arm is unreachable in the x<=3 branch. Faithfully reproduced:
+    consonant-initial stems must be longer than 3 chars."""
+    if not s or any(not ("a" <= c <= "z") for c in s):
+        return False
+    if len(s) > 3:
+        return True
+    if s[0] in "aeiouy":
+        return len(s) >= 2 and s[1] not in "aeiouy"
+    return False
+
+
+def stem_paice_husk(term: str) -> str:
+    """Lancaster/Paice-Husk stemmer with the reference's control flow
+    (stem_paice_husk.c raw_stem/rulewalk/applyrule): iterate rule
+    lookups bucketed by the current last letter; first matching rule
+    applies (intact rules only while the word is unmodified, protect
+    rules stop without change); continue-flagged rules loop; an
+    unacceptable intermediate stem rolls back to the last acceptable
+    one. Words >= 250 chars pass through (maxwdsz guard)."""
+    if len(term) >= 250:
+        return term
+    word = term
+    if not _ph_acceptable(word):
+        return word  # early return skips the apostrophe strip, like C
+    intact = True
+    trail = word
+    while True:
+        # rulewalk over the last-letter bucket
+        outcome = "stop"
+        new_word = word
+        for key, rep, r_intact, r_protect, r_cont in _PH_BUCKETS.get(
+            word[-1], ()
+        ):
+            if r_intact and not intact:
+                continue
+            if len(key) > len(word) or not word.endswith(key):
+                continue
+            if r_protect:
+                outcome = "stop"
+            else:
+                new_word = word[: len(word) - len(key)] + rep
+                outcome = "cont" if r_cont else "stop"
+            break
+        word = new_word
+        if outcome == "stop":
+            break
+        intact = False
+        if not _ph_acceptable(word):
+            return trail.split("'", 1)[0]
+        trail = word
+    final = word if _ph_acceptable(word) else trail
+    return final.split("'", 1)[0]
+
+
+# ------------------------------------------------------------ Otago v1/v2
+def _otago_m(s: str) -> int:
+    """The Porter measure m() as both Otago stemmers compute it
+    (stem_otago.c:38-74: forward word, y is a consonant at position 0,
+    else the complement of its predecessor)."""
+    n = len(s)
+    cons = [False] * n
+    for i, c in enumerate(s):
+        if c in "aeiou":
+            cons[i] = False
+        elif c == "y":
+            cons[i] = True if i == 0 else not cons[i - 1]
+        else:
+            cons[i] = True
+    i, m = 0, 0
+    while i < n and cons[i]:
+        i += 1
+    i += 1
+    while True:
+        while True:
+            if i >= n:
+                return m
+            if cons[i]:
+                break
+            i += 1
+        i += 1
+        m += 1
+        while True:
+            if i >= n:
+                return m
+            if not cons[i]:
+                break
+            i += 1
+        i += 1
+
+
+# GP-learned rule cascades (Vaughn Wood, learned for the INEX
+# Wikipedia collection) — rule DATA transcribed from the reference's
+# condition/replacement constants. Tuple = (m_min | None, suffix,
+# replacement, length_bound); result = word[:-len(suffix)] + repl.
+# v1 (stem_otago.c:80-238): three first-match blocks, strict
+# ``length > bound`` guards, m() on the current buffer.
+_OTAGO_V1_BLOCKS: list[list[tuple[int | None, str, str, int]]] = [
+    [
+        (None, "shi", "f", 6),
+        (2, "ej", "", 5),
+        (4, "ngen", "", 7),
+        (1, "i", "dops", 4),
+        (4, "nes", "sy", 6),
+        (None, "ics", "e", 6),
+        (None, "ii", "sr", 5),
+        (None, "ito", "ng", 6),
+        (4, "rs", "tie", 5),
+        (None, "q", "", 4),
+        (4, "al", "", 5),
+        (3, "in", "ar", 5),
+        (None, "ice", "s", 6),
+        (3, "ic", "", 5),
+    ],
+    [
+        (4, "rs", "tie", 5),
+        (1, "s", "", 4),
+        (1, "f", "uow", 4),
+        (None, "f", "uow", 4),
+        (None, "q", "", 4),
+        (1, "s", "", 4),
+    ],
+    [
+        (2, "que", "sy", 6),
+        (None, "sl", "anu", 5),
+        (2, "e", "", 4),
+        (1, "f", "", 4),
+        (3, "ague", "dz", 7),
+        (None, "ean", "", 6),
+    ],
+]
+
+# v2 (stem_otago_v2.c:81-426): if/else-if groups applied in sequence,
+# ``length >= bound`` guards, m() recomputed after every applied rule.
+_OTAGO_V2_GROUPS: list[list[tuple[int | None, str, str, int]]] = [
+    [(1, "s", "", 3), (None, "dar", "ater", 5)],
+    [
+        (4, "enet", "r", 6),
+        (None, "ya", "ros", 4),
+        (4, "y", "itsk", 3),
+        (1, "ce", "ing", 4),
+        (None, "c", "", 3),
+        (1, "apse", "z", 6),
+        (3, "n", "", 3),
+    ],
+    [(None, "ki", "gby", 4), (1, "s", "", 3)],
+    [
+        (4, "na", "koto", 4),
+        (None, "bco", "", 5),
+        (None, "alur", "s", 6),
+        (2, "nonc", "eris", 6),
+        (3, "rd", "ller", 4),
+        (4, "al", "", 4),
+        (3, "welt", "n", 6),
+        (None, "w", "gia", 3),
+        (4, "ness", "man", 6),
+        (3, "ri", "n", 4),
+        (None, "ioco", "", 6),
+        (4, "mer", "", 5),
+        (None, "uk", "ia", 4),
+        (1, "a", "or", 3),
+        (2, "ecci", "ks", 6),
+        (1, "sk", "", 4),
+        (4, "ongo", "", 6),
+    ],
+    [(None, "ya", "kas", 4), (None, "y", "i", 3), (1, "ce", "yaka", 4)],
+    [(3, "n", "", 3)],
+    [(None, "ki", "gby", 4), (1, "rder", "pia", 6)],
+    [
+        (4, "na", "koto", 4),
+        (None, "miy", "", 5),
+        (None, "alur", "s", 6),
+        (2, "ovo", "ozor", 4),
+        (None, "wahj", "nes", 6),
+        (4, "i", "ssig", 3),
+        (3, "hner", "", 6),
+        (3, "st", "ish", 4),
+        (4, "k", "idae", 3),
+        (None, "s", "", 3),
+    ],
+    [
+        (1, "uel", "r", 5),
+        (2, "ry", "g", 4),
+        (None, "rian", "n", 6),
+        (2, "e", "", 3),
+    ],
+    [(None, "lit", "ns", 5)],
+]
+
+
+def stem_otago(term: str) -> str:
+    """Otago v1 (stem_otago.c:80-238): three first-match rule blocks,
+    applied cumulatively; guards are strict length >."""
+    word = term
+    for block in _OTAGO_V1_BLOCKS:
+        m = _otago_m(word)
+        for m_min, suf, rep, bound in block:
+            if (
+                (m_min is None or m >= m_min)
+                and len(word) > bound
+                and word.endswith(suf)
+            ):
+                word = word[: len(word) - len(suf)] + rep
+                break
+    return word
+
+
+def stem_otago_v2(term: str) -> str:
+    """Otago v2 (stem_otago_v2.c:81-426): first-match groups applied
+    in sequence; guards are length >=; the measure is recomputed after
+    every applied rule."""
+    word = term
+    m = _otago_m(word)
+    for group in _OTAGO_V2_GROUPS:
+        for m_min, suf, rep, bound in group:
+            if (
+                (m_min is None or m >= m_min)
+                and len(word) >= bound
+                and word.endswith(suf)
+            ):
+                word = word[: len(word) - len(suf)] + rep
+                m = _otago_m(word)
+                break
+    return word
+
+
+_STEM_FN = {
+    "s": stem_s,
+    "porter": stem_porter,
+    "paice_husk": stem_paice_husk,
+    "otago": stem_otago,
+    "otago_v2": stem_otago_v2,
+}
 
 
 def index_stem(term: str, stemmer: str) -> str:

@@ -170,7 +170,9 @@ PLURAL_TRANSCRIPTS = pd.DataFrame(
 )
 
 
-@pytest.mark.parametrize("stemmer", ["s", "porter"])
+@pytest.mark.parametrize(
+    "stemmer", ["s", "porter", "paice_husk", "otago", "otago_v2"]
+)
 def test_stemmed_index_matches_oracle(spark, stemmer):
     """Spark stemmed build + query == numpy oracle with the same
     stemmer, on a plural-rich corpus where stemming changes ranks."""
@@ -201,3 +203,175 @@ def test_stemmer_mismatch_rejected(spark):
         SearchEngine(spark, idx, stemmer=None)
     # auto picks up the recorded stemmer
     assert SearchEngine(spark, idx).stemmer == "s"
+
+
+# ------------------------------------------- Paice-Husk / Otago v1 / v2
+# Expected stems VERIFIED AGAINST THE COMPILED REFERENCE C: each table
+# below was produced by running stem_paice_husk.c / stem_otago.c /
+# stem_otago_v2.c (built with g++ from /root/reference/source) over a
+# 6,091-word vocabulary (corpus terms + suffix-rich synthetics + random
+# strings) and freezing 40 rule-exercising cases per stemmer; the full
+# sweep matched 6,091/6,091 for all three.
+_PAICE_HUSK_CASES = [
+    ('agueist', 'agu'),
+    ('alure', 'al'),
+    ('alurice', 'al'),
+    ('apse', 'ap'),
+    ('apsesion', 'apses'),
+    ('aqgjyyba', 'aqgjyyb'),
+    ('computej', 'computes'),
+    ('connectous', 'connect'),
+    ('djmgthkgpaj', 'djmgthkgpas'),
+    ('ehfs', 'ehf'),
+    ('generalive', 'gener'),
+    ('itoncy', 'itont'),
+    ('jkkni', 'jkkn'),
+    ('magnetary', 'magnet'),
+    ('magnetent', 'magnet'),
+    ('maximical', 'maxim'),
+    ('nckhtybjcs', 'nckhtybjc'),
+    ('noncii', 'nonci'),
+    ('noncory', 'nont'),
+    ('organncy', 'organnt'),
+    ('pcrnoizxxj', 'pcrnoizxxs'),
+    ('programic', 'program'),
+    ('pvunc', 'pvunt'),
+    ('queics', 'queic'),
+    ('querical', 'quer'),
+    ('rderce', 'rderc'),
+    ('rderxion', 'rderct'),
+    ('realant', 'real'),
+    ('shirs', 'shir'),
+    ('sqgvbfblj', 'sqgvbfbls'),
+    ('srevubuisa', 'srevubuis'),
+    ('stdlsuuxbwna', 'stdlsuuxbwn'),
+    ('tablia', 'tabl'),
+    ('troublers', 'troubl'),
+    ('troublist', 'troubl'),
+    ('troublment', 'troubl'),
+    ('uelers', 'ueler'),
+    ('uelrian', 'uelr'),
+    ('uervjkfe', 'uervjkf'),
+    ('weltale', 'welt'),
+]
+
+_OTAGO_CASES = [
+    ('aguef', 'agueuow'),
+    ('classics', 'classe'),
+    ('connectale', 'connectal'),
+    ('eanable', 'eanabl'),
+    ('ebxlovsq', 'ebxlov'),
+    ('egciwyxyvti', 'egciwyxyvtdop'),
+    ('electrce', 'electrc'),
+    ('generalic', 'general'),
+    ('hkhdbnf', 'hkhdbnuow'),
+    ('ifhcvypq', 'ifhcvyp'),
+    ('indexce', 'indexc'),
+    ('indexic', 'index'),
+    ('indexii', 'indexidop'),
+    ('indexness', 'indexnes'),
+    ('iocoable', 'iocoabl'),
+    ('itoive', 'itoiv'),
+    ('kewls', 'kewl'),
+    ('kiers', 'kier'),
+    ('lvbgvuhnq', 'lvbgvuhn'),
+    ('magnetable', 'magnetabl'),
+    ('magnetness', 'magnetnes'),
+    ('miyes', 'miye'),
+    ('nationin', 'nationar'),
+    ('nationq', 'nation'),
+    ('noncq', 'nonc'),
+    ('querrs', 'querr'),
+    ('rationalq', 'rational'),
+    ('roxhlgkq', 'roxhlgk'),
+    ('runnes', 'runne'),
+    ('stemnes', 'stemne'),
+    ('tablale', 'tablal'),
+    ('tbeas', 'tbea'),
+    ('troublics', 'trouble'),
+    ('twpellhoaje', 'twpellhoaj'),
+    ('uelible', 'uelibl'),
+    ('uelii', 'uelidop'),
+    ('uelnes', 'uelne'),
+    ('vyjqrtocf', 'vyjqrtocuow'),
+    ('weltrs', 'weltr'),
+    ('zuxljphs', 'zuxljph'),
+]
+
+_OTAGO_V2_CASES = [
+    ('agueization', 'agueizatio'),
+    ('agueness', 'aguen'),
+    ('alurenet', 'alurr'),
+    ('alurous', 'alurou'),
+    ('bbvjatwzda', 'bbvjatwzdor'),
+    ('computale', 'computal'),
+    ('connectly', 'connectli'),
+    ('darna', 'darnor'),
+    ('eanible', 'eanibl'),
+    ('electrenet', 'electrr'),
+    ('fhzuspcxxdyy', 'fhzuspcxxdyi'),
+    ('fmelhmfqojs', 'fmelhmfqoj'),
+    ('generalist', 'generaliish'),
+    ('generals', 'general'),
+    ('iocones', 'iocon'),
+    ('magnetics', 'magneti'),
+    ('magnetin', 'magneti'),
+    ('magnetna', 'magnetnor'),
+    ('maximacy', 'maximaci'),
+    ('miyecci', 'miyk'),
+    ('miyics', 'miyi'),
+    ('nationw', 'nationgia'),
+    ('ngenary', 'ngenari'),
+    ('nxqgmiky', 'nxqgmigby'),
+    ('organxion', 'organxio'),
+    ('qmlezofry', 'qmlezofri'),
+    ('queria', 'querior'),
+    ('querible', 'queribl'),
+    ('rationalenet', 'rationalr'),
+    ('realia', 'realior'),
+    ('runnes', 'runne'),
+    ('shirian', 'shin'),
+    ('speciales', 'special'),
+    ('suvjighmeks', 'suvjighmek'),
+    ('tablory', 'tablori'),
+    ('troublsk', 'troubl'),
+    ('uelna', 'uelnor'),
+    ('yaies', 'yaie'),
+    ('yazhuipwmuy', 'yazhuipwmui'),
+    ('yhszkw', 'yhszkgia'),
+]
+
+
+
+@pytest.mark.parametrize("word,want", _PAICE_HUSK_CASES)
+def test_stem_paice_husk(word, want):
+    from atire_spark.kernels.stem import stem_paice_husk
+
+    assert stem_paice_husk(word) == want
+
+
+@pytest.mark.parametrize("word,want", _OTAGO_CASES)
+def test_stem_otago(word, want):
+    from atire_spark.kernels.stem import stem_otago
+
+    assert stem_otago(word) == want
+
+
+@pytest.mark.parametrize("word,want", _OTAGO_V2_CASES)
+def test_stem_otago_v2(word, want):
+    from atire_spark.kernels.stem import stem_otago_v2
+
+    assert stem_otago_v2(word) == want
+
+
+def test_paice_husk_acceptability_rollback():
+    """The reference's acceptable() quirk: consonant-initial stems of
+    <= 3 chars are never acceptable (the parenthesization bug in
+    stem_paice_husk.c:452), so the stemmer rolls back to the last
+    acceptable intermediate ("running" stays "runn", not "run")."""
+    from atire_spark.kernels.stem import stem_paice_husk
+
+    assert stem_paice_husk("running") == "runn"
+    assert stem_paice_husk("nationally") == "nation"
+    # vowel-initial 2-letter stems with consonant second letter are fine
+    assert stem_paice_husk("ended") == "end"
