@@ -655,6 +655,27 @@ def _q_feedback_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_feedback_rm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.search_feedback_rm(
+        TESTDATA_QUERIES,
+        _transcripts(spark, sf_dir),
+        k=TOP_K,
+        feedback_documents=FB_DOCS,
+        feedback_terms=FB_TERMS,
+    )
+
+
+FB_INTERP_DOCS = 10
+
+
+def _q_lmp_feedback_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _puurula_engine(spark, sf_dir)
+    return eng.search_feedback_interpolated(
+        TESTDATA_QUERIES, k=TOP_K, feedback_documents=FB_INTERP_DOCS
+    )
+
+
 def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     return eng.more_like_this(
@@ -813,6 +834,319 @@ ranked AS (
 SELECT query_id, rank, docid, rsv_fixed,
        CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _query_values_ord_sql() -> str:
+    """TESTDATA_QUERIES as (query_id, ord, term, weight) VALUES — ord
+    is the term's parse position (the NEXI node order the reference's
+    term iterator walks)."""
+    from atire_spark.query import parse_query
+
+    rows = []
+    for qid, text in TESTDATA_QUERIES:
+        for i, (term, weight) in enumerate(parse_query(text)):
+            rows.append(f"({qid}, {i}, '{term}', {weight})")
+    return ",\n       ".join(rows)
+
+
+def _feedback_rm_sql(k: int, fb_docs: int, fb_terms: int) -> str:
+    """Blind KL-RM feedback chain in SQL
+    (relevance_feedback_blind_kl_rm.c:20-37): initial BM25 ranking →
+    top-fb_docs pseudo-doc → the first min(|Q|, fb_terms) ORIGINAL
+    query terms found there re-appended with their posterior
+    tf/pseudo_len as the per-term postscalar."""
+    return f"""
+WITH {_CORPUS_CTE},
+qo(query_id, ord, term, weight) AS (
+  VALUES {_query_values_ord_sql()}
+),
+q AS (SELECT query_id, term, weight FROM qo),
+scored0 AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, t.docid,
+         CASE WHEN ts.df = s.n_docs THEN CAST(0 AS BIGINT)
+              ELSE CAST(q.weight AS BIGINT)
+                   * (1 + CAST(trunc({_BM25_CONTRIB}) AS BIGINT))
+         END AS contrib,
+         CASE WHEN ts.df = s.n_docs THEN 0 ELSE 1 END AS is_hit
+  FROM q
+  JOIN termstats ts USING (term)
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  CROSS JOIN stats s
+),
+acc0 AS (
+  SELECT query_id, docid, CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  FROM scored0
+  WHERE is_hit = 1 OR contrib <> 0
+  GROUP BY query_id, docid
+  HAVING sum(is_hit) > 0
+),
+ranked0 AS (
+  SELECT query_id, docid, rsv_fixed,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS rank
+  FROM acc0
+),
+fbdocs AS (
+  SELECT query_id, docid FROM ranked0 WHERE rank <= {fb_docs}
+),
+fbtoks AS (
+  SELECT f.query_id,
+         unnest(regexp_extract_all(lower(c.text), '[a-z]+')) AS term
+  FROM fbdocs f
+  JOIN docmap d USING (docid)
+  JOIN corpus c USING (doc_id)
+),
+plen AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS plen
+  FROM fbtoks GROUP BY query_id
+),
+ptf AS (
+  SELECT query_id, term, CAST(count(*) AS BIGINT) AS ptf
+  FROM fbtoks GROUP BY query_id, term
+),
+fbterms AS (
+  SELECT p.query_id, p.term,
+         CAST(p.ptf AS DOUBLE) / CAST(l.plen AS DOUBLE) AS post
+  FROM ptf p
+  JOIN plen l USING (query_id)
+  JOIN (SELECT DISTINCT query_id, term FROM qo WHERE ord < {fb_terms}) c
+    ON c.query_id = p.query_id AND c.term = p.term
+),
+hasfb AS (SELECT DISTINCT query_id FROM fbterms),
+exq AS (
+  SELECT query_id, term, CAST(weight AS BIGINT) AS weight, 1.0 AS post
+  FROM q
+  UNION ALL
+  SELECT query_id, term, CAST(1 AS BIGINT) AS weight, post
+  FROM fbterms
+),
+scored AS (
+  SELECT CAST(e.query_id AS BIGINT) AS query_id, t.docid,
+         CASE WHEN ts.df = s.n_docs THEN CAST(0 AS BIGINT)
+              ELSE e.weight
+                   * (1 + CAST(trunc(({_BM25_RSV} * e.post) * 100.0) AS BIGINT))
+         END AS contrib,
+         CASE WHEN ts.df = s.n_docs THEN 0 ELSE 1 END AS is_hit
+  FROM exq e
+  JOIN termstats ts USING (term)
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  CROSS JOIN stats s
+),
+acc AS (
+  SELECT query_id, docid,
+         CAST(((sum(contrib) % 65536) + 65536) % 65536 AS BIGINT) AS rsv_fixed
+  FROM scored
+  WHERE is_hit = 1 OR contrib <> 0
+  GROUP BY query_id, docid
+  HAVING sum(is_hit) > 0
+),
+final AS (
+  SELECT query_id, docid, rsv_fixed FROM acc
+  WHERE query_id IN (SELECT query_id FROM hasfb)
+  UNION ALL
+  SELECT query_id, docid, rsv_fixed FROM ranked0
+  WHERE query_id NOT IN (SELECT query_id FROM hasfb) AND rank <= {k}
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM final
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _lmp_feedback_interpolated_sql(
+    k: int, fb_docs: int, lam: float = 0.5
+) -> str:
+    """FEEDBACK_INTERPOLATED (Puurula's ALTA, atire_api.c:1407-1555)
+    transcribed whole: pass-1 lmp ranking, the log-domain normalizers
+    folded through ANT_logsum in rank order (docs) then parse order
+    (terms) via list_reduce over ordered lists seeded with 0.0, the
+    interpolated float weights, and the pass-2 lmp re-query with the
+    query length replaced by the weight sum."""
+    logsum = (
+        "(a, b) -> CASE WHEN a > b THEN ln(exp(b - a) + 1.0) + a"
+        " ELSE ln(exp(a - b) + 1.0) + b END"
+    )
+    tfp1 = (
+        "greatest(CAST(t.tf AS DOUBLE)"
+        " - 0.5 * pow(CAST(t.tf AS DOUBLE), 0.5), 0.0)"
+    )
+    inner1 = (
+        f"(ln({tfp1}) + ln(CAST(s.coll_len AS DOUBLE))"
+        " - ln(1000.0 * CAST(ts.cf AS DOUBLE) + 1.0))"
+    )
+    ls1 = (
+        f"CASE WHEN {inner1} > 0.0"
+        f" THEN ln(exp(0.0 - {inner1}) + 1.0) + {inner1}"
+        f" ELSE ln(exp({inner1}) + 1.0) END"
+    )
+    prior1 = (
+        "ln(1.0 - (CAST(pl.ddl AS DOUBLE) / 1000.0)"
+        " / (CAST(d.doc_len AS DOUBLE) + 1000.0))"
+    )
+    # memory-index side (local cf over the examined docs)
+    tfpf = "greatest(g.tf0 - 0.5 * pow(g.tf0, 0.5), 0.0)"
+    return f"""
+WITH {_CORPUS_CTE},
+qo(query_id, ord, term, weight) AS (
+  VALUES {_query_values_ord_sql()}
+),
+qn AS (SELECT query_id, CAST(sum(weight) AS DOUBLE) AS n FROM qo GROUP BY query_id),
+pl AS (
+  SELECT docid,
+         CAST(floor(round(SUM(greatest(CAST(tf AS DOUBLE)
+                - 0.5 * pow(CAST(tf AS DOUBLE), 0.5), 0.0)), 9)
+              * 1000.0) AS BIGINT) AS ddl
+  FROM tf GROUP BY docid
+),
+scored1 AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, t.docid,
+         CAST(q.weight AS BIGINT) AS weight,
+         1 + CAST(trunc(({ls1}) * 100.0) AS BIGINT) AS unit,
+         1 + CAST(trunc((({ls1}) + qn.n * ({prior1})) * 100.0) AS BIGINT)
+           AS unit_p,
+         row_number() OVER (
+           PARTITION BY q.query_id, t.docid ORDER BY ts.cf ASC, q.term ASC
+         ) AS rn
+  FROM qo q
+  JOIN termstats ts USING (term)
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  JOIN pl ON pl.docid = t.docid
+  CROSS JOIN stats s
+  JOIN qn ON qn.query_id = q.query_id
+),
+acc1 AS (
+  SELECT query_id, docid,
+         CAST(((sum(CASE WHEN rn = 1 THEN unit_p + (weight - 1) * unit
+                         ELSE weight * unit END) % 65536) + 65536) % 65536
+              AS BIGINT) AS rsv_fixed
+  FROM scored1 GROUP BY query_id, docid
+),
+ranked1 AS (
+  SELECT query_id, docid, rsv_fixed,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS rank
+  FROM acc1
+),
+fbd AS (
+  SELECT query_id, docid, rsv_fixed, rank
+  FROM ranked1 WHERE rank <= {fb_docs}
+),
+grid AS (
+  SELECT f.query_id, f.docid, f.rank, f.rsv_fixed,
+         q.ord, q.term, CAST(q.weight AS DOUBLE) AS qf,
+         CAST(coalesce(t.tf, 0) AS DOUBLE) AS tf0
+  FROM fbd f
+  JOIN qo q USING (query_id)
+  LEFT JOIN tf t ON t.docid = f.docid AND t.term = q.term
+),
+cfl AS (
+  SELECT query_id, term, sum(tf0) AS cf_local
+  FROM grid GROUP BY query_id, term
+),
+dts AS (
+  SELECT g.query_id, g.term, g.ord, g.rank,
+         g.qf * (CASE WHEN {tfpf} > 0.0 THEN
+             CASE WHEN (ln({tfpf}) + ln(CAST(s.coll_len AS DOUBLE))
+                        - ln(1000.0 * c.cf_local + 1.0)) > 0.0
+                  THEN ln(exp(0.0 - (ln({tfpf}) + ln(CAST(s.coll_len AS DOUBLE))
+                        - ln(1000.0 * c.cf_local + 1.0))) + 1.0)
+                       + (ln({tfpf}) + ln(CAST(s.coll_len AS DOUBLE))
+                        - ln(1000.0 * c.cf_local + 1.0))
+                  ELSE ln(exp(ln({tfpf}) + ln(CAST(s.coll_len AS DOUBLE))
+                        - ln(1000.0 * c.cf_local + 1.0)) + 1.0) END
+             ELSE 0.0 END)
+         + ln(1.0 - (CAST(pl.ddl AS DOUBLE) / 1000.0)
+              / (CAST(d.doc_len AS DOUBLE) + 1000.0))
+         + CAST(g.rsv_fixed AS DOUBLE) AS x
+  FROM grid g
+  JOIN cfl c ON c.query_id = g.query_id AND c.term = g.term
+  JOIN docmap d ON d.docid = g.docid
+  JOIN pl ON pl.docid = g.docid
+  CROSS JOIN stats s
+  WHERE c.cf_local > 0
+),
+tn1 AS (
+  SELECT query_id, term, min(ord) AS ord,
+         list_reduce(list_prepend(0.0, list(x ORDER BY rank)),
+                     {logsum}) AS tn
+  FROM dts GROUP BY query_id, term
+),
+norm AS (
+  SELECT query_id,
+         list_reduce(list_prepend(0.0, list(tn ORDER BY ord)),
+                     {logsum}) AS nz
+  FROM tn1 GROUP BY query_id
+),
+tn2 AS (
+  SELECT d2.query_id, d2.term,
+         list_reduce(list_prepend(0.0, list(d2.x - n2.nz ORDER BY d2.rank)),
+                     {logsum}) AS tn
+  FROM dts d2 JOIN norm n2 USING (query_id)
+  GROUP BY d2.query_id, d2.term
+),
+wts AS (
+  SELECT q.query_id, q.term,
+         CASE WHEN t2.tn IS NOT NULL
+              THEN (1.0 - {lam}) * CAST(q.weight AS DOUBLE) / qn.n
+                   + {lam} * exp(t2.tn)
+              ELSE CAST(q.weight AS DOUBLE) END AS qf2,
+         t2.tn IS NOT NULL AS present
+  FROM (SELECT DISTINCT query_id, term, weight FROM qo) q
+  JOIN qn USING (query_id)
+  LEFT JOIN tn2 t2 ON t2.query_id = q.query_id AND t2.term = q.term
+),
+sq AS (
+  SELECT query_id,
+         coalesce(sum(CASE WHEN present THEN qf2 END), 0.0) AS sum_qf
+  FROM wts GROUP BY query_id
+),
+scored2 AS (
+  SELECT CAST(w.query_id AS BIGINT) AS query_id, t.docid,
+         1 + CAST(trunc((w.qf2 * ({ls1})) * 100.0) AS BIGINT) AS unit,
+         1 + CAST(trunc((w.qf2 * ({ls1})
+               + sq.sum_qf * ({prior1})) * 100.0) AS BIGINT) AS unit_p,
+         row_number() OVER (
+           PARTITION BY w.query_id, t.docid ORDER BY ts.cf ASC, w.term ASC
+         ) AS rn
+  FROM wts w
+  JOIN sq ON sq.query_id = w.query_id
+  JOIN termstats ts ON ts.term = w.term
+  JOIN tf t ON t.term = w.term
+  JOIN docmap d USING (docid)
+  JOIN pl ON pl.docid = t.docid
+  CROSS JOIN stats s
+),
+acc2 AS (
+  SELECT query_id, docid,
+         CAST(((sum(CASE WHEN rn = 1 THEN unit_p ELSE unit END) % 65536)
+               + 65536) % 65536 AS BIGINT) AS rsv_fixed
+  FROM scored2 GROUP BY query_id, docid
+),
+ranked2 AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM acc2
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM ranked2 WHERE rank <= {k}
 """
 
 
@@ -2886,6 +3220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg["boolean_topk"] = _q_boolean
     reg["topk_materialized"] = _q_topk_materialized
     reg["stemmer_suite_map"] = _q_stemmer_suite
+    reg["lmp_feedback_interpolated_topk"] = _q_lmp_feedback_interpolated
     for suite, tags in _RANKER_SUITE_MEMBERS.items():
         reg[suite] = _suite_fn([(t, ranker_fns[t]) for t in tags], "ranker")
     # previously certified entries
@@ -2909,7 +3244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg["bm25_stemmed_topk"] = _q_bm25_stemmed
     reg["bm25_stopped_topk"] = _q_bm25_stopped
     reg["nexi_signed_topk"] = _q_nexi_signed
-    reg["bm25_feedback_kl_topk"] = _q_feedback_kl
+    reg["bm25_feedback_topk"] = _suite_fn(
+        [("kl", _q_feedback_kl), ("rm", _q_feedback_rm)], "method"
+    )
     reg["more_like_this_topk"] = _q_more_like_this
     reg["eval_suite"] = _q_eval_suite
     reg["bm25_pruned_topk"] = _suite_fn(
@@ -3311,6 +3648,9 @@ WHERE r.rank <= {TOP_K}
     reg["boolean_topk"] = parts["boolean_topk"]
     reg["topk_materialized"] = parts["topk_materialized"]
     reg["stemmer_suite_map"] = _stemmer_suite_sql()
+    reg["lmp_feedback_interpolated_topk"] = _lmp_feedback_interpolated_sql(
+        TOP_K, FB_INTERP_DOCS
+    )
     for suite, tags in _RANKER_SUITE_MEMBERS.items():
         reg[suite] = _suite_sql(
             [(t, parts[f"{t}_topk"]) for t in tags], "ranker"
@@ -3341,10 +3681,16 @@ WHERE r.rank <= {TOP_K}
         "bm25_stemmed_topk",
         "bm25_stopped_topk",
         "nexi_signed_topk",
-        "bm25_feedback_kl_topk",
         "more_like_this_topk",
     ):
         reg[k] = parts[k]
+    reg["bm25_feedback_topk"] = _suite_sql(
+        [
+            ("kl", parts["bm25_feedback_kl_topk"]),
+            ("rm", _feedback_rm_sql(TOP_K, FB_DOCS, FB_TERMS)),
+        ],
+        "method",
+    )
     reg["eval_suite"] = _eval_suite_sql(
         parts["eval_metrics"], parts["eval_intent_aware"]
     )

@@ -962,6 +962,7 @@ class SearchEngine:
         nq: dict[int, float],
         k: int,
         ranker: str,
+        qf_scale: dict[tuple[int, str], float] | None = None,
     ) -> DataFrame:
         """Pitman-Yor-process LM rankers (lmp / lmptfidf,
         ranking_function_puurula.c:69-108 / puurula_idf.c:88-133).
@@ -1087,11 +1088,16 @@ class SearchEngine:
                     continue
                 base_k, prior_k = base[keep], prior[keep]
                 for qid, weight, _post in qmap[row.term]:
-                    rsv = (
-                        qf.get((qid, row.term), 0.0) * base_k
-                        if is_idf
-                        else base_k  # query_occurences = 1 per node
-                    )
+                    if is_idf:
+                        rsv = qf.get((qid, row.term), 0.0) * base_k
+                    elif qf_scale is not None:
+                        # interpolated-feedback pass 2: the node's
+                        # query_frequency was replaced by a float
+                        # (atire_api.c:1521); query_occurences
+                        # multiplies the logsum (puurula.c:88)
+                        rsv = qf_scale.get((qid, row.term), 1.0) * base_k
+                    else:
+                        rsv = base_k  # query_occurences = 1 per node
                     unit = 1 + (rsv * 100.0).astype(np.int64)
                     rsv_p = rsv + qlen[qid] * prior_k
                     unit_p = 1 + (rsv_p * 100.0).astype(np.int64)
@@ -1899,6 +1905,272 @@ class SearchEngine:
             return initial.filter(F.col("rank") <= k)
         return self.search_batch(
             queries, k=k, ranker=ranker, parsed_terms=parsed
+        )
+
+    def _rm_select(
+        self,
+        texts: list[str],
+        query_terms: list[str],
+        terms_wanted: int,
+    ) -> list[tuple[str, float]]:
+        """Blind KL-RM term selection
+        (relevance_feedback_blind_kl_rm.c:20-37): candidates are only
+        the first ``min(|Q|, terms_wanted)`` ORIGINAL query terms (in
+        parse order); each found in the feedback pseudo-document gets
+        the posterior ``tf / pseudo_doc_length`` as its score — no KL
+        divergence. Token gate identical to :meth:`_kl_select`."""
+        from atire_spark.kernels.stem import query_stem
+
+        toks: list[str] = []
+        for text in texts:
+            for t in tokenize(text, cjk_segmenter=self.cjk_segmenter):
+                if t[0].isdigit():
+                    continue  # numbers are not TT_WORD
+                toks.append(query_stem(t, self.stemmer))
+        if not toks:
+            return []
+        plen = len(toks)
+        tfs = Counter(toks)
+        out = []
+        for t in query_terms[:terms_wanted]:
+            if tfs.get(t):
+                out.append((t, tfs[t] / plen))
+        return out
+
+    def search_feedback_rm(
+        self,
+        queries: list[tuple[int, str]],
+        documents: DataFrame,
+        k: int = 10,
+        feedback_documents: int = 17,
+        feedback_terms: int = 5,
+        ranker: str = "bm25",
+    ) -> DataFrame:
+        """Blind relevance feedback with the KL-RM feedbacker
+        (FEEDBACK_BLIND_KL_RM): same chain as :meth:`search_feedback`
+        but the re-injected terms are the ORIGINAL query terms that
+        appear in the top documents, weighted by their posterior
+        probability in the pseudo-document
+        (relevance_feedback_blind_kl_rm.c:20-37) — appended as extra
+        query nodes with rsv_weight = posterior
+        (query_object_with_feedback_to_NEXI_query,
+        atire_api.c:1354-1400)."""
+        kk = max(k, feedback_documents)
+        initial = self.search_batch(queries, k=kk, ranker=ranker)
+        texts = self._fetch_texts(initial, documents, feedback_documents)
+        parsed: dict[int, list[tuple[str, int, float]]] = {}
+        any_fb = False
+        for qid, text in queries:
+            base = [
+                (t, w, 1.0)
+                for t, w in parse_query(text, self.stemmer, self.cjk_segmenter)
+            ]
+            fb = self._rm_select(
+                texts.get(qid, []), [t for t, _, _ in base], feedback_terms
+            )
+            if fb:
+                any_fb = True
+            parsed[qid] = base + [(t, 1, post) for t, post in fb]
+        if not any_fb:
+            return initial.filter(F.col("rank") <= k)
+        return self.search_batch(
+            queries, k=k, ranker=ranker, parsed_terms=parsed
+        )
+
+    @staticmethod
+    def _logsum(a: float, b: float) -> float:
+        """ANT_logsum (maths.h:461-468), branch order preserved."""
+        import math
+
+        if a > b:
+            return math.log(math.exp(b - a) + 1.0) + a
+        return math.log(math.exp(a - b) + 1.0) + b
+
+    def search_feedback_interpolated(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        feedback_documents: int = 10,
+        feedback_lambda: float = 0.5,
+    ) -> DataFrame:
+        """Puurula's ALTA interpolated feedback (FEEDBACK_INTERPOLATED,
+        atire_api.c:1407-1555) on the lmp ranker — the ranker the
+        algorithm was built for (BM25's relevance_rank ignores query
+        weights, so interpolation would be a no-op there).
+
+        Pass 1 is a normal lmp search. The top ``feedback_documents``
+        results per query are indexed in memory (the reference's
+        rerank() memory index — here a driver-side map over <= D docs
+        per query, the same RAM-residency the reference assumes). For
+        each query term present in those docs, the log-domain
+        normalizers fold ``score_one_document + accumulated_rsv``
+        through ANT_logsum in rank order (docs) then parse order
+        (terms), and the term's query_frequency becomes
+        ``(1-lambda)*qf/|Q| + lambda*exp(term_normaliser)``
+        (atire_api.c:1521). Terms absent from the top documents keep
+        their original weight and are excluded from the new query
+        length — the reference's ``continue`` skips both updates.
+        Pass 2 re-runs the SAME terms with the float weights and the
+        query length replaced by their sum (process_NEXI_query's
+        fake_terms_in_query, atire_api.c:957-960).
+
+        Collapsed duplicate query terms follow the collapsed-weight
+        convention of :meth:`search_batch` (one node per distinct
+        term)."""
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        if self.index.puurula is None:
+            raise ValueError(
+                "interpolated feedback runs on the lmp ranker and needs "
+                "the -Ilmp length vectors"
+            )
+        kk = max(k, feedback_documents)
+        initial = self.search_batch(queries, k=kk, ranker="lmp")
+        init_rows = initial.collect()
+        top: dict[int, list[tuple[int, int]]] = {}
+        for r in init_rows:
+            if int(r["rank"]) <= feedback_documents:
+                top.setdefault(int(r["query_id"]), []).append(
+                    (int(r["rank"]), int(r["docid"]))
+                )
+        rsv_of = {
+            (int(r["query_id"]), int(r["docid"])): float(r["rsv_fixed"])
+            for r in init_rows
+        }
+        parsed = {
+            qid: parse_query(text, self.stemmer, self.cjk_segmenter)
+            for qid, text in queries
+        }
+        all_terms = sorted({t for p in parsed.values() for t, _ in p})
+        exam_docs = sorted({d for ds in top.values() for _, d in ds})
+        # memory index over the examined docs: tf of each query term in
+        # each top doc (a <= |terms| x D x Q collect — query metadata)
+        tf_map: dict[tuple[str, int], int] = {}
+        if all_terms and exam_docs:
+            codec = self.codec
+            docset = set(exam_docs)
+
+            def decode_fn(batches):
+                from atire_spark.kernels.impact import decode_segment
+
+                for pdf in batches:
+                    for row in pdf.itertuples(index=False):
+                        d, t, _ = decode_segment(
+                            np.asarray(row.impacts),
+                            np.asarray(row.doc_counts),
+                            row.postings,
+                            None,
+                            codec=codec,
+                            byte_offsets=np.asarray(
+                                row.byte_offsets, dtype=np.int64
+                            ),
+                        )
+                        keep = np.isin(d, list(docset))
+                        if keep.any():
+                            yield pd.DataFrame(
+                                {
+                                    "term": np.full(
+                                        int(keep.sum()), row.term, dtype=object
+                                    ),
+                                    "docid": d[keep],
+                                    "tf": t[keep].astype(np.int64),
+                                }
+                            )
+
+            rows = (
+                self.postings.filter(F.col("term").isin(all_terms))
+                .mapInPandas(
+                    decode_fn, schema="term string, docid long, tf long"
+                )
+                .collect()
+            )
+            tf_map = {
+                (r["term"], int(r["docid"])): int(r["tf"]) for r in rows
+            }
+        # global per-doc prior inputs for the examined docs
+        g_idx = int(PUURULA_G * 10)
+        aux = {
+            int(r["docid"]): float(r["ddl"][g_idx]) / 1000.0
+            for r in self.index.puurula.filter(
+                F.col("docid").isin(exam_docs)
+            )
+            .select("docid", "ddl")
+            .collect()
+        }
+        lens = {
+            int(r["docid"]): float(r["doc_len"])
+            for r in self.index.docmap.filter(F.col("docid").isin(exam_docs))
+            .select("docid", "doc_len")
+            .collect()
+        }
+        u, g, L = PUURULA_U, PUURULA_G, float(self.collection_len)
+        lam = feedback_lambda
+        qf_scale: dict[tuple[int, str], float] = {}
+        nq2: dict[int, float] = {}
+        for qid, terms in parsed.items():
+            docs = [d for _, d in sorted(top.get(qid, []))]
+            terms_in_q = float(sum(w for _, w in terms))
+            cf_local = {
+                t: sum(tf_map.get((t, d), 0) for d in docs)
+                for t, _ in terms
+            }
+            prior = {
+                d: math.log(1.0 - aux[d] / (lens[d] + u)) for d in docs
+            }
+
+            def dts(t: str, qf: float, d: int) -> float:
+                tf = float(tf_map.get((t, d), 0))
+                tfp = max(tf - g * math.pow(tf, g), 0.0)
+                inner = (
+                    math.log(tfp) + math.log(L)
+                    - math.log(u * cf_local[t] + 1.0)
+                    if tfp > 0.0
+                    else float("-inf")
+                )
+                return qf * self._logsum(inner, 0.0) + prior[d]
+
+            normalizer = 0.0
+            for t, w in terms:
+                if cf_local[t] == 0:
+                    continue
+                tn = 0.0
+                for d in docs:
+                    tn = self._logsum(
+                        tn, dts(t, float(w), d) + rsv_of[(qid, d)]
+                    )
+                normalizer = self._logsum(normalizer, tn)
+            sum_qf = 0.0
+            for t, w in terms:
+                if cf_local[t] == 0:
+                    qf_scale[(qid, t)] = float(w)
+                    continue
+                tn = 0.0
+                for d in docs:
+                    tn = self._logsum(
+                        tn,
+                        dts(t, float(w), d)
+                        + rsv_of[(qid, d)]
+                        - normalizer,
+                    )
+                new_qf = (1.0 - lam) * float(w) / terms_in_q + lam * math.exp(
+                    tn
+                )
+                qf_scale[(qid, t)] = new_qf
+                sum_qf += new_qf
+            nq2[qid] = sum_qf
+        # pass 2: same terms, float weights, query length = their sum
+        qmap2: dict[str, list[tuple[int, int, float]]] = {}
+        for qid, terms in parsed.items():
+            for t, _w in terms:
+                qmap2.setdefault(t, []).append((qid, 1, 1.0))
+        if not qmap2:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        hits = self.postings.filter(F.col("term").isin(list(qmap2)))
+        return self._search_puurula(
+            hits, qmap2, nq2, k, "lmp", qf_scale=qf_scale
         )
 
     def search_rerank(

@@ -491,3 +491,38 @@ class TestQaatSkewedPruning:
         ).toPandas()
         assert list(got.docid) == list(exact.docid)
         assert list(got.rsv_fixed) == list(exact.rsv_fixed)
+
+
+class TestInterpolatedFeedback:
+    """FEEDBACK_INTERPOLATED (Puurula's ALTA, atire_api.c:1407-1555)
+    on the lmp ranker — the SQL-oracle parity lives in the entry
+    contract; here: the interpolation is not a no-op, and it degrades
+    to unchanged weights when no query term appears in the top docs."""
+
+    def test_changes_ranking_and_requires_puurula(self, spark):
+        from atire_spark.build import build_index
+        from atire_spark.synth import make_transcripts
+
+        pdf = make_transcripts(120)
+        peng = SearchEngine(
+            spark, build_index(spark, spark.createDataFrame(pdf), puurula=True)
+        )
+        qs = [(1, "alpha term00001"), (2, "zzzmissing")]
+        fb = peng.search_feedback_interpolated(
+            qs, k=10, feedback_documents=5
+        ).toPandas()
+        plain = peng.search_batch(qs, k=10, ranker="lmp").toPandas()
+        # q1: reweighting moved at least one rank position or score
+        a = fb[fb.query_id == 1][["docid", "rsv_fixed"]].reset_index(drop=True)
+        b = plain[plain.query_id == 1][["docid", "rsv_fixed"]].reset_index(
+            drop=True
+        )
+        assert not a.equals(b)
+        # q2: no hits at all -> empty both ways
+        assert len(fb[fb.query_id == 2]) == 0
+        # engine without -Ilmp vectors refuses
+        eng = SearchEngine(
+            spark, build_index(spark, spark.createDataFrame(pdf))
+        )
+        with pytest.raises(ValueError, match="lmp"):
+            eng.search_feedback_interpolated(qs, k=10)
