@@ -1869,6 +1869,37 @@ _NEXI_EXPECTED_VALUES = """(1, 'dup', 1),
        (8, 'dup', 1), (8, 'the', 1)"""
 
 
+# NEXI CAS grammar coverage (nexi.c:510-567): about() clauses, nested
+# paths, signs/phrases inside about, numeric predicates, and/or chains,
+# a CO query through the same dispatch, and malformed inputs whose
+# reference error codes refuse the query (0 hits)
+NEXI_CAS_QUERIES: list[tuple[int, str]] = [
+    (1, "//sec[about(., dup)]"),
+    (2, "//article//p[about(.//title, spark merge)]"),
+    (3, "//sec[about(., +dup -spark)]"),
+    (4, '//sec[about(., "hash join") and about(., window)]'),
+    (5, "//article[.//size > 5]"),
+    (6, "dup spark"),  # no leading // -> CO dispatch
+    (7, "//sec[dup]"),  # ERROR_MISSING_ABOUT_CLAUSE
+    (8, "//sec about(., dup)"),  # ERROR_MISSING_OPEN_SQUARE_BRACKET
+]
+
+# HAND-DERIVED expected parses (the oracle pins the CAS degradation
+# semantics independently of the engine's parser); error queries 7-8
+# contribute no rows
+_NEXI_CAS_EXPECTED_VALUES = """(1, 'dup', 1),
+       (2, 'spark', 1), (2, 'merge', 1),
+       (3, 'dup', 1), (3, 'spark', 1),
+       (4, 'hash', 1), (4, 'join', 1), (4, 'window', 1),
+       (5, '5', 1),
+       (6, 'dup', 1), (6, 'spark', 1)"""
+
+
+def _q_nexi_cas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.search_cas(NEXI_CAS_QUERIES, k=TOP_K)
+
+
 def _q_bm25_stopped(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _stop_engine(spark, sf_dir)
     return eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
@@ -3243,7 +3274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg["bm25_conjunctive"] = _q_bm25_conjunctive
     reg["bm25_stemmed_topk"] = _q_bm25_stemmed
     reg["bm25_stopped_topk"] = _q_bm25_stopped
-    reg["nexi_signed_topk"] = _q_nexi_signed
+    reg["nexi_topk"] = _suite_fn(
+        [("co_signed", _q_nexi_signed), ("cas", _q_nexi_cas)], "grammar"
+    )
     reg["bm25_feedback_topk"] = _suite_fn(
         [("kl", _q_feedback_kl), ("rm", _q_feedback_rm)], "method"
     )
@@ -3680,10 +3713,16 @@ WHERE r.rank <= {TOP_K}
         "bm25_conjunctive",
         "bm25_stemmed_topk",
         "bm25_stopped_topk",
-        "nexi_signed_topk",
         "more_like_this_topk",
     ):
         reg[k] = parts[k]
+    reg["nexi_topk"] = _suite_sql(
+        [
+            ("co_signed", parts["nexi_signed_topk"]),
+            ("cas", _bm25_sql(TOP_K, values_sql=_NEXI_CAS_EXPECTED_VALUES)),
+        ],
+        "grammar",
+    )
     reg["bm25_feedback_topk"] = _suite_sql(
         [
             ("kl", parts["bm25_feedback_kl_topk"]),

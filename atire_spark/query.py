@@ -418,6 +418,157 @@ def parse_nexi(text: str, cjk_segmenter=None) -> list[NEXITerm]:
     return out
 
 
+_CAS_TOKEN_RE = re.compile(r"//|[A-Za-z_:][A-Za-z0-9_:]*|[0-9]+|\S")
+
+NEXI_ERROR_NONE = "ERROR_NONE"
+
+
+class _CASParser:
+    """Token-cursor CAS parser (nexi.c:510-567 ``read_CAS`` +
+    ``about()``/``numbers()``/``read_path``, NEXI_ant.c:12-35
+    dispatch). Ranked retrieval scores the extracted about-clause term
+    bags; the element paths would drive INEX focusing (documented out
+    of scope on the untagged corpus). ``parse_error`` records the LAST
+    error code, as the reference's assignment does (nexi.c:293-300);
+    a query whose error is not ERROR_NONE is never run
+    (atire_api.c:1229-1230)."""
+
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+        self.token = toks[0] if toks else ""
+        self.error = NEXI_ERROR_NONE
+        self.terms: list[NEXITerm] = []
+
+    def next(self) -> str:
+        self.i += 1
+        self.token = self.toks[self.i] if self.i < len(self.toks) else ""
+        return self.token
+
+    def err(self, code: str) -> None:
+        self.error = code
+
+    def read_path(self) -> str:
+        """read_path (nexi.c:259-285): the start token unconditionally,
+        then XML-name-start tokens, "//", or the "(|)*@" set."""
+        parts = [self.token]
+        while True:
+            t = self.next()
+            if t and (
+                t[0].isalpha()
+                or t[0] in "_:"
+                or t == "//"
+                or t[0] in "(|)*@"
+            ):
+                parts.append(t)
+                continue
+            break
+        return "".join(parts)
+
+    def read_co(self) -> None:
+        """read_CO on the token cursor (nexi.c:437-505): signs set the
+        next term's sign (recorded; ranked search scores bare terms),
+        phrases degrade to their term bags, any other punctuation
+        stops the scan with the token left at the stopper."""
+        while True:
+            t = self.token
+            if t == "":
+                return
+            if t == '"':
+                nt = self.next()
+                while nt and (nt[0].isalpha() or nt[0].isdigit()):
+                    self.terms.append(NEXITerm(term=nt.lower(), sign=0))
+                    nt = self.next()
+                if self.token != '"':
+                    self.err("ERROR_INVALID_PHRASE")
+                    return
+                self.next()
+                continue
+            if t in ("+", "-"):
+                sign = 1 if t == "+" else -1
+                nt = self.next()
+                if nt and (nt[0].isalpha() or nt[0].isdigit()):
+                    self.terms.append(NEXITerm(term=nt.lower(), sign=sign))
+                else:
+                    # reference: parse_error then the bad token is
+                    # still appended and the scan continues
+                    # (nexi.c:455-465,481)
+                    self.err("ERROR_MISSING_TERM")
+                    if nt:
+                        self.terms.append(NEXITerm(term=nt.lower(), sign=sign))
+                self.next()
+                continue
+            if t[0].isalpha() or t[0].isdigit():
+                self.terms.append(NEXITerm(term=t.lower(), sign=0))
+                self.next()
+                continue
+            return
+
+    def about(self) -> None:
+        """about() (nexi.c:306-334): '(' path ',' CO-terms ')'."""
+        self.next()
+        if self.token != "(":
+            self.err("ERROR_MISSING_OPEN_ROUND_BRACKET")
+        self.next()
+        self.read_path()
+        if self.token != ",":
+            self.err("ERROR_MISSING_COMMA")
+        self.next()
+        self.read_co()
+        if self.token != ")":
+            self.err("ERROR_MISSING_CLOSE_ROUND_BRACKET")
+
+    def numbers(self) -> None:
+        """numbers() (nexi.c:343-358): '.path op value' — the value
+        token becomes a term node (the operator is read and, like the
+        reference, not yet acted on)."""
+        self.read_path()
+        while self.token and self.token[0] in "<>=":
+            self.next()
+        if self.token:
+            self.terms.append(NEXITerm(term=self.token.lower(), sign=0))
+
+    def parse_cas(self) -> None:
+        while True:
+            path = self.read_path()
+            if len(path) < 3 or not path.startswith("//"):
+                self.err("ERROR_MISSING_DOUBLE_SLASH")
+            if self.token == "[":
+                while True:
+                    self.next()
+                    if self.token == "about":
+                        self.about()
+                    elif self.token == ".":
+                        self.numbers()
+                    else:
+                        self.err("ERROR_MISSING_ABOUT_CLAUSE")
+                    self.next()
+                    if self.token not in ("or", "and", "OR", "AND"):
+                        break
+                if self.token != "]":
+                    self.err("ERROR_MISSING_CLOSE_SQUARE_BRACKET")
+                self.next()
+            elif self.token != "":
+                self.err("ERROR_MISSING_OPEN_SQUARE_BRACKET")
+            if self.token == "":
+                return
+
+
+def parse_nexi_cas(text: str) -> tuple[list[NEXITerm], str]:
+    """Parse a NEXI CAS query (``//path[about(.//tag, terms)]``),
+    degrading to the about-clause term bag exactly as the reference's
+    ranked (non-focused) retrieval does. Returns (terms, error_code);
+    error_code != ERROR_NONE means the reference would refuse to run
+    the query (atire_api.c:1229-1230). The CO/CAS dispatch on a
+    leading "//" mirrors NEXI_ant.c:22-25."""
+    toks = _CAS_TOKEN_RE.findall(text or "")
+    p = _CASParser(toks)
+    if not toks:
+        return [], NEXI_ERROR_NONE
+    p.parse_cas()
+    return p.terms, p.error
+
+
 def parse_query(
     text: str, stemmer: str | None = None, cjk_segmenter=None
 ) -> list[tuple[str, int]]:
@@ -1425,6 +1576,37 @@ class SearchEngine:
         return self._rank_topk(cand, k)
 
     # ------------------------------------------------------------------
+    def search_cas(
+        self, queries: list[tuple[int, str]], k: int = 10
+    ) -> DataFrame:
+        """NEXI search with the reference's CO/CAS dispatch on a
+        leading "//" (NEXI_ant.c:22-25): CAS queries degrade to their
+        about-clause term bags (ranked retrieval never reads the
+        element paths — those drive INEX focusing); a parse error
+        refuses the query entirely, contributing zero hits
+        (atire_api.c:1229-1230)."""
+        from atire_spark.kernels.stem import query_stem
+
+        parsed: dict[int, list[tuple[str, int, float]]] = {}
+        for qid, text in queries:
+            if (text or "").lstrip().startswith("//"):
+                terms, err = parse_nexi_cas(text)
+                if err != NEXI_ERROR_NONE:
+                    parsed[qid] = []
+                    continue
+                bag = Counter(
+                    query_stem(t.term, self.stemmer) for t in terms
+                )
+                parsed[qid] = [(t, w, 1.0) for t, w in bag.items()]
+            else:
+                parsed[qid] = [
+                    (t, w, 1.0)
+                    for t, w in parse_query(
+                        text, self.stemmer, self.cjk_segmenter
+                    )
+                ]
+        return self.search_batch(queries, k=k, parsed_terms=parsed)
+
     def search_boolean(
         self, queries: list[tuple[int, str]], k: int = 10
     ) -> DataFrame:

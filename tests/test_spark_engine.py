@@ -526,3 +526,52 @@ class TestInterpolatedFeedback:
         )
         with pytest.raises(ValueError, match="lmp"):
             eng.search_feedback_interpolated(qs, k=10)
+
+
+class TestNexiCas:
+    """CAS parse degradation (nexi.c:510-567): about-clause term bags,
+    numeric-predicate value terms, and the reference's error codes
+    (last parse_error wins, nexi.c:293-300) which refuse the query."""
+
+    CASES = [
+        ("//sec[about(., dup)]", [("dup", 0)], "ERROR_NONE"),
+        (
+            "//article//p[about(.//title, spark merge)]",
+            [("spark", 0), ("merge", 0)],
+            "ERROR_NONE",
+        ),
+        (
+            "//sec[about(., +dup -spark)]",
+            [("dup", 1), ("spark", -1)],
+            "ERROR_NONE",
+        ),
+        (
+            '//sec[about(., "hash join") and about(., window)]',
+            [("hash", 0), ("join", 0), ("window", 0)],
+            "ERROR_NONE",
+        ),
+        ("//article[.//size > 5]", [("5", 0)], "ERROR_NONE"),
+        ("//sec[dup]", [], "ERROR_MISSING_ABOUT_CLAUSE"),
+        ("//sec[about(, dup)]", [], "ERROR_MISSING_CLOSE_SQUARE_BRACKET"),
+        ("//sec about(., dup)", [], "ERROR_MISSING_DOUBLE_SLASH"),
+    ]
+
+    @pytest.mark.parametrize("text,want,err", CASES)
+    def test_parse(self, text, want, err):
+        from atire_spark.query import parse_nexi_cas
+
+        terms, got_err = parse_nexi_cas(text)
+        assert got_err == err
+        if err == "ERROR_NONE":
+            assert [(t.term, t.sign) for t in terms] == want
+
+    def test_error_queries_contribute_no_rows(self, small_engine):
+        res = small_engine.search_cas(
+            [(1, "//sec[about(., alpha)]"), (2, "//sec[alpha]")], k=5
+        ).toPandas()
+        assert set(res.query_id) == {1}
+
+    def test_co_dispatch_matches_plain_search(self, small_engine):
+        a = small_engine.search_cas([(1, "alpha term00001")], k=10).toPandas()
+        b = small_engine.search_batch([(1, "alpha term00001")], k=10).toPandas()
+        pd.testing.assert_frame_equal(a, b)
