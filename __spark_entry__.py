@@ -3163,6 +3163,57 @@ _STEM_SUITE_EXPECTED = [
     ('otago_v2', 'ab', 'ab'),
     ('otago_v2', 'up', 'up'),
     ('otago_v2', '12345', '12345'),
+    # phonetic matchers (stemmer_factory.c:62-63): soundex is the
+    # 4-char ATIRE variant (phonetic_soundex.h), double_metaphone the
+    # lowercased primary key (phonetic_double_metaphone.h:47); rows
+    # verified against the compiled reference C (5,347-word sweep,
+    # see tests/test_phonetic.py)
+    ('soundex', 'queries', 'q620'),
+    ('soundex', 'tables', 't142'),
+    ('soundex', 'running', 'r552'),
+    ('soundex', 'happiness', 'h152'),
+    ('soundex', 'connection', 'c523'),
+    ('soundex', 'maximum', 'm255'),
+    ('soundex', 'nationally', 'n354'),
+    ('soundex', 'classified', 'c421'),
+    ('soundex', 'kilometres', 'k453'),
+    ('soundex', 'splitting', 's143'),
+    ('soundex', 'realization', 'r423'),
+    ('soundex', 'organizations', 'o625'),
+    ('soundex', 'troubles', 't614'),
+    ('soundex', 'computes', 'c513'),
+    ('soundex', 'magnetic', 'm253'),
+    ('soundex', 'specialized', 's124'),
+    ('soundex', 'ponies', 'p520'),
+    ('soundex', 'caresses', 'c622'),
+    ('soundex', 'motoring', 'm365'),
+    ('soundex', 'generalization', 'g564'),
+    ('soundex', 'ab', 'ab'),
+    ('soundex', 'up', 'up'),
+    ('soundex', '12345', '12345'),
+    ('double_metaphone', 'queries', 'krs'),
+    ('double_metaphone', 'tables', 'tpls'),
+    ('double_metaphone', 'running', 'rnnk'),
+    ('double_metaphone', 'happiness', 'hpns'),
+    ('double_metaphone', 'connection', 'knkx'),
+    ('double_metaphone', 'maximum', 'mksm'),
+    ('double_metaphone', 'nationally', 'nxnl'),
+    ('double_metaphone', 'classified', 'klsf'),
+    ('double_metaphone', 'kilometres', 'klmt'),
+    ('double_metaphone', 'splitting', 'splt'),
+    ('double_metaphone', 'realization', 'rlsx'),
+    ('double_metaphone', 'organizations', 'arkn'),
+    ('double_metaphone', 'troubles', 'trpl'),
+    ('double_metaphone', 'computes', 'kmpt'),
+    ('double_metaphone', 'magnetic', 'mntk'),
+    ('double_metaphone', 'specialized', 'spsl'),
+    ('double_metaphone', 'ponies', 'pns'),
+    ('double_metaphone', 'caresses', 'krss'),
+    ('double_metaphone', 'motoring', 'mtrn'),
+    ('double_metaphone', 'generalization', 'jnrl'),
+    ('double_metaphone', 'ab', 'ab'),
+    ('double_metaphone', 'up', 'up'),
+    ('double_metaphone', '12345', '12345'),
 ]
 
 

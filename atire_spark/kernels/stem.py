@@ -32,7 +32,18 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-STEMMERS = ("s", "porter", "paice_husk", "otago", "otago_v2")
+STEMMERS = (
+    "s",
+    "porter",
+    "paice_husk",
+    "otago",
+    "otago_v2",
+    # phonetic matchers — the reference registers them in the same
+    # stemmer factory slots (stemmer_factory.c:62-63), so they flow
+    # through identical index/query gates and ~stemmer recording
+    "soundex",
+    "double_metaphone",
+)
 
 _VOWELS = "aeiou"
 
@@ -667,12 +678,26 @@ def stem_otago_v2(term: str) -> str:
     return word
 
 
+def _phonetic_soundex(term: str) -> str:
+    from atire_spark.kernels.phonetic import phonetic_soundex
+
+    return phonetic_soundex(term)
+
+
+def _phonetic_double_metaphone(term: str) -> str:
+    from atire_spark.kernels.phonetic import phonetic_double_metaphone
+
+    return phonetic_double_metaphone(term)
+
+
 _STEM_FN = {
     "s": stem_s,
     "porter": stem_porter,
     "paice_husk": stem_paice_husk,
     "otago": stem_otago,
     "otago_v2": stem_otago_v2,
+    "soundex": _phonetic_soundex,
+    "double_metaphone": _phonetic_double_metaphone,
 }
 
 

@@ -171,7 +171,16 @@ PLURAL_TRANSCRIPTS = pd.DataFrame(
 
 
 @pytest.mark.parametrize(
-    "stemmer", ["s", "porter", "paice_husk", "otago", "otago_v2"]
+    "stemmer",
+    [
+        "s",
+        "porter",
+        "paice_husk",
+        "otago",
+        "otago_v2",
+        "soundex",
+        "double_metaphone",
+    ],
 )
 def test_stemmed_index_matches_oracle(spark, stemmer):
     """Spark stemmed build + query == numpy oracle with the same
