@@ -3256,6 +3256,132 @@ SELECT * FROM (VALUES {rows}) AS t(stemmer, word, stem)
 """
 
 
+# ---------------------------------------------------------------------------
+# thesaurus entries: classic query expansion (-W, atire.c:898-899 →
+# nexi.c:484-495 appends synset terms at the same weight) and in-place
+# synonym conflation (atire_api.c:571-576 → search_engine.c:1369-1461
+# merges the synonyms' tf vectors, caps at 255, recomputes df, and
+# ranks the merge as ONE term). Synonym rings over the corpus
+# vocabulary; "quick" is absent from the corpus (vocab-miss member).
+ENTRY_THESAURUS_GROUPS = [
+    ["join", "merge"],
+    ["sort", "order"],
+    ["fast", "quick"],
+    ["dup", "window"],
+]
+
+
+def _entry_thesaurus():
+    from atire_spark.thesaurus import Thesaurus
+
+    return Thesaurus.synonyms(ENTRY_THESAURUS_GROUPS)
+
+
+def _q_thesaurus_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.search_expanded(TESTDATA_QUERIES, _entry_thesaurus(), k=TOP_K)
+
+
+def _q_thesaurus_conflated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return eng.search_conflated(TESTDATA_QUERIES, _entry_thesaurus(), k=TOP_K)
+
+
+def _thesaurus_expanded_values_sql() -> str:
+    """TESTDATA_QUERIES after classic expansion, parsed by the same
+    code the engine runs (anti-drift, like _query_values_sql)."""
+    from collections import Counter
+
+    from atire_spark.query import parse_nexi
+
+    thes = _entry_thesaurus()
+    rows = []
+    for qid, text in TESTDATA_QUERIES:
+        bag: Counter = Counter()
+        for t in parse_nexi(text):
+            bag[t.term] += 1
+            for syn in thes.get_synset(t.term):
+                bag[syn] += 1
+        for term, weight in bag.items():
+            rows.append(f"({qid}, '{term}', {weight})")
+    return ",\n       ".join(rows)
+
+
+def _thesaurus_conflated_sql(k: int) -> str:
+    """DuckDB oracle for synonym conflation: merge member tf vectors
+    per (query, group, doc) with the 255 cap, df from the merged
+    vector, one fixed-point BM25 contribution per group — the same
+    expression tree as SearchEngine.search_conflated."""
+    from collections import Counter
+
+    from atire_spark.query import parse_nexi
+
+    thes = _entry_thesaurus()
+    grp_rows, mem_rows = [], []
+    for qid, text in TESTDATA_QUERIES:
+        raw_bag = Counter(t.term for t in parse_nexi(text))
+        for gid, (base, weight) in enumerate(sorted(raw_bag.items())):
+            grp_rows.append(f"({qid}, {gid}, {weight})")
+            members = Counter([base])
+            for syn in thes.get_synset(base):
+                members[syn] += 1
+            for m, copies in members.items():
+                mem_rows.append(f"({qid}, {gid}, '{m}', {copies})")
+    return f"""
+WITH {_CORPUS_CTE},
+grp(query_id, gid, weight) AS (
+  VALUES {",".join(grp_rows)}
+),
+member(query_id, gid, term, copies) AS (
+  VALUES {",".join(mem_rows)}
+),
+mtf AS (
+  SELECT m.query_id, m.gid, t.docid,
+         CAST(least(sum(CAST(t.tf AS BIGINT) * m.copies), 255) AS BIGINT) AS tf,
+         max(d.doc_len) AS doc_len
+  FROM member m
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  GROUP BY m.query_id, m.gid, t.docid
+),
+gdf AS (
+  SELECT query_id, gid, CAST(count(*) AS BIGINT) AS df
+  FROM mtf GROUP BY query_id, gid
+),
+scored AS (
+  SELECT CAST(mtf.query_id AS BIGINT) AS query_id, mtf.docid,
+         CAST(g.weight AS BIGINT) * (1 + CAST(trunc(
+           100.0 * ln(CAST(s.n_docs AS DOUBLE) / CAST(gdf.df AS DOUBLE))
+                 * ((CAST(mtf.tf AS DOUBLE) * (0.9 + 1.0))
+                    / (CAST(mtf.tf AS DOUBLE)
+                       + CAST(CAST(0.9 * ((1.0 - 0.4)
+                           + 0.4 * (CAST(mtf.doc_len AS DOUBLE) / s.mean_len))
+                         AS REAL) AS DOUBLE)))) AS BIGINT)) AS contrib
+  FROM mtf
+  JOIN gdf USING (query_id, gid)
+  JOIN grp g USING (query_id, gid)
+  CROSS JOIN stats s
+  WHERE gdf.df <> s.n_docs  -- merged df == N contributes nothing
+),
+acc AS (
+  SELECT query_id, docid,
+         CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  FROM scored GROUP BY query_id, docid
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM acc
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from atire_spark.corpus import CORPUS_QUERIES
 
@@ -3330,6 +3456,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     reg["bm25_feedback_topk"] = _suite_fn(
         [("kl", _q_feedback_kl), ("rm", _q_feedback_rm)], "method"
+    )
+    reg["thesaurus_topk"] = _suite_fn(
+        [
+            ("expanded", _q_thesaurus_expanded),
+            ("conflated", _q_thesaurus_conflated),
+        ],
+        "mode",
     )
     reg["more_like_this_topk"] = _q_more_like_this
     reg["eval_suite"] = _q_eval_suite
@@ -3780,6 +3913,18 @@ WHERE r.rank <= {TOP_K}
             ("rm", _feedback_rm_sql(TOP_K, FB_DOCS, FB_TERMS)),
         ],
         "method",
+    )
+    reg["thesaurus_topk"] = _suite_sql(
+        [
+            (
+                "expanded",
+                _bm25_sql(
+                    TOP_K, values_sql=_thesaurus_expanded_values_sql()
+                ),
+            ),
+            ("conflated", _thesaurus_conflated_sql(TOP_K)),
+        ],
+        "mode",
     )
     reg["eval_suite"] = _eval_suite_sql(
         parts["eval_metrics"], parts["eval_intent_aware"]

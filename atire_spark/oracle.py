@@ -243,3 +243,67 @@ class OracleIndex:
             }
         )
         return out
+
+    # ------------------------------------------------------------------
+    def search_expanded(self, query: str, thesaurus, k: int = 10) -> pd.DataFrame:
+        """Classic thesaurus expansion (nexi.c:484-495): synset terms
+        join the query at the same weight, each scored independently."""
+        expanded = []
+        for t in tokenize(query):  # expansion on the raw surface token
+            expanded.append(t)
+            expanded.extend(thesaurus.get_synset(t))
+        # reuse the standard loop (it stems each term per occurrence)
+        return self.search(" ".join(expanded), k)
+
+    def search_conflated(self, query: str, thesaurus, k: int = 10) -> pd.DataFrame:
+        """Synonym conflation (search_engine.c:1369-1461 +
+        ranking_function.c:142-154): per query term, the tf vectors of
+        the term and its synset members are summed per doc (capped at
+        255), df recomputed from the merged vector, and the merge is
+        scored as one BM25 term.  Members stemming to the same index
+        term add their postings twice, like the reference re-reading
+        them."""
+        from atire_spark.kernels.stem import query_stem
+
+        acc = np.zeros(self.n_docs, dtype=np.int64)
+        touched = np.zeros(self.n_docs, dtype=bool)
+        for base in tokenize(query):  # one pass per occurrence
+            members = [query_stem(base, self.stemmer)]
+            members += [
+                query_stem(s, self.stemmer) for s in thesaurus.get_synset(base)
+            ]
+            tfvec = np.zeros(self.n_docs, dtype=np.int64)
+            for m in members:
+                hit = self.postings.get(m)
+                if hit is None:
+                    continue  # expanded to something not in the vocab
+                docids, tfs = hit
+                tfvec[docids] += tfs
+            np.minimum(tfvec, 255, out=tfvec)  # cap at 255
+            cand = np.flatnonzero(tfvec)
+            df_t = cand.size
+            if df_t == 0:
+                continue
+            idf = float(np.log(np.float64(self.n_docs) / np.float64(df_t)))
+            if idf == 0.0:
+                continue  # merged df == N contributes nothing
+            tf_d = tfvec[cand].astype(np.float64)
+            prior = self.priors[cand].astype(np.float64)
+            rsv = idf * ((tf_d * (K1 + 1.0)) / (tf_d + prior))
+            acc[cand] += 1 + (rsv * 100.0).astype(np.int64)
+            touched[cand] = True
+
+        cand = np.flatnonzero(touched)
+        if cand.size == 0:
+            return pd.DataFrame(columns=["rank", "docid", "rsv_fixed"]).astype(
+                {"rank": np.int32, "docid": np.int64, "rsv_fixed": np.int64}
+            )
+        rsv_fixed = acc[cand] % ACCUM_MOD
+        order = np.lexsort((-cand, -rsv_fixed))[: min(k, cand.size)]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, order.size + 1, dtype=np.int32),
+                "docid": cand[order],
+                "rsv_fixed": rsv_fixed[order],
+            }
+        )

@@ -2355,6 +2355,199 @@ class SearchEngine:
             hits, qmap2, nq2, k, "lmp", qf_scale=qf_scale
         )
 
+    # ------------------------------------------------------------------
+    def expand_query_terms(
+        self, text: str, thesaurus
+    ) -> list[tuple[str, int, float]]:
+        """Classic thesaurus query expansion at parse time
+        (atire_api.c:583-588 ``set_query_expansion`` feeding
+        nexi.c:484-495): each CO search term's synset terms are
+        appended to the query as additional terms at the same weight.
+        Returns a ``parsed_terms``-shaped bag [(term, multiplicity,
+        postscalar)] with the query-side stemming gate applied to
+        original and expanded terms alike (the reference stems
+        expanded terms in process_one_term when the index is stemmed).
+
+        Deviation (documented in atire_spark/thesaurus.py): the
+        reference's string_pair get_synset zeroes the relationship
+        mask after the first call (thesaurus.c:20), so its classic
+        expansion only ever expands one term per process — an evident
+        bug; here every term expands."""
+        from atire_spark.kernels.stem import query_stem
+
+        bag: Counter = Counter()
+        for t in parse_nexi(text, self.cjk_segmenter):
+            bag[query_stem(t.term, self.stemmer)] += 1
+            for syn in thesaurus.get_synset(t.term):
+                bag[query_stem(syn, self.stemmer)] += 1
+        return [(term, mult, 1.0) for term, mult in bag.items()]
+
+    def search_expanded(
+        self,
+        queries: list[tuple[int, str]],
+        thesaurus,
+        k: int = 10,
+        ranker: str = "bm25",
+    ) -> DataFrame:
+        """Ranked search with classic thesaurus expansion: every
+        expanded term scores independently like any other query term
+        (the -W CLI mode, atire.c:898-899)."""
+        parsed = {
+            qid: self.expand_query_terms(text, thesaurus)
+            for qid, text in queries
+        }
+        return self.search_batch(
+            queries, k, ranker=ranker, parsed_terms=parsed
+        )
+
+    def search_conflated(
+        self,
+        queries: list[tuple[int, str]],
+        thesaurus,
+        k: int = 10,
+    ) -> DataFrame:
+        """In-place thesaurus expansion = synonym conflation
+        (atire_api.c:571-576 ``set_inplace_query_expansion``,
+        search_engine.c:1369-1461 process_one_thesaurus_search_term):
+        per query term, the postings of the term and all its synset
+        terms are merged into ONE term-frequency vector — per-doc tf
+        summed and capped at 255, document frequency recomputed from
+        the merged vector (ranking_function.c:142-154 tf_to_postings)
+        — then ranked as if it were a single BM25 search term; a term
+        whose merged df == N contributes nothing (bm25.c:91-92).
+        Faithful quirk kept: synset members that stem to the SAME
+        index term are each added (the reference re-reads the postings
+        per member), so their tf counts double.
+
+        Plan shape (100 TB): union of all member terms is ONE pushed
+        isin filter on the postings scan (parquet file pruning); the
+        vectorized segment decode fans rows out to their (query,
+        group) owners; a single hash shuffle on (query, group, docid)
+        merges the tf vectors; df, the float32 length prior, and the
+        fixed-point BM25 contribution are whole-stage-codegen column
+        expressions (no Python past the decode); the final accumulate
+        + top-k reuses the bounded-window rank path. Quantized indexes
+        are refused — their postings carry impacts, not tfs.
+        """
+        if self.quantized:
+            raise ValueError(
+                "synonym conflation needs raw term frequencies; the "
+                "index is quantized (atire_api.c:477)"
+            )
+        from atire_spark.kernels.bm25 import ACCUM_MOD, BM25_B, BM25_K1
+        from atire_spark.kernels.stem import query_stem
+
+        # member term -> [(qid, gid, copies)]; group -> query weight
+        term_groups: dict[str, list[tuple[int, int, int]]] = {}
+        group_weight: dict[tuple[int, int], int] = {}
+        for qid, text in queries:
+            # parse raw tokens (the thesaurus holds surface words);
+            # stem members for index lookup afterwards
+            raw_bag = Counter(
+                t.term for t in parse_nexi(text, self.cjk_segmenter)
+            )
+            for gid, (base, weight) in enumerate(sorted(raw_bag.items())):
+                members = Counter([query_stem(base, self.stemmer)])
+                for syn in thesaurus.get_synset(base):
+                    members[query_stem(syn, self.stemmer)] += 1
+                group_weight[(qid, gid)] = int(weight)
+                for m, copies in members.items():
+                    term_groups.setdefault(m, []).append((qid, gid, copies))
+        if not term_groups:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+
+        hits = self.postings.filter(F.col("term").isin(list(term_groups)))
+        codec = self.codec
+
+        def decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from atire_spark.kernels.impact import decode_segment
+
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False):
+                    docids, tfs, lens = decode_segment(
+                        np.asarray(row.impacts),
+                        np.asarray(row.doc_counts),
+                        row.postings,
+                        row.doc_lens,
+                        codec=codec,
+                        byte_offsets=np.asarray(row.byte_offsets),
+                    )
+                    for qid, gid, copies in term_groups[row.term]:
+                        out.append(
+                            pd.DataFrame(
+                                {
+                                    "query_id": np.full(
+                                        docids.size, qid, dtype=np.int64
+                                    ),
+                                    "gid": np.full(
+                                        docids.size, gid, dtype=np.int64
+                                    ),
+                                    "docid": docids,
+                                    "tf": tfs.astype(np.int64) * copies,
+                                    "doc_len": lens.astype(np.int64),
+                                }
+                            )
+                        )
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+        rows = hits.mapInPandas(
+            decode_fn,
+            schema=(
+                "query_id long, gid long, docid long, tf long, doc_len long"
+            ),
+        )
+        merged = rows.groupBy("query_id", "gid", "docid").agg(
+            F.least(F.sum("tf"), F.lit(255)).alias("tf"),  # cap at 255
+            F.max("doc_len").alias("doc_len"),
+        )
+        # per-group df is a TINY aggregate (≤ queries × terms rows):
+        # broadcast it back instead of a Window over (query_id, gid),
+        # which would re-shuffle every merged posting on a prefix of
+        # the keys it was just hashed by (AQE reuses the exchange for
+        # both consumers); the inner join drops df == N groups (idf 0
+        # → the whole group contributes nothing)
+        gdf = (
+            merged.groupBy("query_id", "gid")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") != F.lit(self.n_docs))
+        )
+        merged = merged.join(F.broadcast(gdf), ["query_id", "gid"])
+        wtab = self.spark.createDataFrame(
+            [(q, g, w) for (q, g), w in group_weight.items()],
+            "query_id long, gid long, weight long",
+        )
+        k1, b = BM25_K1, BM25_B
+        prior = (
+            (
+                F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b)
+                    * (F.col("doc_len") / F.lit(self.mean_doc_len))
+                )
+            )
+            .cast("float")  # the reference's float32 prior array
+            .cast("double")
+        )
+        tf_d = F.col("tf").cast("double")
+        rsv = (
+            F.log(F.lit(float(self.n_docs)) / F.col("df").cast("double"))
+            * ((tf_d * F.lit(k1 + 1.0)) / (tf_d + prior))
+        )
+        contrib = (
+            F.col("weight")
+            * (F.lit(1) + F.floor(rsv * F.lit(100.0)).cast("long"))
+        ).alias("contrib")
+        scored = merged.join(F.broadcast(wtab), ["query_id", "gid"]).select(
+            "query_id", "docid", contrib
+        )
+        accum = scored.groupBy("query_id", "docid").agg(
+            F.pmod(F.sum("contrib"), F.lit(ACCUM_MOD)).alias("rsv_fixed")
+        )
+        return self._rank_topk(accum, k)
+
     def search_rerank(
         self,
         queries: list[tuple[int, str]],
