@@ -3257,6 +3257,196 @@ SELECT * FROM (VALUES {rows}) AS t(stemmer, word, stem)
 
 
 # ---------------------------------------------------------------------------
+# stemmer-iterator entries: query-side stemming over an UNSTEMMED
+# index (stemmer.c:14-48 btree walk → stem conflation,
+# search_engine.c:1262-1360) with the similarity-gated wrappers
+# (stemmer_factory.c:71-72). The corpus vocabulary has no plural
+# pairs, so the classes here are singletons / empties — certifying
+# the gating edge semantics exactly (absent base → similarity 0.0 →
+# threshold drops the class, weighted zeroes it; the base term always
+# passes the threshold via the strcmp short-circuit); the nontrivial
+# similarity arithmetic is oracled bit-exactly by
+# tests/test_stem_iterator.py on a plural-rich corpus.
+ITERATOR_QUERIES: list[tuple[int, str]] = [
+    (1, "dup"),  # in-vocab base, singleton class
+    (2, "queries"),  # absent base → class {query}, sim 0.0
+    (3, "windows spark"),  # absent + in-vocab mix
+    (4, "the a"),  # 'a' fails the ≥3 gate → plain singleton
+    (5, "dup window zzzmissing"),  # empty class member
+]
+ITER_THRESHOLD = 0.5
+ITER_WEIGHT = 1.0
+
+
+def _q_stem_iterator(mode: str | None, value: float = 0.0):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = _engine(spark, sf_dir)
+        return eng.search_stemmed_iterator(
+            ITERATOR_QUERIES, stemmer="s", k=TOP_K,
+            similarity=mode, value=value,
+        )
+
+    return fn
+
+
+# stem_s as a SQL expression (stem_s.c: ies→y, else strip es, else
+# strip s, first match wins) — applied unguarded to vocabulary terms,
+# exactly like the iterator's stem() calls
+def _stem_s_sql(col: str) -> str:
+    return f"""CASE
+      WHEN {col} LIKE '%ies' THEN substr({col}, 1, length({col}) - 3) || 'y'
+      WHEN {col} LIKE '%es' THEN substr({col}, 1, length({col}) - 2)
+      WHEN {col} LIKE '%s' THEN substr({col}, 1, length({col}) - 1)
+      ELSE {col} END"""
+
+
+def _stem_iterator_sql(k: int, mode: str | None, value: float = 0.0) -> str:
+    """Independent DuckDB implementation of the stemmer-iterator
+    search: stem classes via the SQL S-stripper with the prefix
+    bound, postings-cosine similarity with the reference's asymmetric
+    normalization, threshold/weighted gating, conflation with the
+    (size_t) truncation + 255 cap, one BM25 contribution per class."""
+    from atire_spark.query import parse_nexi
+
+    base_rows = []
+    for qid, text in ITERATOR_QUERIES:
+        from collections import Counter
+
+        raw_bag = Counter(t.term for t in parse_nexi(text))
+        for gid, (base, weight) in enumerate(sorted(raw_bag.items())):
+            use_iter = len(base) >= 3 and "a" <= base[0] <= "z"
+            base_rows.append(
+                f"({qid}, {gid}, '{base}', {weight}, {str(use_iter).upper()})"
+            )
+    if mode is None:
+        weight_expr = "1.0"
+        gate_cond = "TRUE"
+    elif mode == "threshold":
+        weight_expr = "1.0"
+        # keep term == base (strcmp short-circuit) or NOT (sim < t):
+        # DuckDB orders NaN above every value, so NaN < t is FALSE
+        # and NaN similarities are kept, like the C
+        gate_cond = f"(c.term = c.base OR NOT (c.sim < {value}))"
+    else:  # weighted
+        weight_expr = (
+            f"CASE WHEN c.term = c.base THEN 1.0 ELSE pow(c.sim, {value}) END"
+        )
+        gate_cond = "TRUE"
+    return f"""
+WITH {_CORPUS_CTE},
+bases(query_id, gid, base, weight, use_iter) AS (
+  VALUES {",".join(base_rows)}
+),
+sbase AS (
+  SELECT *, {_stem_s_sql("base")} AS bstem FROM bases
+),
+cand AS (
+  SELECT b.query_id, b.gid, b.base, b.weight, v.term
+  FROM sbase b JOIN termstats v
+    ON b.use_iter
+   AND starts_with(v.term, b.bstem)
+   AND ({_stem_s_sql("v.term")}) = b.bstem
+  UNION ALL
+  SELECT query_id, gid, base, weight, base AS term
+  FROM sbase WHERE NOT use_iter
+),
+norms AS (
+  SELECT term, CAST(sum(CAST(tf AS BIGINT) * tf) AS DOUBLE) AS n2,
+         CAST(count(*) AS BIGINT) AS df
+  FROM tf GROUP BY term
+),
+dots AS (
+  SELECT c.query_id, c.gid, c.term,
+         sum((CAST(ta.tf AS DOUBLE) / CAST(d.doc_len AS DOUBLE))
+           * (CAST(tb.tf AS DOUBLE) / CAST(d.doc_len AS DOUBLE))) AS dot
+  FROM cand c
+  JOIN tf ta ON ta.term = c.base
+  JOIN tf tb ON tb.term = c.term AND tb.docid = ta.docid
+  JOIN docmap d ON d.docid = ta.docid
+  WHERE c.term <> c.base
+  GROUP BY 1, 2, 3
+),
+simmed AS (
+  SELECT c.query_id, c.gid, c.base, c.weight, c.term,
+         CASE WHEN na.n2 IS NULL THEN 0.0
+              WHEN nb.n2 IS NULL THEN 0.0
+              ELSE coalesce(dd.dot, 0.0)
+                   * (ln(CAST(s.n_docs AS DOUBLE) / na.df)
+                      * ln(CAST(s.n_docs AS DOUBLE) / nb.df))
+                   / sqrt(na.n2 * ln(CAST(s.n_docs AS DOUBLE) / na.df)
+                                * ln(CAST(s.n_docs AS DOUBLE) / na.df))
+                   / sqrt(nb.n2 * ln(CAST(s.n_docs AS DOUBLE) / nb.df)
+                                * ln(CAST(s.n_docs AS DOUBLE) / nb.df))
+         END AS sim
+  FROM cand c
+  LEFT JOIN norms na ON na.term = c.base
+  LEFT JOIN norms nb ON nb.term = c.term
+  LEFT JOIN dots dd
+    ON dd.query_id = c.query_id AND dd.gid = c.gid AND dd.term = c.term
+  CROSS JOIN stats s
+),
+members AS (
+  SELECT c.query_id, c.gid, c.weight, c.term, {weight_expr} AS w
+  FROM simmed c
+  WHERE {gate_cond}
+),
+mtf AS (
+  SELECT m.query_id, m.gid, t.docid,
+         sum(CAST(t.tf AS DOUBLE) * m.w) AS wsum,
+         max(d.doc_len) AS doc_len
+  FROM members m
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  GROUP BY 1, 2, 3
+  HAVING sum(CAST(t.tf AS DOUBLE) * m.w) <> 0.0
+),
+imp AS (
+  SELECT *, CASE WHEN wsum >= 256.0 THEN CAST(255 AS BIGINT)
+                 ELSE CAST(trunc(wsum) AS BIGINT) END AS tf
+  FROM mtf
+),
+gdf AS (
+  SELECT query_id, gid, CAST(count(*) AS BIGINT) AS df
+  FROM imp GROUP BY query_id, gid
+),
+gweight AS (
+  SELECT DISTINCT query_id, gid, weight FROM bases
+),
+scored AS (
+  SELECT CAST(i.query_id AS BIGINT) AS query_id, i.docid,
+         CAST(g.weight AS BIGINT) * (1 + CAST(trunc(
+           100.0 * ln(CAST(s.n_docs AS DOUBLE) / CAST(gdf.df AS DOUBLE))
+                 * ((CAST(i.tf AS DOUBLE) * (0.9 + 1.0))
+                    / (CAST(i.tf AS DOUBLE)
+                       + CAST(CAST(0.9 * ((1.0 - 0.4)
+                           + 0.4 * (CAST(i.doc_len AS DOUBLE) / s.mean_len))
+                         AS REAL) AS DOUBLE)))) AS BIGINT)) AS contrib
+  FROM imp i
+  JOIN gdf USING (query_id, gid)
+  JOIN gweight g USING (query_id, gid)
+  CROSS JOIN stats s
+  WHERE gdf.df <> s.n_docs
+),
+acc AS (
+  SELECT query_id, docid,
+         CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  FROM scored GROUP BY query_id, docid
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM acc
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
 # thesaurus entries: classic query expansion (-W, atire.c:898-899 →
 # nexi.c:484-495 appends synset terms at the same weight) and in-place
 # synonym conflation (atire_api.c:571-576 → search_engine.c:1369-1461
@@ -3457,10 +3647,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg["bm25_feedback_topk"] = _suite_fn(
         [("kl", _q_feedback_kl), ("rm", _q_feedback_rm)], "method"
     )
-    reg["thesaurus_topk"] = _suite_fn(
+    # one suite for the two query-rewrite families (same result
+    # schema): thesaurus expansion/conflation + the stemmer-iterator
+    # modes — keeps the registry within the driver's recorded window
+    reg["expansion_topk"] = _suite_fn(
         [
-            ("expanded", _q_thesaurus_expanded),
-            ("conflated", _q_thesaurus_conflated),
+            ("thesaurus_expanded", _q_thesaurus_expanded),
+            ("thesaurus_conflated", _q_thesaurus_conflated),
+            ("stem_plain", _q_stem_iterator(None)),
+            ("stem_threshold", _q_stem_iterator("threshold", ITER_THRESHOLD)),
+            ("stem_weighted", _q_stem_iterator("weighted", ITER_WEIGHT)),
         ],
         "mode",
     )
@@ -3914,15 +4110,24 @@ WHERE r.rank <= {TOP_K}
         ],
         "method",
     )
-    reg["thesaurus_topk"] = _suite_sql(
+    reg["expansion_topk"] = _suite_sql(
         [
             (
-                "expanded",
+                "thesaurus_expanded",
                 _bm25_sql(
                     TOP_K, values_sql=_thesaurus_expanded_values_sql()
                 ),
             ),
-            ("conflated", _thesaurus_conflated_sql(TOP_K)),
+            ("thesaurus_conflated", _thesaurus_conflated_sql(TOP_K)),
+            ("stem_plain", _stem_iterator_sql(TOP_K, None)),
+            (
+                "stem_threshold",
+                _stem_iterator_sql(TOP_K, "threshold", ITER_THRESHOLD),
+            ),
+            (
+                "stem_weighted",
+                _stem_iterator_sql(TOP_K, "weighted", ITER_WEIGHT),
+            ),
         ],
         "mode",
     )

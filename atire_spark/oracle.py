@@ -245,6 +245,96 @@ class OracleIndex:
         return out
 
     # ------------------------------------------------------------------
+    def search_stemmed_iterator(
+        self,
+        query: str,
+        stemmer: str = "s",
+        k: int = 10,
+        similarity: str | None = None,
+        value: float = 0.0,
+    ) -> pd.DataFrame:
+        """Query-side stemmer-iterator search over this (unstemmed)
+        index — mirror of SearchEngine.search_stemmed_iterator: stem
+        classes are prefix-bounded (stemmer.c:14-48), optionally gated
+        (threshold) or tf-weighted (weighted) by the postings-cosine
+        similarity, then conflated (sum, bucket-truncate, cap 255, df
+        recomputed) and ranked as one BM25 term per class."""
+        from atire_spark.kernels.stem import _STEM_FN
+        from atire_spark.kernels.termsim import (
+            reference_posting_order,
+            term_similarity,
+        )
+
+        fn = _STEM_FN[stemmer]
+        doc_len_of = {i: int(v) for i, v in enumerate(self.doc_lens)}
+        acc = np.zeros(self.n_docs, dtype=np.int64)
+        touched = np.zeros(self.n_docs, dtype=bool)
+        for base in tokenize(query):  # one pass per occurrence
+            use_iter = len(base) >= 3 and "a" <= base[0] <= "z"
+            if use_iter:
+                st = fn(base)
+                members = sorted(
+                    t
+                    for t in self.postings
+                    if t.startswith(st) and fn(t) == st
+                )
+            else:
+                members = [base] if base in self.postings else []
+            wsum = np.zeros(self.n_docs, dtype=np.float64)
+            ok = False
+            for m in members:
+                w = 1.0
+                if similarity is not None and m != base:
+                    bd, bt = self.postings.get(
+                        base, (np.zeros(0, np.int64), np.zeros(0, np.int64))
+                    )
+                    cd, ct = self.postings[m]
+                    cd, ct = reference_posting_order(cd, ct)
+                    s = term_similarity(
+                        bd, bt, cd, ct, doc_len_of, self.n_docs,
+                        df_a=max(bd.size, 1), df_b=max(cd.size, 1),
+                    )
+                    if similarity == "threshold":
+                        if s < value:  # NaN compares false → kept
+                            continue
+                    else:
+                        w = float(np.power(s, value))
+                docids, tfs = self.postings[m]
+                wsum[docids] += tfs.astype(np.float64) * w
+                ok = True
+            if not ok:
+                continue
+            nz = wsum != 0.0
+            tfv = np.where(wsum >= 256.0, 255.0, np.floor(wsum)).astype(
+                np.int64
+            )
+            cand = np.flatnonzero(nz)
+            df_t = cand.size
+            if df_t == 0 or df_t == self.n_docs:
+                continue
+            idf = float(np.log(np.float64(self.n_docs) / np.float64(df_t)))
+            tf_d = tfv[cand].astype(np.float64)
+            prior = self.priors[cand].astype(np.float64)
+            rsv = idf * ((tf_d * (K1 + 1.0)) / (tf_d + prior))
+            acc[cand] += 1 + (rsv * 100.0).astype(np.int64)
+            touched[cand] = True
+
+        cand = np.flatnonzero(touched)
+        if cand.size == 0:
+            return pd.DataFrame(columns=["rank", "docid", "rsv_fixed"]).astype(
+                {"rank": np.int32, "docid": np.int64, "rsv_fixed": np.int64}
+            )
+        rsv_fixed = acc[cand] % ACCUM_MOD
+        order = np.lexsort((-cand, -rsv_fixed))[: min(k, cand.size)]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, order.size + 1, dtype=np.int32),
+                "docid": cand[order],
+                "rsv_fixed": rsv_fixed[order],
+            }
+        )
+
+    # ------------------------------------------------------------------
     def search_expanded(self, query: str, thesaurus, k: int = 10) -> pd.DataFrame:
         """Classic thesaurus expansion (nexi.c:484-495): synset terms
         join the query at the same weight, each scored independently."""

@@ -2548,6 +2548,333 @@ class SearchEngine:
         )
         return self._rank_topk(accum, k)
 
+    # ------------------------------------------------------------------
+    def stem_class_candidates(
+        self, bases: list[str], stemmer: str
+    ) -> dict[str, list[str]]:
+        """Query-side stem classes (stemmer.c:14-48 first/next): for
+        each base term, the vocabulary terms that (a) START WITH the
+        base's stem — the btree walk begins at the stem string and
+        stops at the first non-prefixed term, so same-stem terms that
+        don't carry the stem as a prefix are never reached (e.g.
+        Porter's "pony" is missed from the "poni" class) — and (b)
+        stem to the same string, in lexicographic (btree) order.
+
+        Plan: the term vocabulary is a column-pruned distinct over the
+        postings scan with the stem prefixes pushed down as
+        StringStartsWith filters (parquet min/max pruning — the
+        distributed analogue of the btree range walk); the stem check
+        runs vectorized in mapInPandas; the matched classes (query-
+        sized) collect to the driver like the reference's iterator.
+        """
+        from atire_spark.kernels.stem import _STEM_FN
+
+        fn = _STEM_FN[stemmer]
+        base_stems = {b: fn(b) for b in bases}
+        stems = sorted(set(base_stems.values()))
+        cond = F.col("term").startswith(stems[0])
+        for s in stems[1:]:
+            cond = cond | F.col("term").startswith(s)
+        vocab = self.postings.select("term").filter(cond).distinct()
+        stems_set = set(stems)
+
+        def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out_t, out_s = [], []
+                for t in pdf["term"]:
+                    st = fn(t)
+                    if st in stems_set and t.startswith(st):
+                        out_t.append(t)
+                        out_s.append(st)
+                yield pd.DataFrame({"term": out_t, "stem": out_s})
+
+        by_stem: dict[str, list[str]] = {}
+        for r in vocab.mapInPandas(map_fn, "term string, stem string").collect():
+            by_stem.setdefault(r["stem"], []).append(r["term"])
+        for terms in by_stem.values():
+            terms.sort()  # btree order
+        return {b: by_stem.get(st, []) for b, st in base_stems.items()}
+
+    def _decoded_postings_pdf(self, terms: list[str]) -> pd.DataFrame:
+        """Decode the given terms' postings to a driver pandas frame
+        (term, docid, tf, doc_len) — the similarity gate's analogue of
+        the reference's random-access get_decompressed_postings reads
+        (stemmer_term_similarity.c:68/105). Involved-term postings
+        only; at web scale a hot term makes this a driver hotspot —
+        the distributed alternative (aggregate dot/norms per pair in
+        Spark) loses the reference's bit-exact summation order, so the
+        faithful path stays driver-side and is documented as such."""
+        hits = self.postings.filter(F.col("term").isin(terms))
+        codec = self.codec
+
+        def decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from atire_spark.kernels.impact import decode_segment
+
+            for pdf in batches:
+                cols: dict[str, list] = {"term": [], "docid": [], "tf": [], "doc_len": []}
+                for row in pdf.itertuples(index=False):
+                    docids, tfs, lens = decode_segment(
+                        np.asarray(row.impacts),
+                        np.asarray(row.doc_counts),
+                        row.postings,
+                        row.doc_lens,
+                        codec=codec,
+                        byte_offsets=np.asarray(row.byte_offsets),
+                    )
+                    cols["term"].append(np.full(docids.size, row.term, dtype=object))
+                    cols["docid"].append(docids)
+                    cols["tf"].append(tfs.astype(np.int64))
+                    cols["doc_len"].append(lens.astype(np.int64))
+                if cols["term"]:
+                    yield pd.DataFrame(
+                        {k: np.concatenate(v) for k, v in cols.items()}
+                    )
+
+        return hits.mapInPandas(
+            decode_fn, schema="term string, docid long, tf long, doc_len long"
+        ).toPandas()
+
+    def search_stemmed_iterator(
+        self,
+        queries: list[tuple[int, str]],
+        stemmer: str = "s",
+        k: int = 10,
+        similarity: str | None = None,
+        value: float = 0.0,
+    ) -> DataFrame:
+        """Query-side stemming over an UNSTEMMED index — the
+        reference's stemmer-iterator search (atire_api.c:843-930
+        search_term_at_a_time with a stemmer → search_engine.c:
+        1262-1360 stem_into_internal_buffers): each query term's stem
+        class conflates into one tf vector (per-doc sum, cap 255, df
+        recomputed — ranking_function.c:122-211 tf_to_postings) and
+        ranks as a single BM25 term.
+
+        ``similarity`` selects the similarity-gated wrappers
+        (stemmer_factory.c:71-72):
+
+        - ``"threshold"`` (stemmer_term_similarity_threshold.c): keep
+          only class members whose postings-cosine similarity to the
+          base term is ≥ ``value``; the base term itself always passes
+          (the strcmp short-circuit); NaN similarities (a df == N
+          side) compare false and are kept;
+        - ``"weighted"`` (stemmer_term_similarity_weighted.c): keep
+          all members but scale their tfs by ``pow(similarity,
+          value)`` (base term weight 1.0) — the reference needs the
+          USE_FLOATED_TF build for this (integer-tf builds ignore the
+          weights, search_engine.c:1218-1222); the weighted tf vector
+          truncates at the impact bucketing ((size_t) cast +
+          255 cap, ranking_function.c:149-151), so a doc whose
+          weighted sum lands in (0, 1) scores at impact 0 (a bare
+          +1 accumulator hit).
+
+        Gates (atire_api.c:913): a term enters the iterator only when
+        its first char is a lowercase letter and it is ≥ 3 chars;
+        other terms score as plain single-term lookups (identical
+        math: a singleton class's recomputed df equals its stored df).
+
+        The merge shuffle folds member tfs in lexicographic term
+        order (sort_array + aggregate) — the iterator's btree order —
+        so weighted double sums are bit-identical to the reference's
+        accumulation, not exchange-order-dependent.
+        """
+        if self.stemmer is not None:
+            raise ValueError(
+                "stemmer iterators walk an unstemmed vocabulary; this "
+                "index was built with ~stemmer "
+                f"{self.stemmer!r}"
+            )
+        if self.quantized:
+            raise ValueError(
+                "stem conflation needs raw term frequencies; the index "
+                "is quantized (atire_api.c:477)"
+            )
+        if similarity not in (None, "threshold", "weighted"):
+            raise ValueError(f"unknown similarity mode {similarity!r}")
+        from atire_spark.kernels.bm25 import ACCUM_MOD, BM25_B, BM25_K1
+        from atire_spark.kernels.termsim import (
+            reference_posting_order,
+            term_similarity,
+        )
+
+        # parse + gate
+        gated: list[tuple[int, int, str, int, bool]] = []  # qid,gid,base,w,iter?
+        for qid, text in queries:
+            raw_bag = Counter(
+                t.term for t in parse_nexi(text, self.cjk_segmenter)
+            )
+            for gid, (base, weight) in enumerate(sorted(raw_bag.items())):
+                use_iter = len(base) >= 3 and "a" <= base[0] <= "z"
+                gated.append((qid, gid, base, int(weight), use_iter))
+        if not gated:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+
+        classes = self.stem_class_candidates(
+            sorted({b for _, _, b, _, u in gated if u}), stemmer
+        ) if any(u for *_, u in gated) else {}
+
+        # members per group, with tf weights
+        groups: dict[tuple[int, int], tuple[int, list[tuple[str, float]]]] = {}
+        if similarity is not None:
+            pairs = set()
+            for _, _, base, _, use_iter in gated:
+                if use_iter:
+                    for cand in classes.get(base, []):
+                        if cand != base:
+                            pairs.add((base, cand))
+            sims: dict[tuple[str, str], float] = {}
+            if pairs:
+                involved = sorted(
+                    {b for b, _ in pairs} | {c for _, c in pairs}
+                )
+                pdf = self._decoded_postings_pdf(involved)
+                by_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+                doc_len_of: dict[int, int] = {}
+                for term, sub in pdf.groupby("term"):
+                    d = sub["docid"].to_numpy()
+                    t = sub["tf"].to_numpy()
+                    by_term[term] = reference_posting_order(d, t)
+                    doc_len_of.update(
+                        zip(
+                            sub["docid"].astype(int),
+                            sub["doc_len"].astype(int),
+                        )
+                    )
+                empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+                for base, cand in pairs:
+                    bd, bt = by_term.get(base, empty)
+                    cd, ct = by_term.get(cand, empty)
+                    sims[(base, cand)] = term_similarity(
+                        bd, bt, cd, ct, doc_len_of, self.n_docs,
+                        df_a=max(bd.size, 1), df_b=max(cd.size, 1),
+                    )
+        for qid, gid, base, weight, use_iter in gated:
+            if not use_iter:
+                groups[(qid, gid)] = (weight, [(base, 1.0)])
+                continue
+            members: list[tuple[str, float]] = []
+            for cand in classes.get(base, []):
+                if similarity == "threshold" and cand != base:
+                    s = sims[(base, cand)]
+                    if s < value:  # NaN compares false → kept
+                        continue
+                    members.append((cand, 1.0))
+                elif similarity == "weighted" and cand != base:
+                    members.append(
+                        (cand, float(np.power(sims[(base, cand)], value)))
+                    )
+                else:
+                    members.append((cand, 1.0))
+            if members:
+                groups[(qid, gid)] = (weight, members)
+        if not groups:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+
+        term_groups: dict[str, list[tuple[int, int, float]]] = {}
+        for (qid, gid), (_w, members) in groups.items():
+            for term, wtf in members:
+                term_groups.setdefault(term, []).append((qid, gid, wtf))
+        codec = self.codec
+
+        def decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from atire_spark.kernels.impact import decode_segment
+
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False):
+                    docids, tfs, lens = decode_segment(
+                        np.asarray(row.impacts),
+                        np.asarray(row.doc_counts),
+                        row.postings,
+                        row.doc_lens,
+                        codec=codec,
+                        byte_offsets=np.asarray(row.byte_offsets),
+                    )
+                    for qid, gid, wtf in term_groups[row.term]:
+                        out.append(
+                            pd.DataFrame(
+                                {
+                                    "query_id": np.full(docids.size, qid, np.int64),
+                                    "gid": np.full(docids.size, gid, np.int64),
+                                    "term": np.full(docids.size, row.term, object),
+                                    "docid": docids,
+                                    "wtf": tfs.astype(np.float64) * wtf,
+                                    "doc_len": lens.astype(np.int64),
+                                }
+                            )
+                        )
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+        rows = self.postings.filter(
+            F.col("term").isin(list(term_groups))
+        ).mapInPandas(
+            decode_fn,
+            schema=(
+                "query_id long, gid long, term string, docid long, "
+                "wtf double, doc_len long"
+            ),
+        )
+        # deterministic left fold of member tfs in btree (term) order
+        merged = (
+            rows.groupBy("query_id", "gid", "docid")
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("term", "wtf"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["wtf"],
+                ).alias("wsum"),
+                F.max("doc_len").alias("doc_len"),
+            )
+            .filter(F.col("wsum") != F.lit(0.0))  # *current != 0
+            .withColumn(
+                # impact bucketing: cap at 255 then (size_t) truncation
+                "tf",
+                F.when(F.col("wsum") >= F.lit(256.0), F.lit(255)).otherwise(
+                    F.floor("wsum")
+                ).cast("long"),
+            )
+        )
+        gdf = (
+            merged.groupBy("query_id", "gid")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") != F.lit(self.n_docs))  # idf 0 → nothing
+        )
+        merged = merged.join(F.broadcast(gdf), ["query_id", "gid"])
+        wtab = self.spark.createDataFrame(
+            [(q, g, w) for (q, g), (w, _m) in groups.items()],
+            "query_id long, gid long, weight long",
+        )
+        k1, b = BM25_K1, BM25_B
+        prior = (
+            (
+                F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b)
+                    * (F.col("doc_len") / F.lit(self.mean_doc_len))
+                )
+            )
+            .cast("float")
+            .cast("double")
+        )
+        tf_d = F.col("tf").cast("double")
+        rsv = (
+            F.log(F.lit(float(self.n_docs)) / F.col("df").cast("double"))
+            * ((tf_d * F.lit(k1 + 1.0)) / (tf_d + prior))
+        )
+        contrib = (
+            F.col("weight")
+            * (F.lit(1) + F.floor(rsv * F.lit(100.0)).cast("long"))
+        ).alias("contrib")
+        scored = merged.join(F.broadcast(wtab), ["query_id", "gid"]).select(
+            "query_id", "docid", contrib
+        )
+        accum = scored.groupBy("query_id", "docid").agg(
+            F.pmod(F.sum("contrib"), F.lit(ACCUM_MOD)).alias("rsv_fixed")
+        )
+        return self._rank_topk(accum, k)
+
     def search_rerank(
         self,
         queries: list[tuple[int, str]],
