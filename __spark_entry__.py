@@ -3214,6 +3214,33 @@ _STEM_SUITE_EXPECTED = [
     ('double_metaphone', 'ab', 'ab'),
     ('double_metaphone', 'up', 'up'),
     ('double_metaphone', '12345', '12345'),
+    # Snowball English / Porter2 (stemmer_factory.c:44 via
+    # libstemmer): rows verified against the compiled libstemmer
+    # shipped in the reference tree (11,117-word sweep, see
+    # tests/test_snowball.py)
+    ('snowball_english', 'queries', 'queri'),
+    ('snowball_english', 'tables', 'tabl'),
+    ('snowball_english', 'running', 'run'),
+    ('snowball_english', 'happiness', 'happi'),
+    ('snowball_english', 'connection', 'connect'),
+    ('snowball_english', 'maximum', 'maximum'),
+    ('snowball_english', 'nationally', 'nation'),
+    ('snowball_english', 'classified', 'classifi'),
+    ('snowball_english', 'kilometres', 'kilometr'),
+    ('snowball_english', 'splitting', 'split'),
+    ('snowball_english', 'realization', 'realiz'),
+    ('snowball_english', 'organizations', 'organ'),
+    ('snowball_english', 'troubles', 'troubl'),
+    ('snowball_english', 'computes', 'comput'),
+    ('snowball_english', 'magnetic', 'magnet'),
+    ('snowball_english', 'specialized', 'special'),
+    ('snowball_english', 'ponies', 'poni'),
+    ('snowball_english', 'caresses', 'caress'),
+    ('snowball_english', 'motoring', 'motor'),
+    ('snowball_english', 'generalization', 'general'),
+    ('snowball_english', 'ab', 'ab'),
+    ('snowball_english', 'up', 'up'),
+    ('snowball_english', '12345', '12345'),
 ]
 
 

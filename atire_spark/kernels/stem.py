@@ -43,6 +43,9 @@ STEMMERS = (
     # through identical index/query gates and ~stemmer recording
     "soundex",
     "double_metaphone",
+    # snowball family (stemmer_factory.c:39-60 via libstemmer):
+    # English (Porter2), compiled-reference parity verified
+    "snowball_english",
 )
 
 _VOWELS = "aeiou"
@@ -690,6 +693,12 @@ def _phonetic_double_metaphone(term: str) -> str:
     return phonetic_double_metaphone(term)
 
 
+def _snowball_english(term: str) -> str:
+    from atire_spark.kernels.snowball import stem_snowball_english
+
+    return stem_snowball_english(term)
+
+
 _STEM_FN = {
     "s": stem_s,
     "porter": stem_porter,
@@ -698,6 +707,7 @@ _STEM_FN = {
     "otago_v2": stem_otago_v2,
     "soundex": _phonetic_soundex,
     "double_metaphone": _phonetic_double_metaphone,
+    "snowball_english": _snowball_english,
 }
 
 

@@ -180,6 +180,7 @@ PLURAL_TRANSCRIPTS = pd.DataFrame(
         "otago_v2",
         "soundex",
         "double_metaphone",
+        "snowball_english",
     ],
 )
 def test_stemmed_index_matches_oracle(spark, stemmer):
