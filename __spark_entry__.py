@@ -3241,6 +3241,32 @@ _STEM_SUITE_EXPECTED = [
     ('snowball_english', 'ab', 'ab'),
     ('snowball_english', 'up', 'up'),
     ('snowball_english', '12345', '12345'),
+    # Snowball Lovins (stemmer_factory.c:53 via libstemmer): rows
+    # verified against the compiled libstemmer lovins (62,809-word
+    # sweep, 0 mismatches — tests/test_lovins.py)
+    ('snowball_lovins', 'queries', 'quer'),
+    ('snowball_lovins', 'tables', 'tabl'),
+    ('snowball_lovins', 'running', 'run'),
+    ('snowball_lovins', 'happiness', 'hap'),
+    ('snowball_lovins', 'connection', 'connect'),
+    ('snowball_lovins', 'maximum', 'maxim'),
+    ('snowball_lovins', 'nationally', 'nat'),
+    ('snowball_lovins', 'classified', 'classif'),
+    ('snowball_lovins', 'kilometres', 'kilometer'),
+    ('snowball_lovins', 'splitting', 'split'),
+    ('snowball_lovins', 'realization', 'real'),
+    ('snowball_lovins', 'organizations', 'organ'),
+    ('snowball_lovins', 'troubles', 'troubl'),
+    ('snowball_lovins', 'computes', 'comput'),
+    ('snowball_lovins', 'magnetic', 'magnet'),
+    ('snowball_lovins', 'specialized', 'special'),
+    ('snowball_lovins', 'ponies', 'pon'),
+    ('snowball_lovins', 'caresses', 'cares'),
+    ('snowball_lovins', 'motoring', 'motor'),
+    ('snowball_lovins', 'generalization', 'general'),
+    ('snowball_lovins', 'ab', 'ab'),
+    ('snowball_lovins', 'up', 'up'),
+    ('snowball_lovins', '12345', '12345'),
 ]
 
 

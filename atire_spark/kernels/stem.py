@@ -44,8 +44,9 @@ STEMMERS = (
     "soundex",
     "double_metaphone",
     # snowball family (stemmer_factory.c:39-60 via libstemmer):
-    # English (Porter2), compiled-reference parity verified
+    # English (Porter2) and Lovins, compiled-reference parity verified
     "snowball_english",
+    "snowball_lovins",
 )
 
 _VOWELS = "aeiou"
@@ -699,6 +700,12 @@ def _snowball_english(term: str) -> str:
     return stem_snowball_english(term)
 
 
+def _snowball_lovins(term: str) -> str:
+    from atire_spark.kernels.lovins import stem_snowball_lovins
+
+    return stem_snowball_lovins(term)
+
+
 _STEM_FN = {
     "s": stem_s,
     "porter": stem_porter,
@@ -708,6 +715,7 @@ _STEM_FN = {
     "soundex": _phonetic_soundex,
     "double_metaphone": _phonetic_double_metaphone,
     "snowball_english": _snowball_english,
+    "snowball_lovins": _snowball_lovins,
 }
 
 

@@ -181,6 +181,7 @@ PLURAL_TRANSCRIPTS = pd.DataFrame(
         "soundex",
         "double_metaphone",
         "snowball_english",
+        "snowball_lovins",
     ],
 )
 def test_stemmed_index_matches_oracle(spark, stemmer):
