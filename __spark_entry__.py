@@ -3267,6 +3267,32 @@ _STEM_SUITE_EXPECTED = [
     ('snowball_lovins', 'ab', 'ab'),
     ('snowball_lovins', 'up', 'up'),
     ('snowball_lovins', '12345', '12345'),
+    # Krovetz / kstem (stemmer_factory.c:36): rows verified against
+    # the compiled reference stem_krovetz.c (56,758-word sweep, 0
+    # mismatches — tests/test_kstem.py)
+    ('krovetz', 'queries', 'query'),
+    ('krovetz', 'tables', 'table'),
+    ('krovetz', 'running', 'run'),
+    ('krovetz', 'happiness', 'happy'),
+    ('krovetz', 'connection', 'connect'),
+    ('krovetz', 'maximum', 'maximum'),
+    ('krovetz', 'nationally', 'national'),
+    ('krovetz', 'classified', 'classify'),
+    ('krovetz', 'kilometres', 'kilometre'),
+    ('krovetz', 'splitting', 'split'),
+    ('krovetz', 'realization', 'realize'),
+    ('krovetz', 'organizations', 'organize'),
+    ('krovetz', 'troubles', 'trouble'),
+    ('krovetz', 'computes', 'compute'),
+    ('krovetz', 'magnetic', 'magnetic'),
+    ('krovetz', 'specialized', 'specialize'),
+    ('krovetz', 'ponies', 'pony'),
+    ('krovetz', 'caresses', 'caress'),
+    ('krovetz', 'motoring', 'motor'),
+    ('krovetz', 'generalization', 'general'),
+    ('krovetz', 'ab', 'ab'),
+    ('krovetz', 'up', 'up'),
+    ('krovetz', '12345', '12345'),
 ]
 
 

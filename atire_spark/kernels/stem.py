@@ -35,6 +35,7 @@ import pandas as pd
 STEMMERS = (
     "s",
     "porter",
+    "krovetz",
     "paice_husk",
     "otago",
     "otago_v2",
@@ -700,6 +701,12 @@ def _snowball_english(term: str) -> str:
     return stem_snowball_english(term)
 
 
+def _krovetz(term: str) -> str:
+    from atire_spark.kernels.kstem import stem_krovetz
+
+    return stem_krovetz(term)
+
+
 def _snowball_lovins(term: str) -> str:
     from atire_spark.kernels.lovins import stem_snowball_lovins
 
@@ -709,6 +716,7 @@ def _snowball_lovins(term: str) -> str:
 _STEM_FN = {
     "s": stem_s,
     "porter": stem_porter,
+    "krovetz": _krovetz,
     "paice_husk": stem_paice_husk,
     "otago": stem_otago,
     "otago_v2": stem_otago_v2,

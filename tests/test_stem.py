@@ -175,6 +175,7 @@ PLURAL_TRANSCRIPTS = pd.DataFrame(
     [
         "s",
         "porter",
+        "krovetz",
         "paice_husk",
         "otago",
         "otago_v2",
