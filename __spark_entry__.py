@@ -3293,6 +3293,98 @@ _STEM_SUITE_EXPECTED = [
     ('krovetz', 'ab', 'ab'),
     ('krovetz', 'up', 'up'),
     ('krovetz', '12345', '12345'),
+    ('snowball_porter', 'queries', 'queri'),
+    ('snowball_porter', 'tables', 'tabl'),
+    ('snowball_porter', 'running', 'run'),
+    ('snowball_porter', 'happiness', 'happi'),
+    ('snowball_porter', 'connection', 'connect'),
+    ('snowball_porter', 'maximum', 'maximum'),
+    ('snowball_porter', 'nationally', 'nation'),
+    ('snowball_porter', 'classified', 'classifi'),
+    ('snowball_porter', 'kilometres', 'kilometr'),
+    ('snowball_porter', 'splitting', 'split'),
+    ('snowball_porter', 'realization', 'realiz'),
+    ('snowball_porter', 'organizations', 'organ'),
+    ('snowball_porter', 'troubles', 'troubl'),
+    ('snowball_porter', 'computes', 'comput'),
+    ('snowball_porter', 'magnetic', 'magnet'),
+    ('snowball_porter', 'specialized', 'special'),
+    ('snowball_porter', 'ponies', 'poni'),
+    ('snowball_porter', 'caresses', 'caress'),
+    ('snowball_porter', 'motoring', 'motor'),
+    ('snowball_porter', 'generalization', 'gener'),
+    ('snowball_porter', 'ab', 'ab'),
+    ('snowball_porter', 'up', 'up'),
+    ('snowball_porter', '12345', '12345'),
+    ('snowball_danish', 'queries', 'queri'),
+    ('snowball_danish', 'tables', 'tabl'),
+    ('snowball_danish', 'running', 'running'),
+    ('snowball_danish', 'happiness', 'happines'),
+    ('snowball_danish', 'connection', 'connection'),
+    ('snowball_danish', 'maximum', 'maximum'),
+    ('snowball_danish', 'nationally', 'nationally'),
+    ('snowball_danish', 'classified', 'classified'),
+    ('snowball_danish', 'kilometres', 'kilometr'),
+    ('snowball_danish', 'splitting', 'splitting'),
+    ('snowball_danish', 'realization', 'realization'),
+    ('snowball_danish', 'organizations', 'organization'),
+    ('snowball_danish', 'troubles', 'troubl'),
+    ('snowball_danish', 'computes', 'comput'),
+    ('snowball_danish', 'magnetic', 'magnetic'),
+    ('snowball_danish', 'specialized', 'specialized'),
+    ('snowball_danish', 'ponies', 'poni'),
+    ('snowball_danish', 'caresses', 'cares'),
+    ('snowball_danish', 'motoring', 'motoring'),
+    ('snowball_danish', 'generalization', 'generalization'),
+    ('snowball_danish', 'ab', 'ab'),
+    ('snowball_danish', 'up', 'up'),
+    ('snowball_danish', '12345', '12345'),
+    ('snowball_norwegian', 'queries', 'queri'),
+    ('snowball_norwegian', 'tables', 'tabl'),
+    ('snowball_norwegian', 'running', 'running'),
+    ('snowball_norwegian', 'happiness', 'happiness'),
+    ('snowball_norwegian', 'connection', 'connection'),
+    ('snowball_norwegian', 'maximum', 'maximum'),
+    ('snowball_norwegian', 'nationally', 'nationally'),
+    ('snowball_norwegian', 'classified', 'classified'),
+    ('snowball_norwegian', 'kilometres', 'kilometr'),
+    ('snowball_norwegian', 'splitting', 'splitting'),
+    ('snowball_norwegian', 'realization', 'realization'),
+    ('snowball_norwegian', 'organizations', 'organization'),
+    ('snowball_norwegian', 'troubles', 'troubl'),
+    ('snowball_norwegian', 'computes', 'comput'),
+    ('snowball_norwegian', 'magnetic', 'magnetic'),
+    ('snowball_norwegian', 'specialized', 'specialized'),
+    ('snowball_norwegian', 'ponies', 'poni'),
+    ('snowball_norwegian', 'caresses', 'caress'),
+    ('snowball_norwegian', 'motoring', 'motoring'),
+    ('snowball_norwegian', 'generalization', 'generalization'),
+    ('snowball_norwegian', 'ab', 'ab'),
+    ('snowball_norwegian', 'up', 'up'),
+    ('snowball_norwegian', '12345', '12345'),
+    ('snowball_swedish', 'queries', 'queri'),
+    ('snowball_swedish', 'tables', 'tabl'),
+    ('snowball_swedish', 'running', 'running'),
+    ('snowball_swedish', 'happiness', 'happiness'),
+    ('snowball_swedish', 'connection', 'connection'),
+    ('snowball_swedish', 'maximum', 'maximum'),
+    ('snowball_swedish', 'nationally', 'nationally'),
+    ('snowball_swedish', 'classified', 'classified'),
+    ('snowball_swedish', 'kilometres', 'kilometr'),
+    ('snowball_swedish', 'splitting', 'splitting'),
+    ('snowball_swedish', 'realization', 'realization'),
+    ('snowball_swedish', 'organizations', 'organization'),
+    ('snowball_swedish', 'troubles', 'troubl'),
+    ('snowball_swedish', 'computes', 'comput'),
+    ('snowball_swedish', 'magnetic', 'magnetic'),
+    ('snowball_swedish', 'specialized', 'specialized'),
+    ('snowball_swedish', 'ponies', 'poni'),
+    ('snowball_swedish', 'caresses', 'caress'),
+    ('snowball_swedish', 'motoring', 'motoring'),
+    ('snowball_swedish', 'generalization', 'generalization'),
+    ('snowball_swedish', 'ab', 'ab'),
+    ('snowball_swedish', 'up', 'up'),
+    ('snowball_swedish', '12345', '12345'),
 ]
 
 

@@ -1,0 +1,25 @@
+"""Snowball language stemmers (the reference's -tsnowball:<lang>
+slots, stemmer_factory.c:39-60 via libstemmer).
+
+Each module is an independent Python implementation of the published
+Snowball algorithm for its language, verified against the compiled
+libstemmer_c the reference ships (tests/test_snowball_langs.py).
+English (Porter2) and Lovins predate this package and live in
+kernels/snowball.py and kernels/lovins.py.
+"""
+
+from __future__ import annotations
+
+from atire_spark.kernels.snowball_langs.porter import stem_snowball_porter
+from atire_spark.kernels.snowball_langs.scandinavian import (
+    stem_snowball_danish,
+    stem_snowball_norwegian,
+    stem_snowball_swedish,
+)
+
+__all__ = [
+    "stem_snowball_porter",
+    "stem_snowball_danish",
+    "stem_snowball_norwegian",
+    "stem_snowball_swedish",
+]

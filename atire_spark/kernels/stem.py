@@ -45,9 +45,14 @@ STEMMERS = (
     "soundex",
     "double_metaphone",
     # snowball family (stemmer_factory.c:39-60 via libstemmer):
-    # English (Porter2) and Lovins, compiled-reference parity verified
+    # every language is an independent implementation of the published
+    # Snowball algorithm, compiled-reference parity verified
     "snowball_english",
     "snowball_lovins",
+    "snowball_porter",
+    "snowball_danish",
+    "snowball_norwegian",
+    "snowball_swedish",
 )
 
 _VOWELS = "aeiou"
@@ -713,6 +718,15 @@ def _snowball_lovins(term: str) -> str:
     return stem_snowball_lovins(term)
 
 
+def _snowball_lang(name: str):
+    def fn(term: str) -> str:
+        import atire_spark.kernels.snowball_langs as sl
+
+        return getattr(sl, f"stem_snowball_{name}")(term)
+
+    return fn
+
+
 _STEM_FN = {
     "s": stem_s,
     "porter": stem_porter,
@@ -724,6 +738,10 @@ _STEM_FN = {
     "double_metaphone": _phonetic_double_metaphone,
     "snowball_english": _snowball_english,
     "snowball_lovins": _snowball_lovins,
+    "snowball_porter": _snowball_lang("porter"),
+    "snowball_danish": _snowball_lang("danish"),
+    "snowball_norwegian": _snowball_lang("norwegian"),
+    "snowball_swedish": _snowball_lang("swedish"),
 }
 
 

@@ -1,0 +1,229 @@
+"""Snowball language-stemmer parity tests (porter, danish,
+norwegian, swedish).
+
+Expected stems VERIFIED AGAINST THE COMPILED REFERENCE LIBSTEMMER: a
+harness around sb_stemmer_new(<lang>) built from the libstemmer_c
+tree the reference ships (external/unencumbered/snowball) was swept
+over per-language word lists (corpus vocabulary + every among-table
+suffix glued onto synthetic stems + seeded random strings over each
+language's alphabet, 5.5-6.9k words per language); the Python kernels
+matched every word.  The tables below freeze 40 rule-exercising cases
+per language from those sweeps.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from atire_spark.kernels.snowball_langs import (
+    stem_snowball_danish,
+    stem_snowball_norwegian,
+    stem_snowball_porter,
+    stem_snowball_swedish,
+)
+
+_PORTER_CASES = [
+    ('abing', 'ab'),
+    ('ahsodnaenphfa', 'ahsodnaenphfa'),
+    ('aous', 'aou'),
+    ('arbejaliti', 'arbej'),
+    ('bat', 'bat'),
+    ('bhbreization', 'bhbreizat'),
+    ('bnzrliakw', 'bnzrliakw'),
+    ('btcbukqlskbzq', 'btcbukqlskbzq'),
+    ('bvcyreed', 'bvcyre'),
+    ('bvcyrenci', 'bvcyrenc'),
+    ('bvcyriciti', 'bvcyric'),
+    ('emubational', 'emub'),
+    ('ewvxsyic', 'ewvxsyic'),
+    ('grandible', 'grandibl'),
+    ('iesies', 'iesi'),
+    ('invvslady', 'invvsladi'),
+    ('ioed', 'io'),
+    ('ipcqwve', 'ipcqwv'),
+    ('jrvfdsalize', 'jrvfdsaliz'),
+    ('kapabli', 'kapabl'),
+    ('kleineed', 'kleine'),
+    ('kleinical', 'kleinic'),
+    ('nerdance', 'nerdanc'),
+    ('nopdcjtsxbde', 'nopdcjtsxbd'),
+    ('osolizer', 'osol'),
+    ('ousous', 'ousou'),
+    ('pkxojticiti', 'pkxojtic'),
+    ('przyicate', 'przyicat'),
+    ('przysses', 'przyss'),
+    ('rdfulness', 'rdful'),
+    ('sfyuecjms', 'sfyuecjm'),
+    ('ugldrwY', 'ugldrwi'),
+    ('ugldrwfulness', 'ugldrw'),
+    ('uoskqqupmzjms', 'uoskqqupmzjm'),
+    ('uusanci', 'uusanc'),
+    ('uxilohi', 'uxilohi'),
+    ('vennligousli', 'vennlig'),
+    ('vennligsses', 'vennligss'),
+    ('wdlus', 'wdlu'),
+    ('zkkwlties', 'zkkwlti'),
+]
+
+_DANISH_CASES = [
+    ('aerne', 'aern'),
+    ('ahputapæfosoxp', 'ahputapæfosoxp'),
+    ('bende', 'bend'),
+    ('beren', 'ber'),
+    ('brcåepnhuøvd', 'brcåepnhuøvd'),
+    ('bustææhkw', 'bustææhkw'),
+    ('cantheder', 'cant'),
+    ('cdqnfyhedens', 'cdqnfyhed'),
+    ('cnheds', 'cnhed'),
+    ('customer', 'custom'),
+    ('cyrszåæende', 'cyrszåæ'),
+    ('epnberet', 'epnb'),
+    ('husernes', 'hus'),
+    ('kapethed', 'kap'),
+    ('kaplig', 'kap'),
+    ('kapløst', 'kapløs'),
+    ('kaps', 'kap'),
+    ('kleinernes', 'klein'),
+    ('kwkæje', 'kwkæj'),
+    ('mesoss', 'mesos'),
+    ('ncqlrxgæcmnuås', 'ncqlrxgæcmnuå'),
+    ('påkxojene', 'påkxoj'),
+    ('qetutcpspakqk', 'qetutcpspakqk'),
+    ('qgeren', 'qger'),
+    ('røheds', 'røhed'),
+    ('sbssmbheret', 'sbssmbher'),
+    ('sjheder', 'sjhed'),
+    ('skole', 'skol'),
+    ('skolgt', 'skolg'),
+    ('skols', 'skol'),
+    ('soljhets', 'soljh'),
+    ('soljhig', 'soljh'),
+    ('stmko', 'stmko'),
+    ('toprr', 'topr'),
+    ('vrnykes', 'vrnyk'),
+    ('yzoizys', 'yzoizy'),
+    ('zncuwl', 'zncuwl'),
+    ('ærene', 'æren'),
+    ('ærhtsomqfacs', 'ærhtsomqfac'),
+    ('æseren', 'æser'),
+]
+
+_NORWEGIAN_CASES = [
+    ('abcet', 'abc'),
+    ('ahetens', 'ahet'),
+    ('aå', 'aå'),
+    ('bbmoqæate', 'bbmoqæat'),
+    ('bendes', 'bend'),
+    ('boygff', 'boygff'),
+    ('bsfjw', 'bsfjw'),
+    ('cantlov', 'cant'),
+    ('chcrnede', 'chcrned'),
+    ('cyrszåæelig', 'cyrszåæ'),
+    ('cyrszåæen', 'cyrszåæ'),
+    ('cyrszåæers', 'cyrszåæ'),
+    ('epnbhetene', 'epnb'),
+    ('fbtåawajtu', 'fbtåawajtu'),
+    ('ireffe', 'ireff'),
+    ('kleinels', 'kleinel'),
+    ('kleines', 'klein'),
+    ('kleinet', 'klein'),
+    ('kleinets', 'klein'),
+    ('kwltenes', 'kwlten'),
+    ('lsane', 'lsan'),
+    ('przyelig', 'przyel'),
+    ('przyerte', 'przyert'),
+    ('pævquqtld', 'pævquqtld'),
+    ('qgane', 'qgan'),
+    ('røenes', 'røen'),
+    ('skola', 'skol'),
+    ('skolendes', 'skol'),
+    ('soljheig', 'soljh'),
+    ('soljhelov', 'soljh'),
+    ('soljhheten', 'soljh'),
+    ('spawea', 'spawe'),
+    ('tandt', 'tand'),
+    ('tanlov', 'tan'),
+    ('tgede', 'tged'),
+    ('vennlighetslov', 'vennlig'),
+    ('wyhheter', 'wyh'),
+    ('zbdviyxprn', 'zbdviyxprn'),
+    ('æsels', 'æsel'),
+    ('øhhilpgmbjes', 'øhhilpgmbj'),
+]
+
+_SWEDISH_CASES = [
+    ('adeade', 'ade'),
+    ('adt', 'adt'),
+    ('arbejerns', 'arbej'),
+    ('arbejhetens', 'arbej'),
+    ('bilnn', 'biln'),
+    ('chcrnade', 'chcrnad'),
+    ('chcrnanden', 'chcrnand'),
+    ('chcrnarne', 'chcrnarn'),
+    ('dssor', 'dssor'),
+    ('ejduåäya', 'ejduåäy'),
+    ('grandnn', 'grandn'),
+    ('ibqle', 'ibql'),
+    ('jarcmlubgtaba', 'jarcmlubgtab'),
+    ('jcsäöpee', 'jcsäöpe'),
+    ('jcätntägos', 'jcätntägo'),
+    ('jneheten', 'jnehet'),
+    ('kapande', 'kap'),
+    ('kleindd', 'kleind'),
+    ('kleinerna', 'klein'),
+    ('lsade', 'lsad'),
+    ('npöuyzads', 'npöuyzad'),
+    ('påtehpioad', 'påtehpio'),
+    ('pökxojast', 'pökxoj'),
+    ('qgandes', 'qgand'),
+    ('rw', 'rw'),
+    ('rzhelnrpmabs', 'rzhelnrpmab'),
+    ('råarna', 'råarn'),
+    ('råer', 'råer'),
+    ('siqmgliva', 'siqmgliv'),
+    ('skewhlifbiudå', 'skewhlifbiudå'),
+    ('soljhandes', 'soljh'),
+    ('vbzqrtmteuvww', 'vbzqrtmteuvww'),
+    ('vennligerna', 'venn'),
+    ('vrnyka', 'vrnyk'),
+    ('vrnykels', 'vrnykel'),
+    ('vrnykhet', 'vrnyk'),
+    ('ypqrsma', 'ypqrsm'),
+    ('ywasytya', 'ywasyty'),
+    ('ärandes', 'ärand'),
+    ('åafzxäauze', 'åafzxäauz'),
+]
+
+@pytest.mark.parametrize("word,expected", _PORTER_CASES)
+def test_snowball_porter_parity(word, expected):
+    assert stem_snowball_porter(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", _DANISH_CASES)
+def test_snowball_danish_parity(word, expected):
+    assert stem_snowball_danish(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", _NORWEGIAN_CASES)
+def test_snowball_norwegian_parity(word, expected):
+    assert stem_snowball_norwegian(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", _SWEDISH_CASES)
+def test_snowball_swedish_parity(word, expected):
+    assert stem_snowball_swedish(word) == expected
+
+
+def test_registered_in_stemmer_factory():
+    """The four languages ride the standard index/query stemmer gates
+    (index_document.c:103-111, search_engine.c:775-779)."""
+    from atire_spark.kernels.stem import STEMMERS, index_stem, query_stem
+
+    for name in ("snowball_porter", "snowball_danish",
+                 "snowball_norwegian", "snowball_swedish"):
+        assert name in STEMMERS
+        assert index_stem("ab", name) == "ab"  # <=3 gate
+        assert index_stem("12345", name) == "12345"  # digit gate
+        assert query_stem("Abcd", name) == "Abcd"  # uppercase gate
+    assert index_stem("motoring", "snowball_porter") == "motor"
+    assert index_stem("kilometres", "snowball_danish") == "kilometr"
