@@ -3385,6 +3385,75 @@ _STEM_SUITE_EXPECTED = [
     ('snowball_swedish', 'ab', 'ab'),
     ('snowball_swedish', 'up', 'up'),
     ('snowball_swedish', '12345', '12345'),
+    ('snowball_german', 'queries', 'queri'),
+    ('snowball_german', 'tables', 'tabl'),
+    ('snowball_german', 'running', 'running'),
+    ('snowball_german', 'happiness', 'happiness'),
+    ('snowball_german', 'connection', 'connection'),
+    ('snowball_german', 'maximum', 'maximum'),
+    ('snowball_german', 'nationally', 'nationally'),
+    ('snowball_german', 'classified', 'classified'),
+    ('snowball_german', 'kilometres', 'kilometr'),
+    ('snowball_german', 'splitting', 'splitting'),
+    ('snowball_german', 'realization', 'realization'),
+    ('snowball_german', 'organizations', 'organization'),
+    ('snowball_german', 'troubles', 'troubl'),
+    ('snowball_german', 'computes', 'comput'),
+    ('snowball_german', 'magnetic', 'magnetic'),
+    ('snowball_german', 'specialized', 'specialized'),
+    ('snowball_german', 'ponies', 'poni'),
+    ('snowball_german', 'caresses', 'caress'),
+    ('snowball_german', 'motoring', 'motoring'),
+    ('snowball_german', 'generalization', 'generalization'),
+    ('snowball_german', 'ab', 'ab'),
+    ('snowball_german', 'up', 'up'),
+    ('snowball_german', '12345', '12345'),
+    ('snowball_german2', 'queries', 'queri'),
+    ('snowball_german2', 'tables', 'tabl'),
+    ('snowball_german2', 'running', 'running'),
+    ('snowball_german2', 'happiness', 'happiness'),
+    ('snowball_german2', 'connection', 'connection'),
+    ('snowball_german2', 'maximum', 'maximum'),
+    ('snowball_german2', 'nationally', 'nationally'),
+    ('snowball_german2', 'classified', 'classified'),
+    ('snowball_german2', 'kilometres', 'kilometr'),
+    ('snowball_german2', 'splitting', 'splitting'),
+    ('snowball_german2', 'realization', 'realization'),
+    ('snowball_german2', 'organizations', 'organization'),
+    ('snowball_german2', 'troubles', 'troubl'),
+    ('snowball_german2', 'computes', 'comput'),
+    ('snowball_german2', 'magnetic', 'magnetic'),
+    ('snowball_german2', 'specialized', 'specialized'),
+    ('snowball_german2', 'ponies', 'poni'),
+    ('snowball_german2', 'caresses', 'caress'),
+    ('snowball_german2', 'motoring', 'motoring'),
+    ('snowball_german2', 'generalization', 'generalization'),
+    ('snowball_german2', 'ab', 'ab'),
+    ('snowball_german2', 'up', 'up'),
+    ('snowball_german2', '12345', '12345'),
+    ('snowball_dutch', 'queries', 'queries'),
+    ('snowball_dutch', 'tables', 'tables'),
+    ('snowball_dutch', 'running', 'running'),
+    ('snowball_dutch', 'happiness', 'happines'),
+    ('snowball_dutch', 'connection', 'connection'),
+    ('snowball_dutch', 'maximum', 'maximum'),
+    ('snowball_dutch', 'nationally', 'nationally'),
+    ('snowball_dutch', 'classified', 'classified'),
+    ('snowball_dutch', 'kilometres', 'kilometres'),
+    ('snowball_dutch', 'splitting', 'splitting'),
+    ('snowball_dutch', 'realization', 'realization'),
+    ('snowball_dutch', 'organizations', 'organization'),
+    ('snowball_dutch', 'troubles', 'troubles'),
+    ('snowball_dutch', 'computes', 'computes'),
+    ('snowball_dutch', 'magnetic', 'magnetic'),
+    ('snowball_dutch', 'specialized', 'specialized'),
+    ('snowball_dutch', 'ponies', 'ponies'),
+    ('snowball_dutch', 'caresses', 'caresses'),
+    ('snowball_dutch', 'motoring', 'motor'),
+    ('snowball_dutch', 'generalization', 'generalization'),
+    ('snowball_dutch', 'ab', 'ab'),
+    ('snowball_dutch', 'up', 'up'),
+    ('snowball_dutch', '12345', '12345'),
 ]
 
 

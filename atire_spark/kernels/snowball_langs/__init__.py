@@ -10,6 +10,11 @@ kernels/snowball.py and kernels/lovins.py.
 
 from __future__ import annotations
 
+from atire_spark.kernels.snowball_langs.germanic import (
+    stem_snowball_dutch,
+    stem_snowball_german,
+    stem_snowball_german2,
+)
 from atire_spark.kernels.snowball_langs.porter import stem_snowball_porter
 from atire_spark.kernels.snowball_langs.scandinavian import (
     stem_snowball_danish,
@@ -18,6 +23,9 @@ from atire_spark.kernels.snowball_langs.scandinavian import (
 )
 
 __all__ = [
+    "stem_snowball_dutch",
+    "stem_snowball_german",
+    "stem_snowball_german2",
     "stem_snowball_porter",
     "stem_snowball_danish",
     "stem_snowball_norwegian",

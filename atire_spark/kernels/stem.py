@@ -53,6 +53,9 @@ STEMMERS = (
     "snowball_danish",
     "snowball_norwegian",
     "snowball_swedish",
+    "snowball_german",
+    "snowball_german2",
+    "snowball_dutch",
 )
 
 _VOWELS = "aeiou"
@@ -742,6 +745,9 @@ _STEM_FN = {
     "snowball_danish": _snowball_lang("danish"),
     "snowball_norwegian": _snowball_lang("norwegian"),
     "snowball_swedish": _snowball_lang("swedish"),
+    "snowball_german": _snowball_lang("german"),
+    "snowball_german2": _snowball_lang("german2"),
+    "snowball_dutch": _snowball_lang("dutch"),
 }
 
 

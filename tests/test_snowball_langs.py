@@ -17,6 +17,9 @@ import pytest
 
 from atire_spark.kernels.snowball_langs import (
     stem_snowball_danish,
+    stem_snowball_dutch,
+    stem_snowball_german,
+    stem_snowball_german2,
     stem_snowball_norwegian,
     stem_snowball_porter,
     stem_snowball_swedish,
@@ -227,3 +230,148 @@ def test_registered_in_stemmer_factory():
         assert query_stem("Abcd", name) == "Abcd"  # uppercase gate
     assert index_stem("motoring", "snowball_porter") == "motor"
     assert index_stem("kilometres", "snowball_danish") == "kilometr"
+
+
+_GERMAN_CASES = [
+    ('amorik', 'amor'),
+    ('aäyjmitigznpc', 'aayjmitigznpc'),
+    ('csjY', 'csjy'),
+    ('djixzmrmlpbs', 'djixzmrmlpb'),
+    ('esinömz', 'esinomz'),
+    ('eßpna', 'esspna'),
+    ('eüczö', 'euczo'),
+    ('fmüuhoert', 'fmuuhoert'),
+    ('fnrhomöü', 'fnrhomou'),
+    ('hbßpuß', 'hbsspuss'),
+    ('herväplöp', 'hervaplop'),
+    ('ijügjbya', 'ijugjbya'),
+    ('jambävö', 'jambavo'),
+    ('jlrwqßkfyujä', 'jlrwqsskfyuja'),
+    ('jpküqzt', 'jpkuqzt'),
+    ('kapkeit', 'kapkeit'),
+    ('kleiner', 'klein'),
+    ('kleinü', 'kleinu'),
+    ('kräge', 'krag'),
+    ('lfryxwsßtmül', 'lfryxwssstmul'),
+    ('lsern', 'lsern'),
+    ('mcpbdlheßzywbs', 'mcpbdlhesszywb'),
+    ('mhxvblöjpükä', 'mhxvblojpuka'),
+    ('nwyzssfqy', 'nwyzssfqy'),
+    ('ool', 'ool'),
+    ('psvyeädqkßcedw', 'psvyeadqksscedw'),
+    ('szüäkker', 'szuakk'),
+    ('szüäkkü', 'szuakku'),
+    ('tans', 'tan'),
+    ('tzyclfovfhzus', 'tzyclfovfhzus'),
+    ('wßsbckßfvu', 'wsssbckssfvu'),
+    ('ypqrsma', 'ypqrsma'),
+    ('ßoßlüfr', 'ssosslufr'),
+    ('ägknzaözji', 'agknzaozji'),
+    ('ärer', 'arer'),
+    ('äsö', 'aso'),
+    ('öhhgsorhüpsßßv', 'ohhgsorhupsssssv'),
+    ('öhhilpgmbjes', 'ohhilpgmbj'),
+    ('öiääqdxöxß', 'oiaaqdxoxss'),
+    ('üvy', 'uvy'),
+]
+
+_GERMAN2_CASES = [
+    ('agpfcgölvsngxc', 'agpfcgolvsngxc'),
+    ('arddfwß', 'arddfwss'),
+    ('cdqnfyä', 'cdqnfya'),
+    ('cvoszddgqiöbj', 'cvoszddgqiobj'),
+    ('eegaüö', 'eegauo'),
+    ('ejbcbfdbak', 'ejbcbfdbak'),
+    ('ekwolasblö', 'ekwolasblo'),
+    ('epynrdcupgü', 'epynrdcupgu'),
+    ('eßpner', 'esspn'),
+    ('eßpnes', 'esspn'),
+    ('gpcrkqonrß', 'gpcrkqonrss'),
+    ('grandae', 'granda'),
+    ('hslibläiaqäoyk', 'hsliblaiaqaoyk'),
+    ('hyadeöf', 'hyadeof'),
+    ('hünbnehtyvmtf', 'hunbnehtyvmtf'),
+    ('jpepvoydaüäyz', 'jpepvoydauayz'),
+    ('jsdvpöim', 'jsdvpoim'),
+    ('jwänyrmr', 'jwanyrmr'),
+    ('kböxmuxi', 'kboxmuxi'),
+    ('kxszbsewvpemüy', 'kxszbsewvpemuy'),
+    ('käwwvwzzjmkqx', 'kawwvwzzjmkqx'),
+    ('lsheit', 'lsheit'),
+    ('oagk', 'oagk'),
+    ('ojaisßüoqlvßjä', 'ojaisssuoqlvssja'),
+    ('räägsfyl', 'raagsfyl'),
+    ('rönis', 'ronis'),
+    ('skoloe', 'skolo'),
+    ('ub', 'ub'),
+    ('vennligik', 'vennlig'),
+    ('wpm', 'wpm'),
+    ('yqdadcfqp', 'yqdadcfqp'),
+    ('yyüdvjxztvhnye', 'yyudvjxztvhny'),
+    ('ßisldrpy', 'ssisldrpy'),
+    ('ßqig', 'ssqig'),
+    ('ßxlßaqvtvekxu', 'ssxlssaqvtvekxu'),
+    ('äju', 'aju'),
+    ('äjxtpvauh', 'ajxtpvauh'),
+    ('äldlosöucx', 'aldlosoucx'),
+    ('önpoa', 'onpoa'),
+    ('öwopöß', 'owoposs'),
+]
+
+_DUTCH_CASES = [
+    ('amoren', 'amor'),
+    ('avjxkäréevnáè', 'avjxkareevnaè'),
+    ('bily', 'bily'),
+    ('ceüuvI', 'ceuuvi'),
+    ('dormgem', 'dormgem'),
+    ('dsj', 'dsj'),
+    ('döogiy', 'doogiy'),
+    ('edtäsywen', 'edtasyw'),
+    ('ehëàä', 'eheàa'),
+    ('fögha', 'fogha'),
+    ('gaämö', 'gaamo'),
+    ('gïqëynwqbmrïáy', 'giqeynwqbmriay'),
+    ('hqiëb', 'hqieb'),
+    ('husó', 'huso'),
+    ('ibkê', 'ibkê'),
+    ('isàjöhu', 'isàjohu'),
+    ('jhàkênélàx', 'jhàkênelàx'),
+    ('jüy', 'juy'),
+    ('kapí', 'kapi'),
+    ('przye', 'przye'),
+    ('pè', 'pè'),
+    ('qlïvnyr', 'qlivnyr'),
+    ('urpaàöbvoöwva', 'urpaàobvoowva'),
+    ('xnpémgkjiovy', 'xnpemgkjiovy'),
+    ('zflöëegaf', 'zfloeegaf'),
+    ('zéqndeï', 'zeqndei'),
+    ('àcwégjonä', 'àcwegjona'),
+    ('àïqhuesër', 'àiqhueser'),
+    ('àïvxzáüökö', 'àivxzauoko'),
+    ('àöänoèëyufnè', 'àoanoèeyufnè'),
+    ('ädia', 'adia'),
+    ('ätàx', 'atàx'),
+    ('éw', 'ew'),
+    ('ëgpäêrh', 'egpaêrh'),
+    ('ëlsêöüêötéim', 'elsêouêoteim'),
+    ('ëväêëze', 'evaêez'),
+    ('ëàtaêolphä', 'eàtaêolpha'),
+    ('ïrcl', 'ircl'),
+    ('öhxwêépàywsêj', 'ohxwêepàywsêj'),
+    ('öö', 'oo'),
+]
+
+
+@pytest.mark.parametrize("word,expected", _GERMAN_CASES)
+def test_snowball_german_parity(word, expected):
+    assert stem_snowball_german(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", _GERMAN2_CASES)
+def test_snowball_german2_parity(word, expected):
+    assert stem_snowball_german2(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", _DUTCH_CASES)
+def test_snowball_dutch_parity(word, expected):
+    assert stem_snowball_dutch(word) == expected
