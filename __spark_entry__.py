@@ -3454,6 +3454,98 @@ _STEM_SUITE_EXPECTED = [
     ('snowball_dutch', 'ab', 'ab'),
     ('snowball_dutch', 'up', 'up'),
     ('snowball_dutch', '12345', '12345'),
+    ('snowball_french', 'queries', 'quer'),
+    ('snowball_french', 'tables', 'tabl'),
+    ('snowball_french', 'running', 'running'),
+    ('snowball_french', 'happiness', 'happiness'),
+    ('snowball_french', 'connection', 'connect'),
+    ('snowball_french', 'maximum', 'maximum'),
+    ('snowball_french', 'nationally', 'nationally'),
+    ('snowball_french', 'classified', 'classified'),
+    ('snowball_french', 'kilometres', 'kilometr'),
+    ('snowball_french', 'splitting', 'splitting'),
+    ('snowball_french', 'realization', 'realiz'),
+    ('snowball_french', 'organizations', 'organiz'),
+    ('snowball_french', 'troubles', 'troubl'),
+    ('snowball_french', 'computes', 'comput'),
+    ('snowball_french', 'magnetic', 'magnetic'),
+    ('snowball_french', 'specialized', 'specialized'),
+    ('snowball_french', 'ponies', 'pon'),
+    ('snowball_french', 'caresses', 'caress'),
+    ('snowball_french', 'motoring', 'motoring'),
+    ('snowball_french', 'generalization', 'generaliz'),
+    ('snowball_french', 'ab', 'ab'),
+    ('snowball_french', 'up', 'up'),
+    ('snowball_french', '12345', '12345'),
+    ('snowball_spanish', 'queries', 'queri'),
+    ('snowball_spanish', 'tables', 'tabl'),
+    ('snowball_spanish', 'running', 'running'),
+    ('snowball_spanish', 'happiness', 'happiness'),
+    ('snowball_spanish', 'connection', 'connection'),
+    ('snowball_spanish', 'maximum', 'maximum'),
+    ('snowball_spanish', 'nationally', 'nationally'),
+    ('snowball_spanish', 'classified', 'classifi'),
+    ('snowball_spanish', 'kilometres', 'kilometr'),
+    ('snowball_spanish', 'splitting', 'splitting'),
+    ('snowball_spanish', 'realization', 'realization'),
+    ('snowball_spanish', 'organizations', 'organizations'),
+    ('snowball_spanish', 'troubles', 'troubl'),
+    ('snowball_spanish', 'computes', 'comput'),
+    ('snowball_spanish', 'magnetic', 'magnetic'),
+    ('snowball_spanish', 'specialized', 'specializ'),
+    ('snowball_spanish', 'ponies', 'poni'),
+    ('snowball_spanish', 'caresses', 'caress'),
+    ('snowball_spanish', 'motoring', 'motoring'),
+    ('snowball_spanish', 'generalization', 'generalization'),
+    ('snowball_spanish', 'ab', 'ab'),
+    ('snowball_spanish', 'up', 'up'),
+    ('snowball_spanish', '12345', '12345'),
+    ('snowball_italian', 'queries', 'queries'),
+    ('snowball_italian', 'tables', 'tables'),
+    ('snowball_italian', 'running', 'running'),
+    ('snowball_italian', 'happiness', 'happiness'),
+    ('snowball_italian', 'connection', 'connection'),
+    ('snowball_italian', 'maximum', 'maximum'),
+    ('snowball_italian', 'nationally', 'nationally'),
+    ('snowball_italian', 'classified', 'classified'),
+    ('snowball_italian', 'kilometres', 'kilometres'),
+    ('snowball_italian', 'splitting', 'splitting'),
+    ('snowball_italian', 'realization', 'realization'),
+    ('snowball_italian', 'organizations', 'organizations'),
+    ('snowball_italian', 'troubles', 'troubles'),
+    ('snowball_italian', 'computes', 'computes'),
+    ('snowball_italian', 'magnetic', 'magnetic'),
+    ('snowball_italian', 'specialized', 'specialized'),
+    ('snowball_italian', 'ponies', 'ponies'),
+    ('snowball_italian', 'caresses', 'caresses'),
+    ('snowball_italian', 'motoring', 'motoring'),
+    ('snowball_italian', 'generalization', 'generalization'),
+    ('snowball_italian', 'ab', 'ab'),
+    ('snowball_italian', 'up', 'up'),
+    ('snowball_italian', '12345', '12345'),
+    ('snowball_portuguese', 'queries', 'queri'),
+    ('snowball_portuguese', 'tables', 'tabl'),
+    ('snowball_portuguese', 'running', 'running'),
+    ('snowball_portuguese', 'happiness', 'happiness'),
+    ('snowball_portuguese', 'connection', 'connection'),
+    ('snowball_portuguese', 'maximum', 'maximum'),
+    ('snowball_portuguese', 'nationally', 'nationally'),
+    ('snowball_portuguese', 'classified', 'classified'),
+    ('snowball_portuguese', 'kilometres', 'kilometr'),
+    ('snowball_portuguese', 'splitting', 'splitting'),
+    ('snowball_portuguese', 'realization', 'realization'),
+    ('snowball_portuguese', 'organizations', 'organizations'),
+    ('snowball_portuguese', 'troubles', 'troubl'),
+    ('snowball_portuguese', 'computes', 'comput'),
+    ('snowball_portuguese', 'magnetic', 'magnetic'),
+    ('snowball_portuguese', 'specialized', 'specialized'),
+    ('snowball_portuguese', 'ponies', 'poni'),
+    ('snowball_portuguese', 'caresses', 'car'),
+    ('snowball_portuguese', 'motoring', 'motoring'),
+    ('snowball_portuguese', 'generalization', 'generalization'),
+    ('snowball_portuguese', 'ab', 'ab'),
+    ('snowball_portuguese', 'up', 'up'),
+    ('snowball_portuguese', '12345', '12345'),
 ]
 
 

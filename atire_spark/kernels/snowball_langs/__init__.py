@@ -16,6 +16,12 @@ from atire_spark.kernels.snowball_langs.germanic import (
     stem_snowball_german2,
 )
 from atire_spark.kernels.snowball_langs.porter import stem_snowball_porter
+from atire_spark.kernels.snowball_langs.romance import (
+    stem_snowball_french,
+    stem_snowball_italian,
+    stem_snowball_portuguese,
+    stem_snowball_spanish,
+)
 from atire_spark.kernels.snowball_langs.scandinavian import (
     stem_snowball_danish,
     stem_snowball_norwegian,
@@ -23,6 +29,10 @@ from atire_spark.kernels.snowball_langs.scandinavian import (
 )
 
 __all__ = [
+    "stem_snowball_french",
+    "stem_snowball_italian",
+    "stem_snowball_portuguese",
+    "stem_snowball_spanish",
     "stem_snowball_dutch",
     "stem_snowball_german",
     "stem_snowball_german2",

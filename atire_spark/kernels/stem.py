@@ -56,6 +56,10 @@ STEMMERS = (
     "snowball_german",
     "snowball_german2",
     "snowball_dutch",
+    "snowball_french",
+    "snowball_spanish",
+    "snowball_italian",
+    "snowball_portuguese",
 )
 
 _VOWELS = "aeiou"
@@ -748,6 +752,10 @@ _STEM_FN = {
     "snowball_german": _snowball_lang("german"),
     "snowball_german2": _snowball_lang("german2"),
     "snowball_dutch": _snowball_lang("dutch"),
+    "snowball_french": _snowball_lang("french"),
+    "snowball_spanish": _snowball_lang("spanish"),
+    "snowball_italian": _snowball_lang("italian"),
+    "snowball_portuguese": _snowball_lang("portuguese"),
 }
 
 

@@ -17,6 +17,10 @@ import pytest
 
 from atire_spark.kernels.snowball_langs import (
     stem_snowball_danish,
+    stem_snowball_french,
+    stem_snowball_italian,
+    stem_snowball_portuguese,
+    stem_snowball_spanish,
     stem_snowball_dutch,
     stem_snowball_german,
     stem_snowball_german2,
@@ -375,3 +379,196 @@ def test_snowball_german2_parity(word, expected):
 @pytest.mark.parametrize("word,expected", _DUTCH_CASES)
 def test_snowball_dutch_parity(word, expected):
     assert stem_snowball_dutch(word) == expected
+
+
+_FRENCH_CASES = [
+    ('abcirons', 'abciron'),
+    ('amorateur', 'amor'),
+    ('arbejateurs', 'arbej'),
+    ('arbejeuses', 'arbej'),
+    ('bilie', 'bil'),
+    ('bilissante', 'bil'),
+    ('ecmèd', 'ecmed'),
+    ('edtûçés', 'edtûc'),
+    ('eôirai', 'eôir'),
+    ('eôissant', 'eôiss'),
+    ('eôés', 'eôé'),
+    ('kapiqU', 'kapiqu'),
+    ('przyive', 'przyiv'),
+    ('taniront', 'tan'),
+    ('tanée', 'tan'),
+    ('tanît', 'tan'),
+    ('thqihbimtèrl', 'thqihbimterl'),
+    ('tôlgùûité', 'tôlgùûit'),
+    ('uvwêùëera', 'uvwêùë'),
+    ('xîéîûumûipewa', 'xîéîûumûipew'),
+    ('ywbëassiez', 'ywbë'),
+    ('zdocôiaux', 'zdocôial'),
+    ('zdocôionn', 'zdocôion'),
+    ('àëûyàldùuùé', 'àëûyàldùuù'),
+    ('âkvjêâissants', 'âkvjêâiss'),
+    ('èaôhi', 'èaôh'),
+    ('êvçsehirais', 'êvçseh'),
+    ('êvçsehissais', 'êvçseh'),
+    ('ëxtplpIère', 'ëxtplpier'),
+    ('ëxtplpiras', 'ëxtplpir'),
+    ('ëxtplputions', 'ëxtplput'),
+    ('ôriàôions', 'ôriàôion'),
+    ('ôriàôistes', 'ôriàôist'),
+    ('ûtiez', 'ûti'),
+    ('a', 'a'),
+    ('aa', 'aa'),
+    ('aabil', 'aabil'),
+    ('aabl', 'aabl'),
+    ('aadvùôvuùj', 'aadvùôvuùj'),
+    ('aai', 'aai'),
+]
+
+_SPANISH_CASES = [
+    ('aberían', 'aber'),
+    ('amoreremos', 'amor'),
+    ('amorye', 'amory'),
+    ('arbejaría', 'arbej'),
+    ('bboxee', 'bboxe'),
+    ('bilada', 'bil'),
+    ('cantéis', 'cant'),
+    ('cvtóbázén', 'cvtobazen'),
+    ('eueríais', 'euer'),
+    ('grandancias', 'grandanci'),
+    ('husidas', 'hus'),
+    ('husiríamos', 'hus'),
+    ('husí', 'hus'),
+    ('husías', 'hus'),
+    ('jzdeibles', 'jzdeibl'),
+    ('ocencia', 'ocenci'),
+    ('przyaras', 'przyar'),
+    ('tananza', 'tananz'),
+    ('wbúuéfaecúápz', 'wbuuefaecuapz'),
+    ('wüóear', 'wüo'),
+    ('wüóeismo', 'wüoeism'),
+    ('wüóeivo', 'wüoeiv'),
+    ('wüóelo', 'wüoel'),
+    ('yojfados', 'yojf'),
+    ('yojfarían', 'yojf'),
+    ('yévópó', 'yevop'),
+    ('álwjóáxmüjrtúo', 'alwjoaxmüjrtu'),
+    ('áóaüuw', 'aoaüuw'),
+    ('évvaixífdtt', 'evvaixifdtt'),
+    ('éártéqücíüwñb', 'earteqüciüwñb'),
+    ('íutíeopéenk', 'iutieopeenk'),
+    ('óxtplpat', 'oxtplpat'),
+    ('óxtplpís', 'oxtplpis'),
+    ('únhof', 'unhof'),
+    ('a', 'a'),
+    ('aa', 'aa'),
+    ('aaackzwr', 'aaackzwr'),
+    ('aabais', 'aabais'),
+    ('aabil', 'aabil'),
+    ('aad', 'aad'),
+]
+
+_ITALIAN_CASES = [
+    ('abcvele', 'abcvel'),
+    ('amelo', 'amel'),
+    ('amoribile', 'amor'),
+    ('amoró', 'amor'),
+    ('aísw', 'aìsw'),
+    ('bavo', 'bav'),
+    ('canti', 'cant'),
+    ('cantli', 'cantl'),
+    ('edtésywavano', 'edtèsyw'),
+    ('ehòàica', 'ehòàic'),
+    ('ghwbópdíuò', 'ghwbòpdìu'),
+    ('grandabile', 'grandabil'),
+    ('granderono', 'grand'),
+    ('grandeva', 'grand'),
+    ('istèistè', 'istèist'),
+    ('mléyìbàcwoxàd', 'mlèyìbàcwoxàd'),
+    ('tancene', 'tancen'),
+    ('vjîita', 'vjîit'),
+    ('véîbéiòhgka', 'vèîbèiòhgk'),
+    ('vóscéijîèósv', 'vòscèijîèòsv'),
+    ('waheúégulvjìcn', 'waheùègulvjìcn'),
+    ('wîìefríissero', 'wîìefr'),
+    ('wîìefrímele', 'wîìefrìmel'),
+    ('yèvícodéòp', 'yèvìcodèòp'),
+    ('èbézitxjíùnc', 'èbèzitxjìùnc'),
+    ('èdhodzeresti', 'èdhodz'),
+    ('èàissero', 'èàisser'),
+    ('éémmèú', 'èèmmèù'),
+    ('ìxtplita', 'ìxtplit'),
+    ('ùuzlîfwtèkógb', 'ùuzlîfwtèkògb'),
+    ('úeh', 'ùeh'),
+    ('úemelo', 'ùemel'),
+    ('úrièúono', 'ùrièù'),
+    ('úrièúvele', 'ùrièùvel'),
+    ('a', 'a'),
+    ('aa', 'aa'),
+    ('aabil', 'aabil'),
+    ('aar', 'aar'),
+    ('aat', 'aat'),
+    ('ababil', 'ababil'),
+]
+
+_PORTUGUESE_CASES = [
+    ('aerem', 'aer'),
+    ('arbejámos', 'arbej'),
+    ('areiarei', 'arei'),
+    ('cantadas', 'cant'),
+    ('dormíamos', 'dorm'),
+    ('dãôyupízúôíiga', 'dãôyupízúôíig'),
+    ('edtõãareis', 'edtõã'),
+    ('grandirias', 'grand'),
+    ('kapermos', 'kap'),
+    ('kleináreis', 'klein'),
+    ('lkysaãõwõmç', 'lkysaãõwõmc'),
+    ('lnõfazé', 'lnõfaz'),
+    ('logías', 'logí'),
+    ('mxgôeõderias', 'mxgôeõd'),
+    ('mxgôeõdávamos', 'mxgôeõd'),
+    ('przyaria', 'przyar'),
+    ('przyerá', 'przyer'),
+    ('siperá', 'sip'),
+    ('skolesses', 'skol'),
+    ('tanista', 'tanist'),
+    ('tôlgúõado', 'tôlgúõ'),
+    ('tôlgúõéreis', 'tôlgúõ'),
+    ('uvwéúàira', 'uvwéúà'),
+    ('uvwéúàosas', 'uvwéúà'),
+    ('vennligirias', 'vennlig'),
+    ('zdocôie', 'zdocôi'),
+    ('ákvjéáeste', 'ákvjéá'),
+    ('áreis', 'áre'),
+    ('çzhqwhaócç', 'çzhqwhaócc'),
+    ('évãseharas', 'évãseh'),
+    ('ôriâôisse', 'ôriâô'),
+    ('ôriâôo', 'ôriâô'),
+    ('õharias', 'õhar'),
+    ('õtimento', 'õtiment'),
+    ('a', 'a'),
+    ('aa', 'aa'),
+    ('aabil', 'aabil'),
+    ('aad', 'aad'),
+    ('aador', 'aador'),
+    ('aadvúôvuúj', 'aadvúôvuúj'),
+]
+
+
+@pytest.mark.parametrize("word,expected", _FRENCH_CASES)
+def test_snowball_french_parity(word, expected):
+    assert stem_snowball_french(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", _SPANISH_CASES)
+def test_snowball_spanish_parity(word, expected):
+    assert stem_snowball_spanish(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", _ITALIAN_CASES)
+def test_snowball_italian_parity(word, expected):
+    assert stem_snowball_italian(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", _PORTUGUESE_CASES)
+def test_snowball_portuguese_parity(word, expected):
+    assert stem_snowball_portuguese(word) == expected
