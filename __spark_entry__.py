@@ -3546,6 +3546,75 @@ _STEM_SUITE_EXPECTED = [
     ('snowball_portuguese', 'ab', 'ab'),
     ('snowball_portuguese', 'up', 'up'),
     ('snowball_portuguese', '12345', '12345'),
+    ('snowball_romanian', 'queries', 'queries'),
+    ('snowball_romanian', 'tables', 'tables'),
+    ('snowball_romanian', 'running', 'running'),
+    ('snowball_romanian', 'happiness', 'happiness'),
+    ('snowball_romanian', 'connection', 'connection'),
+    ('snowball_romanian', 'maximum', 'maximum'),
+    ('snowball_romanian', 'nationally', 'nationally'),
+    ('snowball_romanian', 'classified', 'classified'),
+    ('snowball_romanian', 'kilometres', 'kilometres'),
+    ('snowball_romanian', 'splitting', 'splitting'),
+    ('snowball_romanian', 'realization', 'realization'),
+    ('snowball_romanian', 'organizations', 'organizations'),
+    ('snowball_romanian', 'troubles', 'troubles'),
+    ('snowball_romanian', 'computes', 'computes'),
+    ('snowball_romanian', 'magnetic', 'magnet'),
+    ('snowball_romanian', 'specialized', 'specialized'),
+    ('snowball_romanian', 'ponies', 'ponies'),
+    ('snowball_romanian', 'caresses', 'caresses'),
+    ('snowball_romanian', 'motoring', 'motoring'),
+    ('snowball_romanian', 'generalization', 'generalization'),
+    ('snowball_romanian', 'ab', 'ab'),
+    ('snowball_romanian', 'up', 'up'),
+    ('snowball_romanian', '12345', '12345'),
+    ('snowball_catalan', 'queries', 'quer'),
+    ('snowball_catalan', 'tables', 'tab'),
+    ('snowball_catalan', 'running', 'running'),
+    ('snowball_catalan', 'happiness', 'happin'),
+    ('snowball_catalan', 'connection', 'connection'),
+    ('snowball_catalan', 'maximum', 'maximum'),
+    ('snowball_catalan', 'nationally', 'nationally'),
+    ('snowball_catalan', 'classified', 'classif'),
+    ('snowball_catalan', 'kilometres', 'kilometr'),
+    ('snowball_catalan', 'splitting', 'splitting'),
+    ('snowball_catalan', 'realization', 'realization'),
+    ('snowball_catalan', 'organizations', 'organizat'),
+    ('snowball_catalan', 'troubles', 'troub'),
+    ('snowball_catalan', 'computes', 'comput'),
+    ('snowball_catalan', 'magnetic', 'magnetic'),
+    ('snowball_catalan', 'specialized', 'specializ'),
+    ('snowball_catalan', 'ponies', 'pon'),
+    ('snowball_catalan', 'caresses', 'car'),
+    ('snowball_catalan', 'motoring', 'motoring'),
+    ('snowball_catalan', 'generalization', 'generalization'),
+    ('snowball_catalan', 'ab', 'ab'),
+    ('snowball_catalan', 'up', 'up'),
+    ('snowball_catalan', '12345', '12345'),
+    ('snowball_russian', 'queries', 'queries'),
+    ('snowball_russian', 'tables', 'tables'),
+    ('snowball_russian', 'running', 'running'),
+    ('snowball_russian', 'happiness', 'happiness'),
+    ('snowball_russian', 'connection', 'connection'),
+    ('snowball_russian', 'maximum', 'maximum'),
+    ('snowball_russian', 'nationally', 'nationally'),
+    ('snowball_russian', 'classified', 'classified'),
+    ('snowball_russian', 'kilometres', 'kilometres'),
+    ('snowball_russian', 'splitting', 'splitting'),
+    ('snowball_russian', 'realization', 'realization'),
+    ('snowball_russian', 'organizations', 'organizations'),
+    ('snowball_russian', 'troubles', 'troubles'),
+    ('snowball_russian', 'computes', 'computes'),
+    ('snowball_russian', 'magnetic', 'magnetic'),
+    ('snowball_russian', 'specialized', 'specialized'),
+    ('snowball_russian', 'ponies', 'ponies'),
+    ('snowball_russian', 'caresses', 'caresses'),
+    ('snowball_russian', 'motoring', 'motoring'),
+    ('snowball_russian', 'generalization', 'generalization'),
+    ('snowball_russian', 'ab', 'ab'),
+    ('snowball_russian', 'up', 'up'),
+    ('snowball_russian', '12345', '12345'),
 ]
 
 

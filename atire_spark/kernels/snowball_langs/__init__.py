@@ -17,11 +17,14 @@ from atire_spark.kernels.snowball_langs.germanic import (
 )
 from atire_spark.kernels.snowball_langs.porter import stem_snowball_porter
 from atire_spark.kernels.snowball_langs.romance import (
+    stem_snowball_catalan,
     stem_snowball_french,
     stem_snowball_italian,
     stem_snowball_portuguese,
+    stem_snowball_romanian,
     stem_snowball_spanish,
 )
+from atire_spark.kernels.snowball_langs.slavic import stem_snowball_russian
 from atire_spark.kernels.snowball_langs.scandinavian import (
     stem_snowball_danish,
     stem_snowball_norwegian,
@@ -29,7 +32,10 @@ from atire_spark.kernels.snowball_langs.scandinavian import (
 )
 
 __all__ = [
+    "stem_snowball_catalan",
     "stem_snowball_french",
+    "stem_snowball_romanian",
+    "stem_snowball_russian",
     "stem_snowball_italian",
     "stem_snowball_portuguese",
     "stem_snowball_spanish",

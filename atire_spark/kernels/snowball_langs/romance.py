@@ -880,3 +880,346 @@ def stem_snowball_portuguese(word: str) -> str:
         w = w[:-1] + "c"
 
     return w.replace("a~", "ã").replace("o~", "õ")
+
+
+# ---------------------------------------------------------------- Romanian
+# ş/ţ are the cedilla forms the reference's libstemmer snapshot uses
+_RO_VOWELS = frozenset("aeiouâîă")
+
+_RO_STEP0 = _bylen(
+    [("ul", 1), ("ului", 1), ("aua", 2), ("ea", 3), ("ele", 3),
+     ("elor", 3), ("ii", 4), ("iua", 4), ("iei", 4), ("iile", 4),
+     ("iilor", 4), ("ilor", 4), ("ile", 5), ("atei", 6),
+     ("aţia", 7), ("aţie", 7)],
+)
+
+_RO_COMBO = _bylen(
+    [("abilitate", "abil"), ("abilitati", "abil"), ("abilităi", "abil"),
+     ("abilităţi", "abil"),
+     ("ibilitate", "ibil"),
+     ("ivitate", "iv"), ("ivitati", "iv"), ("ivităi", "iv"),
+     ("ivităţi", "iv"),
+     ("icitate", "ic"), ("icitati", "ic"), ("icităi", "ic"),
+     ("icităţi", "ic"), ("icator", "ic"), ("icatori", "ic"),
+     ("icala", "ic"), ("icale", "ic"), ("icali", "ic"), ("icală", "ic"),
+     ("iciva", "ic"), ("icive", "ic"), ("icivi", "ic"), ("icivă", "ic"),
+     ("ical", "ic"), ("iciv", "ic"),
+     ("ativa", "at"), ("ative", "at"), ("ativi", "at"), ("ativă", "at"),
+     ("aţiune", "at"), ("atoare", "at"), ("ator", "at"), ("atori", "at"),
+     ("ătoare", "at"), ("ător", "at"), ("ători", "at"), ("ativ", "at"),
+     ("itiva", "it"), ("itive", "it"), ("itivi", "it"), ("itivă", "it"),
+     ("iţiune", "it"), ("itoare", "it"), ("itor", "it"), ("itori", "it"),
+     ("itiv", "it")],
+)
+
+_RO_STD = _bylen(
+    [("ica", 1), ("abila", 1), ("ibila", 1), ("oasa", 1), ("ata", 1),
+     ("ita", 1), ("anta", 1), ("uta", 1), ("iva", 1), ("ic", 1),
+     ("ice", 1), ("abile", 1), ("ibile", 1), ("oase", 1), ("ate", 1),
+     ("itate", 1), ("ite", 1), ("ante", 1), ("ute", 1), ("ive", 1),
+     ("ici", 1), ("abili", 1), ("ibili", 1), ("atori", 1), ("osi", 1),
+     ("ati", 1), ("itati", 1), ("iti", 1), ("anti", 1), ("uti", 1),
+     ("ivi", 1), ("ităi", 1), ("oşi", 1), ("ităţi", 1), ("abil", 1),
+     ("ibil", 1), ("ator", 1), ("os", 1), ("at", 1), ("it", 1),
+     ("ant", 1), ("ut", 1), ("iv", 1), ("ică", 1), ("abilă", 1),
+     ("ibilă", 1), ("oasă", 1), ("ată", 1), ("ită", 1), ("antă", 1),
+     ("ută", 1), ("ivă", 1),
+     ("iune", 2), ("iuni", 2),
+     ("ista", 3), ("isme", 3), ("iste", 3), ("isti", 3), ("işti", 3),
+     ("ism", 3), ("ist", 3), ("istă", 3)],
+)
+
+_RO_VERB_COND = None  # code-1 table below needs the preceding-char rule
+_RO_VERB = _bylen(
+    [("ea", 1), ("ia", 1), ("esc", 1), ("ăsc", 1), ("ind", 1),
+     ("ând", 1), ("are", 1), ("ere", 1), ("ire", 1), ("âre", 1),
+     ("se", 2), ("ase", 1), ("sese", 2), ("ise", 1), ("use", 1),
+     ("âse", 1), ("eşte", 1), ("ăşte", 1), ("eze", 1), ("ai", 1),
+     ("eai", 1), ("iai", 1), ("sei", 2), ("eşti", 1), ("ăşti", 1),
+     ("ui", 1), ("ezi", 1), ("aşi", 1), ("seşi", 2), ("aseşi", 1),
+     ("seseşi", 2), ("iseşi", 1), ("useşi", 1), ("âseşi", 1),
+     ("işi", 1), ("uşi", 1), ("âşi", 1), ("âi", 1), ("aţi", 2),
+     ("eaţi", 1), ("iaţi", 1), ("eţi", 2), ("iţi", 2), ("arăţi", 1),
+     ("serăţi", 2), ("aserăţi", 1), ("seserăţi", 2), ("iserăţi", 1),
+     ("userăţi", 1), ("âserăţi", 1), ("irăţi", 1), ("urăţi", 1),
+     ("ârăţi", 1), ("âţi", 2), ("am", 1), ("eam", 1), ("iam", 1),
+     ("em", 2), ("asem", 1), ("sesem", 2), ("isem", 1), ("usem", 1),
+     ("âsem", 1), ("im", 2), ("ăm", 2), ("arăm", 1), ("serăm", 2),
+     ("aserăm", 1), ("seserăm", 2), ("iserăm", 1), ("userăm", 1),
+     ("âserăm", 1), ("irăm", 1), ("urăm", 1), ("ârăm", 1), ("âm", 2),
+     ("au", 1), ("eau", 1), ("iau", 1), ("indu", 1), ("ându", 1),
+     ("ez", 1), ("ească", 1), ("ară", 1), ("seră", 2), ("aseră", 1),
+     ("seseră", 2), ("iseră", 1), ("useră", 1), ("âseră", 1),
+     ("iră", 1), ("ură", 1), ("âră", 1), ("ează", 1)],
+)
+
+_RO_RESIDUAL = sort_by_len(["a", "e", "ie", "i", "ă"])
+
+
+def _ro_prelude(word: str) -> str:
+    w = list(word)
+    i = 0
+    while i < len(w):
+        if w[i] in _RO_VOWELS and i + 1 < len(w):
+            n = w[i + 1]
+            if n in "ui" and i + 2 < len(w) and w[i + 2] in _RO_VOWELS:
+                w[i + 1] = "U" if n == "u" else "I"
+                continue
+        i += 1
+    return "".join(w)
+
+
+def _ro_step0(w: str, p1: int) -> str:
+    for s, code in _RO_STEP0:
+        pos = len(w) - len(s)
+        if w.endswith(s):
+            if pos < p1:  # among picks the longest match; no fallback
+                return w
+            if code == 1:
+                return w[:pos]
+            if code == 2:
+                return w[:pos] + "a"
+            if code == 3:
+                return w[:pos] + "e"
+            if code == 4:
+                return w[:pos] + "i"
+            if code == 5:  # ile -> i, but not after ab
+                if w[:pos].endswith("ab"):
+                    return w
+                return w[:pos] + "i"
+            if code == 6:
+                return w[:pos] + "at"
+            return w[:pos] + "aţi"
+    return w
+
+
+def _ro_standard_suffix(w: str, p1: int, p2: int):
+    """Repeat the combining-suffix reductions, then one a_3 pass;
+    returns (word, standard_suffix_removed)."""
+    removed = False
+    while True:
+        hit = False
+        for s, repl in _RO_COMBO:
+            pos = len(w) - len(s)
+            if w.endswith(s):
+                if pos >= p1:
+                    w = w[:pos] + repl
+                    removed = True
+                    hit = True
+                break  # longest match only; R1 failure ends the repeat
+        if not hit:
+            break
+    for s, code in _RO_STD:
+        pos = len(w) - len(s)
+        if w.endswith(s):
+            if pos < p2:
+                return w, removed
+            if code == 1:
+                return w[:pos], True
+            if code == 2:  # ţiune/ţiuni -> ţ -> t
+                if pos >= 1 and w[pos - 1] == "ţ":
+                    return w[: pos - 1] + "t", True
+                return w, removed
+            return w[:pos] + "ist", True
+    return w, removed
+
+
+def stem_snowball_romanian(word: str) -> str:
+    w = _ro_prelude(word)
+    rv = _romance_rv(w, _RO_VOWELS)
+    p1, p2 = mark_r1r2(w, _RO_VOWELS)
+    w = _ro_step0(w, p1)
+    w, removed = _ro_standard_suffix(w, p1, p2)
+    if not removed:
+        for s, code in _RO_VERB:
+            pos = len(w) - len(s)
+            if pos >= rv and w.endswith(s):
+                if code == 1:
+                    # preceded (within RV) by a non-vowel or by u;
+                    # a failed condition fails the whole step
+                    if pos - 1 >= rv and (
+                        w[pos - 1] not in _RO_VOWELS or w[pos - 1] == "u"
+                    ):
+                        w = w[:pos]
+                else:
+                    w = w[:pos]
+                break
+    for s in _RO_RESIDUAL:
+        pos = len(w) - len(s)
+        if w.endswith(s):
+            if pos >= rv:
+                w = w[:pos]
+            break
+    return w.replace("I", "i").replace("U", "u")
+
+
+# ----------------------------------------------------------------- Catalan
+# (contributed Snowball algorithm; R1/R2 only, accents cleaned last)
+_CA_VOWELS = frozenset("aeiou\u00e0\u00e1\u00e8\u00e9\u00ed\u00ef\u00f2\u00f3\u00fa\u00fc")
+_CA_CLEAN = str.maketrans({"\u00e1": "a", "\u00e0": "a", "\u00e9": "e",
+                           "\u00e8": "e", "\u00ed": "i", "\u00ec": "i",
+                           "\u00ef": "i", "\u00f3": "o", "\u00f2": "o",
+                           "\u00fa": "u", "\u00fc": "u", "\u00b7": "."})
+
+_CA_PRONOUNS = sort_by_len([
+    'la', '-la', 'sela', 'le', 'me', '-me', 'se', '-te', 'hi', "'hi",
+    'li', '-li', "'l", "'m", '-m', "'n", '-n', 'ho', "'ho", 'lo', 'selo',
+    "'s", 'las', 'selas', 'les', '-les', "'ls", '-ls', "'ns", '-ns',
+    'ens', 'los', 'selos', 'nos', '-nos', 'vos', 'us', '-us', "'t"
+])
+
+_CA_STD = _bylen([
+    ('ica', 4), ('lógica', 3), ('enca', 1), ('ada', 2), ('ancia', 1),
+    ('encia', 1), ('ència', 1), ('ícia', 1), ('logia', 3), ('inia', 1),
+    ('íinia', 1), ('eria', 1), ('ària', 1), ('atòria', 1), ('alla', 1),
+    ('ella', 1), ('ívola', 1), ('ima', 1), ('íssima', 1),
+    ('quíssima', 5), ('ana', 1), ('ina', 1), ('era', 1), ('sfera', 1),
+    ('ora', 1), ('dora', 1), ('adora', 1), ('adura', 1), ('esa', 1),
+    ('osa', 1), ('assa', 1), ('essa', 1), ('issa', 1), ('eta', 1),
+    ('ita', 1), ('ota', 1), ('ista', 1), ('ialista', 1), ('ionista', 1),
+    ('iva', 1), ('ativa', 1), ('nça', 1), ('logía', 3), ('ic', 4),
+    ('ístic', 1), ('enc', 1), ('esc', 1), ('ud', 1), ('atge', 1),
+    ('ble', 1), ('able', 1), ('ible', 1), ('isme', 1), ('ialisme', 1),
+    ('ionisme', 1), ('ivisme', 1), ('aire', 1), ('icte', 1), ('iste', 1),
+    ('ici', 1), ('íci', 1), ('logi', 3), ('ari', 1), ('tori', 1),
+    ('al', 1), ('il', 1), ('all', 1), ('ell', 1), ('ívol', 1),
+    ('isam', 1), ('issem', 1), ('ìssem', 1), ('íssem', 1), ('íssim', 1),
+    ('quíssim', 5), ('amen', 1), ('ìssin', 1), ('ar', 1), ('ificar', 1),
+    ('egar', 1), ('ejar', 1), ('itar', 1), ('itzar', 1), ('fer', 1),
+    ('or', 1), ('dor', 1), ('dur', 1), ('doras', 1), ('ics', 4),
+    ('lógics', 3), ('uds', 1), ('nces', 1), ('ades', 2), ('ancies', 1),
+    ('encies', 1), ('ències', 1), ('ícies', 1), ('logies', 3),
+    ('inies', 1), ('ínies', 1), ('eries', 1), ('àries', 1),
+    ('atòries', 1), ('bles', 1), ('ables', 1), ('ibles', 1), ('imes', 1),
+    ('íssimes', 1), ('quíssimes', 5), ('formes', 1), ('ismes', 1),
+    ('ialismes', 1), ('ines', 1), ('eres', 1), ('ores', 1), ('dores', 1),
+    ('idores', 1), ('dures', 1), ('eses', 1), ('oses', 1), ('asses', 1),
+    ('ictes', 1), ('ites', 1), ('otes', 1), ('istes', 1),
+    ('ialistes', 1), ('ionistes', 1), ('iques', 4), ('lógiques', 3),
+    ('ives', 1), ('atives', 1), ('logíes', 3), ('allengües', 1),
+    ('icis', 1), ('ícis', 1), ('logis', 3), ('aris', 1), ('toris', 1),
+    ('ls', 1), ('als', 1), ('ells', 1), ('ims', 1), ('íssims', 1),
+    ('quíssims', 5), ('ions', 1), ('cions', 1), ('acions', 2),
+    ('esos', 1), ('osos', 1), ('assos', 1), ('issos', 1), ('ers', 1),
+    ('ors', 1), ('dors', 1), ('adors', 1), ('idors', 1), ('ats', 1),
+    ('itats', 1), ('bilitats', 1), ('ivitats', 1), ('ativitats', 1),
+    ('ïtats', 1), ('ets', 1), ('ants', 1), ('ents', 1), ('ments', 1),
+    ('aments', 1), ('ots', 1), ('uts', 1), ('ius', 1), ('trius', 1),
+    ('atius', 1), ('ès', 1), ('és', 1), ('ís', 1), ('dís', 1), ('ós', 1),
+    ('itat', 1), ('bilitat', 1), ('ivitat', 1), ('ativitat', 1),
+    ('ïtat', 1), ('et', 1), ('ant', 1), ('ent', 1), ('ient', 1),
+    ('ment', 1), ('ament', 1), ('isament', 1), ('ot', 1), ('isseu', 1),
+    ('ìsseu', 1), ('ísseu', 1), ('triu', 1), ('íssiu', 1), ('atiu', 1),
+    ('ó', 1), ('ió', 1), ('ció', 1), ('ació', 1)
+])
+
+_CA_VERB = _bylen([
+    ('aba', 1), ('esca', 1), ('isca', 1), ('ïsca', 1), ('ada', 1),
+    ('ida', 1), ('uda', 1), ('ïda', 1), ('ia', 1), ('aria', 1),
+    ('iria', 1), ('ara', 1), ('iera', 1), ('ira', 1), ('adora', 1),
+    ('ïra', 1), ('ava', 1), ('ixa', 1), ('itza', 1), ('ía', 1),
+    ('aría', 1), ('ería', 1), ('iría', 1), ('ïa', 1), ('isc', 1),
+    ('ïsc', 1), ('ad', 1), ('ed', 1), ('id', 1), ('ie', 1), ('re', 1),
+    ('dre', 1), ('ase', 1), ('iese', 1), ('aste', 1), ('iste', 1),
+    ('ii', 1), ('ini', 1), ('esqui', 1), ('eixi', 1), ('itzi', 1),
+    ('am', 1), ('em', 1), ('arem', 1), ('irem', 1), ('àrem', 1),
+    ('írem', 1), ('àssem', 1), ('éssem', 1), ('iguem', 1), ('ïguem', 1),
+    ('avem', 1), ('àvem', 1), ('ávem', 1), ('irìem', 1), ('íem', 1),
+    ('aríem', 1), ('iríem', 1), ('assim', 1), ('essim', 1), ('issim', 1),
+    ('àssim', 1), ('èssim', 1), ('éssim', 1), ('íssim', 1), ('ïm', 1),
+    ('an', 1), ('aban', 1), ('arian', 1), ('aran', 1), ('ieran', 1),
+    ('iran', 1), ('ían', 1), ('arían', 1), ('erían', 1), ('irían', 1),
+    ('en', 1), ('ien', 1), ('arien', 1), ('irien', 1), ('aren', 1),
+    ('eren', 1), ('iren', 1), ('àren', 1), ('ïren', 1), ('asen', 1),
+    ('iesen', 1), ('assen', 1), ('essen', 1), ('issen', 1), ('éssen', 1),
+    ('ïssen', 1), ('esquen', 1), ('isquen', 1), ('ïsquen', 1),
+    ('aven', 1), ('ixen', 1), ('eixen', 1), ('ïxen', 1), ('ïen', 1),
+    ('in', 1), ('inin', 1), ('sin', 1), ('isin', 1), ('assin', 1),
+    ('essin', 1), ('issin', 1), ('ïssin', 1), ('esquin', 1),
+    ('eixin', 1), ('aron', 1), ('ieron', 1), ('arán', 1), ('erán', 1),
+    ('irán', 1), ('iïn', 1), ('ado', 1), ('ido', 1), ('ando', 2),
+    ('iendo', 1), ('io', 1), ('ixo', 1), ('eixo', 1), ('ïxo', 1),
+    ('itzo', 1), ('ar', 1), ('tzar', 1), ('er', 1), ('eixer', 1),
+    ('ir', 1), ('ador', 1), ('as', 1), ('abas', 1), ('adas', 1),
+    ('idas', 1), ('aras', 1), ('ieras', 1), ('ías', 1), ('arías', 1),
+    ('erías', 1), ('irías', 1), ('ids', 1), ('es', 1), ('ades', 1),
+    ('ides', 1), ('udes', 1), ('ïdes', 1), ('atges', 1), ('ies', 1),
+    ('aries', 1), ('iries', 1), ('ares', 1), ('ires', 1), ('adores', 1),
+    ('ïres', 1), ('ases', 1), ('ieses', 1), ('asses', 1), ('esses', 1),
+    ('isses', 1), ('ïsses', 1), ('ques', 1), ('esques', 1),
+    ('ïsques', 1), ('aves', 1), ('ixes', 1), ('eixes', 1), ('ïxes', 1),
+    ('ïes', 1), ('abais', 1), ('arais', 1), ('ierais', 1), ('íais', 1),
+    ('aríais', 1), ('eríais', 1), ('iríais', 1), ('aseis', 1),
+    ('ieseis', 1), ('asteis', 1), ('isteis', 1), ('inis', 1), ('sis', 1),
+    ('isis', 1), ('assis', 1), ('essis', 1), ('issis', 1), ('ïssis', 1),
+    ('esquis', 1), ('eixis', 1), ('itzis', 1), ('áis', 1), ('aréis', 1),
+    ('eréis', 1), ('iréis', 1), ('ams', 1), ('ados', 1), ('idos', 1),
+    ('amos', 1), ('ábamos', 1), ('áramos', 1), ('iéramos', 1),
+    ('íamos', 1), ('aríamos', 1), ('eríamos', 1), ('iríamos', 1),
+    ('aremos', 1), ('eremos', 1), ('iremos', 1), ('ásemos', 1),
+    ('iésemos', 1), ('imos', 1), ('adors', 1), ('ass', 1), ('erass', 1),
+    ('ess', 1), ('ats', 1), ('its', 1), ('ents', 1), ('às', 1),
+    ('aràs', 1), ('iràs', 1), ('arás', 1), ('erás', 1), ('irás', 1),
+    ('és', 1), ('arés', 1), ('ís', 1), ('iïs', 1), ('at', 1), ('it', 1),
+    ('ant', 1), ('ent', 1), ('int', 1), ('ut', 1), ('ït', 1), ('au', 1),
+    ('erau', 1), ('ieu', 1), ('ineu', 1), ('areu', 1), ('ireu', 1),
+    ('àreu', 1), ('íreu', 1), ('asseu', 1), ('esseu', 1), ('eresseu', 1),
+    ('àsseu', 1), ('ésseu', 1), ('igueu', 1), ('ïgueu', 1), ('àveu', 1),
+    ('áveu', 1), ('itzeu', 1), ('ìeu', 1), ('irìeu', 1), ('íeu', 1),
+    ('aríeu', 1), ('iríeu', 1), ('assiu', 1), ('issiu', 1), ('àssiu', 1),
+    ('èssiu', 1), ('éssiu', 1), ('íssiu', 1), ('ïu', 1), ('ix', 1),
+    ('eix', 1), ('ïx', 1), ('itz', 1), ('ià', 1), ('arà', 1), ('irà', 1),
+    ('itzà', 1), ('ará', 1), ('erá', 1), ('irá', 1), ('irè', 1),
+    ('aré', 1), ('eré', 1), ('iré', 1), ('í', 1), ('iï', 1), ('ió', 1)
+])
+
+_CA_RESIDUAL = _bylen([
+    ('a', 1), ('e', 1), ('i', 1), ('ïn', 1), ('o', 1), ('ir', 1),
+    ('s', 1), ('is', 1), ('os', 1), ('ïs', 1), ('it', 1), ('eu', 1),
+    ('iu', 1), ('iqu', 2), ('itz', 1), ('à', 1), ('á', 1), ('é', 1),
+    ('ì', 1), ('í', 1), ('ï', 1), ('ó', 1)
+])
+
+
+def stem_snowball_catalan(word: str) -> str:
+    w = word
+    p1, p2 = mark_r1r2(w, _CA_VOWELS)
+
+    for s in _CA_PRONOUNS:
+        pos = len(w) - len(s)
+        if w.endswith(s):
+            if pos >= p1:
+                w = w[:pos]
+            break
+
+    done = False
+    for s, code in _CA_STD:
+        pos = len(w) - len(s)
+        if w.endswith(s):
+            if code == 1 and pos >= p1:
+                w, done = w[:pos], True
+            elif code == 2 and pos >= p2:
+                w, done = w[:pos], True
+            elif code == 3 and pos >= p2:
+                w, done = w[:pos] + "log", True
+            elif code == 4 and pos >= p2:
+                w, done = w[:pos] + "ic", True
+            elif code == 5 and pos >= p1:
+                w, done = w[:pos] + "c", True
+            break
+    if not done:
+        for s, code in _CA_VERB:
+            pos = len(w) - len(s)
+            if w.endswith(s):
+                if (code == 1 and pos >= p1) or (code == 2 and pos >= p2):
+                    w = w[:pos]
+                break
+
+    for s, code in _CA_RESIDUAL:
+        pos = len(w) - len(s)
+        if w.endswith(s):
+            if pos >= p1:
+                w = w[:pos] + ("" if code == 1 else "ic")
+            break
+
+    return w.translate(_CA_CLEAN)

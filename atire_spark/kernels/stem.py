@@ -60,6 +60,9 @@ STEMMERS = (
     "snowball_spanish",
     "snowball_italian",
     "snowball_portuguese",
+    "snowball_romanian",
+    "snowball_catalan",
+    "snowball_russian",
 )
 
 _VOWELS = "aeiou"
@@ -756,6 +759,9 @@ _STEM_FN = {
     "snowball_spanish": _snowball_lang("spanish"),
     "snowball_italian": _snowball_lang("italian"),
     "snowball_portuguese": _snowball_lang("portuguese"),
+    "snowball_romanian": _snowball_lang("romanian"),
+    "snowball_catalan": _snowball_lang("catalan"),
+    "snowball_russian": _snowball_lang("russian"),
 }
 
 

@@ -16,10 +16,13 @@ from __future__ import annotations
 import pytest
 
 from atire_spark.kernels.snowball_langs import (
+    stem_snowball_catalan,
     stem_snowball_danish,
     stem_snowball_french,
     stem_snowball_italian,
     stem_snowball_portuguese,
+    stem_snowball_romanian,
+    stem_snowball_russian,
     stem_snowball_spanish,
     stem_snowball_dutch,
     stem_snowball_german,
@@ -572,3 +575,148 @@ def test_snowball_italian_parity(word, expected):
 @pytest.mark.parametrize("word,expected", _PORTUGUESE_CASES)
 def test_snowball_portuguese_parity(word, expected):
     assert stem_snowball_portuguese(word) == expected
+
+
+_ROMANIAN_CASES = [
+    ('abativa', 'abat'),
+    ('abcură', 'abcur'),
+    ('aita', 'ait'),
+    ('amorez', 'amor'),
+    ('amorosi', 'amor'),
+    ('arămarăm', 'arăm'),
+    ('aâre', 'aâr'),
+    ('busem', 'bus'),
+    ('canteşti', 'cant'),
+    ('cantistă', 'cantist'),
+    ('euanta', 'euant'),
+    ('grandesc', 'grand'),
+    ('husitiv', 'husit'),
+    ('husiţiune', 'husit'),
+    ('hțdanta', 'hțdant'),
+    ('hțdară', 'hțdar'),
+    ('hțditati', 'hțditat'),
+    ('jzdeare', 'jzdear'),
+    ('jzdeuse', 'jzdeus'),
+    ('pfai', 'pfa'),
+    ('pfâră', 'pfâr'),
+    ('riârăute', 'riârăut'),
+    ('vennligică', 'vennlig'),
+    ('âdhodzabil', 'âdhodz'),
+    ('âdhodzie', 'âdhodz'),
+    ('âdhodzuserăm', 'âdhodz'),
+    ('âdhodzâi', 'âdhodz'),
+    ('âdhodzâseră', 'âdhodz'),
+    ('âăseseşi', 'âăs'),
+    ('âăâvgkqnsrdi', 'âăâvgkqnsrd'),
+    ('îsehivitate', 'îseh'),
+    ('șwiserăţi', 'șwi'),
+    ('șxtplpele', 'șxtplpel'),
+    ('șxtplpiuni', 'șxtplpiun'),
+    ('a', 'a'),
+    ('aa', 'aa'),
+    ('aaackzwr', 'aaackzwr'),
+    ('aab', 'aab'),
+    ('aabil', 'aabil'),
+    ('aai', 'aai'),
+]
+
+_CATALAN_CASES = [
+    ('abcil', 'abc'),
+    ('akmúèxz', 'akmuexz'),
+    ('arbejaréis', 'arbej'),
+    ("bil'ns", 'bil'),
+    ('bilatòries', 'bil'),
+    ('dormics', 'dormic'),
+    ('edtçèeixen', 'edtçe'),
+    ('epfüááis', 'epfu'),
+    ('epfüáï', 'epfua'),
+    ('ewvv·ajfhïèeèá', 'ewvv.ajfhieee'),
+    ('jzde-te', 'jzde-t'),
+    ('nïúáuéassin', 'niuaueassin'),
+    ('sipència', 'sip'),
+    ('skolaríeu', 'skol'),
+    ('skolat', 'skol'),
+    ('skolbles', 'skolb'),
+    ('svè', 'sve'),
+    ('taniren', 'tan'),
+    ('uvwï·édre', 'uvwi.'),
+    ('uvwï·éio', 'uvwi.'),
+    ('vennligialismes', 'vennlig'),
+    ('vscyójy', 'vscyojy'),
+    ('ywbévos', 'ywbev'),
+    ('zïfkèents', 'zifke'),
+    ('zïfkèuts', 'zifke'),
+    ('·dçíem', '.dçiem'),
+    ('·eshífaü', '.eshifau'),
+    ('àjúhed', 'ajuh'),
+    ('àjúhió', 'ajuh'),
+    ('àjúhïsques', 'ajuh'),
+    ('àkvjïàíssims', 'akvji'),
+    ('àújów', 'aujow'),
+    ('éxtplpem', 'extplp'),
+    ('úvdboboòs', 'uvdboboo'),
+    ("'hi", "'hi"),
+    ("'ho", "'ho"),
+    ("'l", "'l"),
+    ("'l'l", "'l'l"),
+    ("'ls", "'ls"),
+    ("'ls'ls", "'ls'ls"),
+]
+
+_RUSSIAN_CASES = [
+    ('amorена', 'amorен'),
+    ('aий', 'aи'),
+    ('bilены', 'bilен'),
+    ('bейте', 'bейт'),
+    ('dormость', 'dormост'),
+    ('grandете', 'grandет'),
+    ('przyешь', 'przyеш'),
+    ('przyую', 'przyу'),
+    ('гщговитыла', 'гщговит'),
+    ('дгуьтшцью', 'дгуьтшц'),
+    ('жчгнвеа', 'жчгнве'),
+    ('жчгнвеейте', 'жчгнве'),
+    ('жчгнвеих', 'жчгнве'),
+    ('жчгнвеия', 'жчгнве'),
+    ('жчгнвеым', 'жчгнве'),
+    ('ию', 'и'),
+    ('йзулжих', 'йзулж'),
+    ('мтгбифмдсй', 'мтгбифмдс'),
+    ('нккгцфсъуерыо', 'нккгцфсъуеры'),
+    ('плпеья', 'плпе'),
+    ('уяхьтдего', 'уяхьтд'),
+    ('щгняыякуей', 'щгняыяку'),
+    ('щяекьете', 'щяекьет'),
+    ('щяекьом', 'щяек'),
+    ('щяекьсь', 'щяек'),
+    ('щяекьуй', 'щяек'),
+    ('ъдпеынн', 'ъдпеын'),
+    ('ъдпеыся', 'ъдпе'),
+    ('ъкую', 'ъку'),
+    ('эткйькгы', 'эткйькг'),
+    ('эцив', 'эц'),
+    ('эцыл', 'эц'),
+    ('язаувцужряи', 'язаувцужря'),
+    ('ялуй', 'ял'),
+    ('abcа', 'abcа'),
+    ('abcам', 'abcам'),
+    ('abcах', 'abcах'),
+    ('abcв', 'abcв'),
+    ('abcвш', 'abcвш'),
+    ('abcвши', 'abcвши'),
+]
+
+
+@pytest.mark.parametrize("word,expected", _ROMANIAN_CASES)
+def test_snowball_romanian_parity(word, expected):
+    assert stem_snowball_romanian(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", _CATALAN_CASES)
+def test_snowball_catalan_parity(word, expected):
+    assert stem_snowball_catalan(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", _RUSSIAN_CASES)
+def test_snowball_russian_parity(word, expected):
+    assert stem_snowball_russian(word) == expected
