@@ -3615,6 +3615,52 @@ _STEM_SUITE_EXPECTED = [
     ('snowball_russian', 'ab', 'ab'),
     ('snowball_russian', 'up', 'up'),
     ('snowball_russian', '12345', '12345'),
+    ('snowball_finnish', 'queries', 'queries'),
+    ('snowball_finnish', 'tables', 'tables'),
+    ('snowball_finnish', 'running', 'running'),
+    ('snowball_finnish', 'happiness', 'happines'),
+    ('snowball_finnish', 'connection', 'connectio'),
+    ('snowball_finnish', 'maximum', 'maximum'),
+    ('snowball_finnish', 'nationally', 'nationaly'),
+    ('snowball_finnish', 'classified', 'classified'),
+    ('snowball_finnish', 'kilometres', 'kilometres'),
+    ('snowball_finnish', 'splitting', 'splitting'),
+    ('snowball_finnish', 'realization', 'realizatio'),
+    ('snowball_finnish', 'organizations', 'organizations'),
+    ('snowball_finnish', 'troubles', 'troubles'),
+    ('snowball_finnish', 'computes', 'computes'),
+    ('snowball_finnish', 'magnetic', 'magnetic'),
+    ('snowball_finnish', 'specialized', 'specialized'),
+    ('snowball_finnish', 'ponies', 'ponies'),
+    ('snowball_finnish', 'caresses', 'caresses'),
+    ('snowball_finnish', 'motoring', 'motoring'),
+    ('snowball_finnish', 'generalization', 'generalizatio'),
+    ('snowball_finnish', 'ab', 'ab'),
+    ('snowball_finnish', 'up', 'up'),
+    ('snowball_finnish', '12345', '12345'),
+    ('snowball_hungarian', 'queries', 'queries'),
+    ('snowball_hungarian', 'tables', 'tables'),
+    ('snowball_hungarian', 'running', 'running'),
+    ('snowball_hungarian', 'happiness', 'happiness'),
+    ('snowball_hungarian', 'connection', 'connect'),
+    ('snowball_hungarian', 'maximum', 'maximu'),
+    ('snowball_hungarian', 'nationally', 'nationally'),
+    ('snowball_hungarian', 'classified', 'classif'),
+    ('snowball_hungarian', 'kilometres', 'kilometres'),
+    ('snowball_hungarian', 'splitting', 'splitting'),
+    ('snowball_hungarian', 'realization', 'realizat'),
+    ('snowball_hungarian', 'organizations', 'organizations'),
+    ('snowball_hungarian', 'troubles', 'troubles'),
+    ('snowball_hungarian', 'computes', 'computes'),
+    ('snowball_hungarian', 'magnetic', 'magnetic'),
+    ('snowball_hungarian', 'specialized', 'specializ'),
+    ('snowball_hungarian', 'ponies', 'ponies'),
+    ('snowball_hungarian', 'caresses', 'caresses'),
+    ('snowball_hungarian', 'motoring', 'motoring'),
+    ('snowball_hungarian', 'generalization', 'generalizat'),
+    ('snowball_hungarian', 'ab', 'ab'),
+    ('snowball_hungarian', 'up', 'up'),
+    ('snowball_hungarian', '12345', '12345'),
 ]
 
 

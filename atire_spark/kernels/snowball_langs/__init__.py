@@ -25,6 +25,10 @@ from atire_spark.kernels.snowball_langs.romance import (
     stem_snowball_spanish,
 )
 from atire_spark.kernels.snowball_langs.slavic import stem_snowball_russian
+from atire_spark.kernels.snowball_langs.uralic import (
+    stem_snowball_finnish,
+    stem_snowball_hungarian,
+)
 from atire_spark.kernels.snowball_langs.scandinavian import (
     stem_snowball_danish,
     stem_snowball_norwegian,
@@ -33,6 +37,8 @@ from atire_spark.kernels.snowball_langs.scandinavian import (
 
 __all__ = [
     "stem_snowball_catalan",
+    "stem_snowball_finnish",
+    "stem_snowball_hungarian",
     "stem_snowball_french",
     "stem_snowball_romanian",
     "stem_snowball_russian",

@@ -63,6 +63,8 @@ STEMMERS = (
     "snowball_romanian",
     "snowball_catalan",
     "snowball_russian",
+    "snowball_finnish",
+    "snowball_hungarian",
 )
 
 _VOWELS = "aeiou"
@@ -762,6 +764,8 @@ _STEM_FN = {
     "snowball_romanian": _snowball_lang("romanian"),
     "snowball_catalan": _snowball_lang("catalan"),
     "snowball_russian": _snowball_lang("russian"),
+    "snowball_finnish": _snowball_lang("finnish"),
+    "snowball_hungarian": _snowball_lang("hungarian"),
 }
 
 
