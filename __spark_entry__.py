@@ -3661,6 +3661,52 @@ _STEM_SUITE_EXPECTED = [
     ('snowball_hungarian', 'ab', 'ab'),
     ('snowball_hungarian', 'up', 'up'),
     ('snowball_hungarian', '12345', '12345'),
+    ('snowball_armenian', 'queries', 'queries'),
+    ('snowball_armenian', 'tables', 'tables'),
+    ('snowball_armenian', 'running', 'running'),
+    ('snowball_armenian', 'happiness', 'happiness'),
+    ('snowball_armenian', 'connection', 'connection'),
+    ('snowball_armenian', 'maximum', 'maximum'),
+    ('snowball_armenian', 'nationally', 'nationally'),
+    ('snowball_armenian', 'classified', 'classified'),
+    ('snowball_armenian', 'kilometres', 'kilometres'),
+    ('snowball_armenian', 'splitting', 'splitting'),
+    ('snowball_armenian', 'realization', 'realization'),
+    ('snowball_armenian', 'organizations', 'organizations'),
+    ('snowball_armenian', 'troubles', 'troubles'),
+    ('snowball_armenian', 'computes', 'computes'),
+    ('snowball_armenian', 'magnetic', 'magnetic'),
+    ('snowball_armenian', 'specialized', 'specialized'),
+    ('snowball_armenian', 'ponies', 'ponies'),
+    ('snowball_armenian', 'caresses', 'caresses'),
+    ('snowball_armenian', 'motoring', 'motoring'),
+    ('snowball_armenian', 'generalization', 'generalization'),
+    ('snowball_armenian', 'ab', 'ab'),
+    ('snowball_armenian', 'up', 'up'),
+    ('snowball_armenian', '12345', '12345'),
+    ('snowball_basque', 'queries', 'queries'),
+    ('snowball_basque', 'tables', 'tables'),
+    ('snowball_basque', 'running', 'running'),
+    ('snowball_basque', 'happiness', 'happiness'),
+    ('snowball_basque', 'connection', 'connection'),
+    ('snowball_basque', 'maximum', 'maximum'),
+    ('snowball_basque', 'nationally', 'nationally'),
+    ('snowball_basque', 'classified', 'classified'),
+    ('snowball_basque', 'kilometres', 'kilometres'),
+    ('snowball_basque', 'splitting', 'splitting'),
+    ('snowball_basque', 'realization', 'realization'),
+    ('snowball_basque', 'organizations', 'organizations'),
+    ('snowball_basque', 'troubles', 'troubles'),
+    ('snowball_basque', 'computes', 'computes'),
+    ('snowball_basque', 'magnetic', 'magnetic'),
+    ('snowball_basque', 'specialized', 'specialized'),
+    ('snowball_basque', 'ponies', 'ponies'),
+    ('snowball_basque', 'caresses', 'caresses'),
+    ('snowball_basque', 'motoring', 'motoring'),
+    ('snowball_basque', 'generalization', 'generalization'),
+    ('snowball_basque', 'ab', 'ab'),
+    ('snowball_basque', 'up', 'up'),
+    ('snowball_basque', '12345', '12345'),
 ]
 
 

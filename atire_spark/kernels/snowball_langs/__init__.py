@@ -10,6 +10,8 @@ kernels/snowball.py and kernels/lovins.py.
 
 from __future__ import annotations
 
+from atire_spark.kernels.snowball_langs.armenian import stem_snowball_armenian
+from atire_spark.kernels.snowball_langs.basque import stem_snowball_basque
 from atire_spark.kernels.snowball_langs.germanic import (
     stem_snowball_dutch,
     stem_snowball_german,
@@ -36,6 +38,8 @@ from atire_spark.kernels.snowball_langs.scandinavian import (
 )
 
 __all__ = [
+    "stem_snowball_armenian",
+    "stem_snowball_basque",
     "stem_snowball_catalan",
     "stem_snowball_finnish",
     "stem_snowball_hungarian",

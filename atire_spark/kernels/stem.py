@@ -65,6 +65,8 @@ STEMMERS = (
     "snowball_russian",
     "snowball_finnish",
     "snowball_hungarian",
+    "snowball_armenian",
+    "snowball_basque",
 )
 
 _VOWELS = "aeiou"
@@ -766,6 +768,8 @@ _STEM_FN = {
     "snowball_russian": _snowball_lang("russian"),
     "snowball_finnish": _snowball_lang("finnish"),
     "snowball_hungarian": _snowball_lang("hungarian"),
+    "snowball_armenian": _snowball_lang("armenian"),
+    "snowball_basque": _snowball_lang("basque"),
 }
 
 
