@@ -3707,6 +3707,52 @@ _STEM_SUITE_EXPECTED = [
     ('snowball_basque', 'ab', 'ab'),
     ('snowball_basque', 'up', 'up'),
     ('snowball_basque', '12345', '12345'),
+    ('snowball_turkish', 'queries', 'queries'),
+    ('snowball_turkish', 'tables', 'tables'),
+    ('snowball_turkish', 'running', 'runningi'),
+    ('snowball_turkish', 'happiness', 'happiness'),
+    ('snowball_turkish', 'connection', 'connection'),
+    ('snowball_turkish', 'maximum', 'maxim'),
+    ('snowball_turkish', 'nationally', 'nationally'),
+    ('snowball_turkish', 'classified', 'classifiedi'),
+    ('snowball_turkish', 'kilometres', 'kilometres'),
+    ('snowball_turkish', 'splitting', 'splittingi'),
+    ('snowball_turkish', 'realization', 'realization'),
+    ('snowball_turkish', 'organizations', 'organizations'),
+    ('snowball_turkish', 'troubles', 'troubles'),
+    ('snowball_turkish', 'computes', 'computes'),
+    ('snowball_turkish', 'magnetic', 'magnetiç'),
+    ('snowball_turkish', 'specialized', 'specializedi'),
+    ('snowball_turkish', 'ponies', 'ponies'),
+    ('snowball_turkish', 'caresses', 'caresses'),
+    ('snowball_turkish', 'motoring', 'motoringi'),
+    ('snowball_turkish', 'generalization', 'generalization'),
+    ('snowball_turkish', 'ab', 'ab'),
+    ('snowball_turkish', 'up', 'up'),
+    ('snowball_turkish', '12345', '12345'),
+    ('snowball_kraaij_pohlmann', 'queries', 'querie'),
+    ('snowball_kraaij_pohlmann', 'tables', 'tabl'),
+    ('snowball_kraaij_pohlmann', 'running', 'run'),
+    ('snowball_kraaij_pohlmann', 'happiness', 'happines'),
+    ('snowball_kraaij_pohlmann', 'connection', 'connection'),
+    ('snowball_kraaij_pohlmann', 'maximum', 'maximum'),
+    ('snowball_kraaij_pohlmann', 'nationally', 'nationally'),
+    ('snowball_kraaij_pohlmann', 'classified', 'classified'),
+    ('snowball_kraaij_pohlmann', 'kilometres', 'kilometr'),
+    ('snowball_kraaij_pohlmann', 'splitting', 'split'),
+    ('snowball_kraaij_pohlmann', 'realization', 'realization'),
+    ('snowball_kraaij_pohlmann', 'organizations', 'organization'),
+    ('snowball_kraaij_pohlmann', 'troubles', 'troubl'),
+    ('snowball_kraaij_pohlmann', 'computes', 'comput'),
+    ('snowball_kraaij_pohlmann', 'magnetic', 'magnetic'),
+    ('snowball_kraaij_pohlmann', 'specialized', 'specialized'),
+    ('snowball_kraaij_pohlmann', 'ponies', 'ponie'),
+    ('snowball_kraaij_pohlmann', 'caresses', 'cares'),
+    ('snowball_kraaij_pohlmann', 'motoring', 'motoor'),
+    ('snowball_kraaij_pohlmann', 'generalization', 'neralization'),
+    ('snowball_kraaij_pohlmann', 'ab', 'ab'),
+    ('snowball_kraaij_pohlmann', 'up', 'up'),
+    ('snowball_kraaij_pohlmann', '12345', '12345'),
 ]
 
 

@@ -12,6 +12,10 @@ from __future__ import annotations
 
 from atire_spark.kernels.snowball_langs.armenian import stem_snowball_armenian
 from atire_spark.kernels.snowball_langs.basque import stem_snowball_basque
+from atire_spark.kernels.snowball_langs.kraaij_pohlmann import (
+    stem_snowball_kraaij_pohlmann,
+)
+from atire_spark.kernels.snowball_langs.turkic import stem_snowball_turkish
 from atire_spark.kernels.snowball_langs.germanic import (
     stem_snowball_dutch,
     stem_snowball_german,
@@ -39,6 +43,8 @@ from atire_spark.kernels.snowball_langs.scandinavian import (
 
 __all__ = [
     "stem_snowball_armenian",
+    "stem_snowball_kraaij_pohlmann",
+    "stem_snowball_turkish",
     "stem_snowball_basque",
     "stem_snowball_catalan",
     "stem_snowball_finnish",

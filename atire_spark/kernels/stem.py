@@ -67,6 +67,8 @@ STEMMERS = (
     "snowball_hungarian",
     "snowball_armenian",
     "snowball_basque",
+    "snowball_turkish",
+    "snowball_kraaij_pohlmann",
 )
 
 _VOWELS = "aeiou"
@@ -770,6 +772,8 @@ _STEM_FN = {
     "snowball_hungarian": _snowball_lang("hungarian"),
     "snowball_armenian": _snowball_lang("armenian"),
     "snowball_basque": _snowball_lang("basque"),
+    "snowball_turkish": _snowball_lang("turkish"),
+    "snowball_kraaij_pohlmann": _snowball_lang("kraaij_pohlmann"),
 }
 
 
