@@ -592,6 +592,10 @@ def parse_query(
 
 
 class SearchEngine:
+    # upper bound on driver-collected (term, seg_group) trim metadata
+    # rows; see _trim_takes
+    TRIM_META_LIMIT = 1_000_000
+
     def __init__(
         self,
         spark: SparkSession,
@@ -659,13 +663,24 @@ class SearchEngine:
 
         Only segment METADATA (impacts[], doc_counts[]) is collected —
         the reference likewise reads the whole impact header before
-        deciding where to stop; posting bytes stay distributed.
+        deciding where to stop; posting bytes stay distributed.  The
+        collect is bounded by ``TRIM_META_LIMIT`` rows (per-term
+        segment counts scale with collection size; a head term at
+        web scale can exceed the driver's comfort, in which case trim
+        should be precomputed at build time instead — the limit turns
+        a silent driver hotspot into an explicit error).
         """
-        meta = (
-            hits.filter(F.col("term").isin(list(wanted)))
-            .select("term", "seg_group", "impacts", "doc_counts")
-            .collect()
+        meta_df = hits.filter(F.col("term").isin(list(wanted))).select(
+            "term", "seg_group", "impacts", "doc_counts"
         )
+        n_meta = meta_df.count()
+        if n_meta > self.TRIM_META_LIMIT:
+            raise RuntimeError(
+                f"trim metadata rows ({n_meta}) exceed TRIM_META_LIMIT"
+                f" ({self.TRIM_META_LIMIT}); precompute trim takes at"
+                " build time for collections this large"
+            )
+        meta = meta_df.collect()
         per_term: dict[str, list] = {}
         for r in meta:
             per_term.setdefault(r["term"], []).append(r)

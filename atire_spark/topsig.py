@@ -410,7 +410,11 @@ def topsig_global_stats(index: IndexTables) -> tuple[dict[str, int], float]:
     the stats lookup across query batches. The full map is
     driver-resident — suitable whenever the vocabulary fits (the
     reference makes the identical assumption, holding the whole stats
-    file in a hash table)."""
+    file in a hash table).  At web-scale vocabularies skip this
+    preload: the default per-batch path in :func:`search_topsig`
+    pushes an ``isin`` filter into the postings scan (file pruning)
+    and AQE broadcast-joins the per-query cf rows instead, so no
+    driver-resident map is ever required."""
     cfs = {
         r["term"]: int(r["cf"])
         for r in _term_cf(index).collect()
