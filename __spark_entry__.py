@@ -3762,27 +3762,27 @@ def _q_stemmer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from atire_spark.kernels.stem import STEMMERS, stem_unique
 
-    words = spark.createDataFrame(
-        [(w,) for w in STEM_SUITE_WORDS], "word string"
+    # one (stemmer, word) frame, one Arrow pass: the per-stemmer
+    # dispatch happens inside the batch, not as 30 separate jobs
+    pairs = spark.createDataFrame(
+        [(st, w) for st in STEMMERS for w in STEM_SUITE_WORDS],
+        "stemmer string, word string",
     )
 
-    def mk(stemmer: str):
-        def fn(batches):
-            for pdf in batches:
-                u = np.asarray(pdf["word"].to_numpy(), dtype=object)
-                yield pd.DataFrame(
-                    {"word": pdf["word"], "stem": stem_unique(u, stemmer)}
-                )
+    def fn(batches):
+        for pdf in batches:
+            stems = np.empty(len(pdf), dtype=object)
+            for st, grp in pdf.groupby("stemmer"):
+                u = np.asarray(grp["word"].to_numpy(), dtype=object)
+                stems[grp.index.to_numpy()] = stem_unique(u, st)
+            yield pd.DataFrame(
+                {"stemmer": pdf["stemmer"], "word": pdf["word"],
+                 "stem": stems}
+            )
 
-        return fn
-
-    out = None
-    for st in STEMMERS:
-        d = words.mapInPandas(mk(st), schema="word string, stem string").select(
-            F.lit(st).alias("stemmer"), "*"
-        )
-        out = d if out is None else out.unionByName(d)
-    return out
+    return pairs.mapInPandas(
+        fn, schema="stemmer string, word string, stem string"
+    )
 
 
 def _stemmer_suite_sql() -> str:

@@ -929,7 +929,7 @@ _RO_STD = _bylen(
      ("ism", 3), ("ist", 3), ("istă", 3)],
 )
 
-_RO_VERB_COND = None  # code-1 table below needs the preceding-char rule
+# verb table: code 1 needs a non-vowel (or u) before, inside RV
 _RO_VERB = _bylen(
     [("ea", 1), ("ia", 1), ("esc", 1), ("ăsc", 1), ("ind", 1),
      ("ând", 1), ("are", 1), ("ere", 1), ("ire", 1), ("âre", 1),
