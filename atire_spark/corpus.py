@@ -1088,7 +1088,28 @@ def parse_media_header(buf: bytes) -> tuple[str, int, int, int]:
         w, h = struct.unpack("<ii", buf[18:26])
         bpp = struct.unpack("<H", buf[28:30])[0]
         return "bmp", w, abs(h), bpp // 8
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        # logical screen descriptor: width/height LE uint16 at 6..10
+        w, h = struct.unpack("<HH", buf[6:10])
+        return "gif", w, h, 3
     raise ValueError("unknown container magic")
+
+
+def parse_wav_header(buf: bytes) -> tuple[int, int, int]:
+    """RIFF/WAVE fmt-chunk decode (WAVE spec): returns (sample_rate,
+    n_samples, channels). Canonical layout only (fmt chunk at offset
+    12, data chunk at 36) — the synthetic payloads and most real PCM
+    WAV files use it; sample decoding stays out of scope."""
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE" or buf[12:16] != b"fmt ":
+        raise ValueError("not a canonical RIFF/WAVE header")
+    channels = struct.unpack("<H", buf[22:24])[0]
+    sample_rate = struct.unpack("<I", buf[24:28])[0]
+    bits = struct.unpack("<H", buf[34:36])[0]
+    data_size = struct.unpack("<I", buf[40:44])[0]
+    n_samples = data_size // (channels * (bits // 8))
+    return sample_rate, n_samples, channels
 
 
 def _media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1113,6 +1134,41 @@ def _media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(gen, schema="doc_id long, payload binary")
 
 
+_AV_DOC_OFFSET = 10_000_000  # av payload doc_ids live past the corpus
+
+
+def _synth_av_payloads(doc_ids) -> list[bytes]:
+    """Deterministic GIF (even) / canonical PCM WAV (odd) payloads;
+    parameters derive from doc_id so the SQL oracle restates them
+    without parsing (same scheme as :func:`_synth_media_payloads`)."""
+    import struct
+
+    out = []
+    for d in doc_ids:
+        d = int(d)
+        if d % 2 == 0:
+            w = 16 + d % 509
+            h = 16 + (d * 7) % 277
+            out.append(
+                b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00;"
+            )
+        else:
+            channels = 1 + d % 2  # odd d -> always 2 here; kept general
+            sample_rate = 8000 * (1 + d % 5)
+            n_samples = 100 + d % 1000
+            data_size = n_samples * channels * 2
+            out.append(
+                b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+                + b"fmt " + struct.pack(
+                    "<IHHIIHH", 16, 1, channels, sample_rate,
+                    sample_rate * channels * 2, channels * 2, 16,
+                )
+                + b"data" + struct.pack("<I", data_size)
+                + b"\x00" * data_size
+            )
+    return out
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary media metadata: the binary payload column flows
     through an Arrow mapInPandas stage whose :func:`parse_media_header`
@@ -1124,9 +1180,29 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payload = _media_payloads(spark, sf_dir)
 
+    def gen_av(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"] + _AV_DOC_OFFSET
+            yield pd.DataFrame(
+                {"doc_id": ids,
+                 "payload": _synth_av_payloads(pdf["doc_id"])}
+            )
+
+    av = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        gen_av, schema="doc_id long, payload binary"
+    )
+    payload = payload.unionByName(av)
+
     def fn(batches):
         for pdf in batches:
-            metas = [parse_media_header(b) for b in pdf["payload"]]
+            metas = []
+            for b in pdf["payload"]:
+                b = bytes(b)
+                if b[:4] == b"RIFF":
+                    sr, n, ch = parse_wav_header(b)
+                    metas.append(("wav", sr, n, ch))
+                else:
+                    metas.append(parse_media_header(b))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -1162,6 +1238,19 @@ SELECT doc_id,
        CAST(16 + doc_id % 509 AS INTEGER) AS width,
        CAST(16 + (doc_id * 7) % 277 AS INTEGER) AS height,
        CAST(3 AS INTEGER) AS channels
+FROM documents
+UNION ALL
+SELECT doc_id + 10000000 AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'wav' END AS format,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 14
+                 ELSE 44 + (100 + doc_id % 1000) * (1 + doc_id % 2) * 2
+            END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 509
+                 ELSE 8000 * (1 + doc_id % 5) END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + (doc_id * 7) % 277
+                 ELSE 100 + doc_id % 1000 END AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 3
+                 ELSE 1 + doc_id % 2 END AS INTEGER) AS channels
 FROM documents
 """
 

@@ -123,4 +123,33 @@ def test_media_header_parser_roundtrip():
     )
     assert parse_media_header(topdown) == ("bmp", 640, 480, 4)
     with pytest.raises(ValueError):
-        parse_media_header(b"GIF89a...")
+        parse_media_header(b"ICO?unknown-magic")
+
+
+def test_parse_gif_and_wav_headers():
+    """GIF logical-screen and canonical RIFF/WAVE fmt-chunk parsing
+    against independently-constructed byte strings."""
+    import struct
+
+    from atire_spark.corpus import (
+        _synth_av_payloads,
+        parse_media_header,
+        parse_wav_header,
+    )
+
+    gif = b"GIF87a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00;"
+    assert parse_media_header(gif) == ("gif", 320, 200, 3)
+
+    data = b"\x00" * (48000 * 2 * 2)  # one second, stereo 16-bit
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 48000,
+                                48000 * 4, 4, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert parse_wav_header(wav) == (48000, 48000, 2)
+
+    # generator parity: parameters restated from the doc_id rule
+    bufs = _synth_av_payloads([4, 9])
+    assert parse_media_header(bufs[0]) == ("gif", 16 + 4, 16 + 28, 3)
+    assert parse_wav_header(bufs[1]) == (8000 * 5, 100 + 9, 2)
