@@ -1436,6 +1436,123 @@ GROUP BY doc_id
 """
 
 
+def _q_focus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INEX focused retrieval (focus_lowest_tag.c:13-92): BM25 top-k,
+    then per-hit passage extraction over the deterministic tagged
+    rendering — start at the open tag before the first query-term hit,
+    finish at the close tag after the last."""
+    from atire_spark.focus import focus_results
+
+    eng = _engine(spark, sf_dir)
+    topk = eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
+    return focus_results(
+        topk, eng.index.docmap, _transcripts(spark, sf_dir), TESTDATA_QUERIES
+    )
+
+
+def _focus_sql(k: int) -> str:
+    """Closed-form focusing oracle: re-derives tag_document's offsets
+    arithmetically — paragraph i of 8 whitespace tokens costs
+    7 + len(content) chars ('<p></p>'), '<doc>' costs 5 — and the
+    focus scan's span: start = '<p>' of the first-hit paragraph,
+    finish = end of '</p>' of the last-hit paragraph, whole document
+    when no term matches. Hit test mirrors focus.py's word-run scan
+    (letter runs lowercased, digit runs raw)."""
+    return f"""
+WITH {_CORPUS_CTE},
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+),
+qterms AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, list(DISTINCT term) AS terms
+  FROM q GROUP BY query_id
+),
+scored0 AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, t.docid,
+         CASE WHEN ts.df = s.n_docs THEN CAST(0 AS BIGINT)
+              ELSE CAST(q.weight AS BIGINT)
+                   * (1 + CAST(trunc({_BM25_CONTRIB}) AS BIGINT))
+         END AS contrib,
+         CASE WHEN ts.df = s.n_docs THEN 0 ELSE 1 END AS is_hit
+  FROM q
+  JOIN termstats ts USING (term)
+  JOIN tf t USING (term)
+  JOIN docmap d USING (docid)
+  CROSS JOIN stats s
+),
+acc0 AS (
+  SELECT query_id, docid, CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  FROM scored0
+  WHERE is_hit = 1 OR contrib <> 0
+  GROUP BY query_id, docid
+  HAVING sum(is_hit) > 0
+),
+ranked0 AS (
+  SELECT query_id, docid, rsv_fixed,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank
+  FROM acc0
+),
+hits AS (
+  SELECT r.query_id, r.rank, r.docid, r.rsv_fixed, c.text
+  FROM ranked0 r
+  JOIN docmap d USING (docid)
+  JOIN corpus c USING (doc_id)
+  WHERE r.rank <= {k}
+),
+feat AS (
+  SELECT h.query_id, h.rank, h.docid, h.rsv_fixed,
+         list_filter(regexp_split_to_array(trim(h.text), '\\s+'),
+                     x -> x <> '') AS wtoks,
+         qt.terms
+  FROM hits h JOIN qterms qt USING (query_id)
+),
+hitidx AS (
+  SELECT query_id, rank, docid, rsv_fixed, wtoks,
+         CAST(ceil(len(wtoks) / 8.0) AS INTEGER) AS npara,
+         list_filter(range(1, len(wtoks) + 1),
+           i -> len(list_intersect(
+                  list_transform(
+                    regexp_extract_all(wtoks[i], '[A-Za-z]+|[0-9]+'),
+                    r -> lower(r)),
+                  terms)) > 0) AS hit_idx
+  FROM feat
+),
+para AS (
+  SELECT *,
+         list_transform(range(0, npara),
+           i -> 7 + length(array_to_string(
+                      list_slice(wtoks, 8*i + 1, 8*i + 8), ' '))) AS costs,
+         '<doc>' || array_to_string(
+           list_transform(range(0, npara),
+             i -> '<p>' || array_to_string(
+                    list_slice(wtoks, 8*i + 1, 8*i + 8), ' ') || '</p>'),
+           '') || '</doc>' AS tagged
+  FROM hitidx
+),
+spans AS (
+  SELECT query_id, rank, docid, rsv_fixed, tagged,
+         CASE WHEN len(hit_idx) = 0 THEN 0
+              ELSE 5 + coalesce(list_sum(list_slice(
+                     costs, 1, CAST((hit_idx[1] - 1) // 8 AS INTEGER))), 0)
+         END AS start,
+         CASE WHEN len(hit_idx) = 0 THEN 11 + coalesce(list_sum(costs), 0)
+              ELSE 5 + coalesce(list_sum(list_slice(
+                     costs, 1,
+                     CAST((hit_idx[-1] - 1) // 8 + 1 AS INTEGER))), 0)
+         END AS finish
+  FROM para
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(start AS INTEGER) AS start,
+       CAST(finish AS INTEGER) AS finish,
+       substr(tagged, CAST(start + 1 AS INTEGER),
+              CAST(finish - start AS INTEGER)) AS passage
+FROM spans
+"""
+
+
 # single-term queries for the reference's single-term top-k prune
 ST_QUERIES: list[tuple[int, str]] = [
     (1, "spark"),
@@ -4156,6 +4273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     reg["boolean_topk"] = _q_boolean
     reg["topk_materialized"] = _q_topk_materialized
+    reg["focus_passages"] = _q_focus
     reg["stemmer_suite_map"] = _q_stemmer_suite
     reg["lmp_feedback_interpolated_topk"] = _q_lmp_feedback_interpolated
     for suite, tags in _RANKER_SUITE_MEMBERS.items():
@@ -4599,6 +4717,7 @@ WHERE r.rank <= {TOP_K}
     )
     reg["boolean_topk"] = parts["boolean_topk"]
     reg["topk_materialized"] = parts["topk_materialized"]
+    reg["focus_passages"] = _focus_sql(TOP_K)
     reg["stemmer_suite_map"] = _stemmer_suite_sql()
     reg["lmp_feedback_interpolated_topk"] = _lmp_feedback_interpolated_sql(
         TOP_K, FB_INTERP_DOCS
