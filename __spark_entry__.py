@@ -2181,6 +2181,17 @@ def _q_qaat_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.search_qaat(TESTDATA_QUERIES, k=TOP_K, early_termination=None)
 
 
+def _q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-space block-max WAND (Broder CIKM'03 / Ding & Suel
+    SIGIR'11 adapted to the impact-ordered segment layout): a
+    metadata-only header pass derives a certified k-th-score lower
+    bound θ₀, then only (query, seg_group) pairs whose Σ max_impact
+    can reach θ₀ are decoded. Exact — the same quantized-TaaT oracle
+    certifies it; pruning stats are reported by bench.py."""
+    eng = _quant_engine(spark, sf_dir)
+    return eng.search_wand(TESTDATA_QUERIES, k=TOP_K)
+
+
 def _q_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     return eng.search_boolean(BOOLEAN_QUERIES, k=TOP_K)
@@ -4264,7 +4275,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         [("direct", _q_topsig_topk), ("feedback", _q_topsig_feedback)],
         "mode",
     )
-    reg["qaat_exact_topk"] = _q_qaat_exact
+    reg["blockmax_topk"] = _suite_fn(
+        [("qaat_exact", _q_qaat_exact), ("wand", _q_bm25_wand)],
+        "mode",
+    )
     reg["pregen_recent_topk"] = _q_pregen_recent
     reg["readable_topk"] = _q_readable
     reg["bm25_quantized_topk"] = _suite_fn(
@@ -4713,7 +4727,16 @@ WHERE r.rank <= {TOP_K}
         ],
         "mode",
     )
-    reg["qaat_exact_topk"] = parts["qaat_exact_topk"]
+    # both block-max traversals are exact → rank-identical to TaaT on
+    # the quantized index; one oracle certifies the quantum-ordered
+    # heap (QaaT) and the θ₀-pruned WAND path alike
+    reg["blockmax_topk"] = _suite_sql(
+        [
+            ("qaat_exact", parts["qaat_exact_topk"]),
+            ("wand", parts["qaat_exact_topk"]),
+        ],
+        "mode",
+    )
     reg["pregen_recent_topk"] = parts["pregen_recent_topk"]
     reg["readable_topk"] = parts["readable_topk"]
     reg["bm25_quantized_topk"] = _suite_sql(

@@ -1982,6 +1982,199 @@ class SearchEngine:
         return results, stats
 
     # ------------------------------------------------------------------
+    def search_wand(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        return_stats: bool = False,
+    ):
+        """Document-space block-max WAND pruning, exact top-k.
+
+        The classic family (WAND, Broder et al. CIKM 2003; block-max
+        WAND, Ding & Suel SIGIR 2011) skips a docid region whenever the
+        sum of the region's per-term score ceilings cannot beat the
+        current top-k threshold. Here the "block" is a (term,
+        seg_group) segment — seg_group is a pure function of the docid
+        block, so one segment is exactly a term's postings for one
+        docid range — and its ceiling is ``max_impact``. On a
+        quantized index the impact IS the per-posting fixed-point
+        score contribution (memory_index.c:1541-1589), so
+        Σ weight·max_impact is a true upper bound on any docid in the
+        range, the same additivity QaaT's quantum rules lean on
+        (atire/atire_api.c:683-836). Unlike those results-changing
+        heuristics this path is rank-identical to :meth:`search_batch`:
+
+        - **Phase 1 (threshold, metadata only).** Scan just the
+          quantum-header columns (``impacts[]``/``doc_counts[]`` —
+          column pruning leaves the ``postings`` BINARY unread, so at
+          cluster scale this pass reads a few KB per matched segment
+          row). Per term, aggregate docs per impact level; walking
+          levels in descending impact, the level where the running doc
+          count reaches k guarantees k distinct docs scoring
+          ≥ weight·level from this term alone (contributions are
+          non-negative and a docid occurs once per term). θ₀(query) =
+          max over its terms — a certified lower bound on the true
+          k-th rsv.
+        - **Phase 2 (pivot test + scoring).** A (query, seg_group)
+          pair is decoded only when Σ_t weight·max_impact ≥ θ₀; every
+          docid of a skipped pair scores < θ₀ ≤ kth rsv, so it cannot
+          enter the top-k even via the larger-docid tie-break.
+          Survivors co-locate on (query_id, seg_group) — a docid's
+          whole accumulation completes inside one task, same shape as
+          the grouped scorer — then the usual bounded top-k merge.
+
+        The bound arithmetic assumes the accumulator does not wrap;
+        the reference's quantum rules share that assumption (uint16
+        accumulators, 8-bit impacts — headroom for 256-term queries).
+        Requires a quantized index (the reference likewise restricts
+        quantum processing to baked-in scores, atire_api.c:472-478).
+        """
+        if not self.quantized:
+            raise ValueError(
+                "block-max WAND needs a quantized index: max_impact "
+                "bounds scores only when the impact is the score "
+                "(atire_api.c:472-478)"
+            )
+        qterms: list[tuple[int, str, int]] = []
+        for qid, text in queries:
+            for term, weight in parse_query(
+                text, self.stemmer, self.cjk_segmenter
+            ):
+                qterms.append((qid, term, weight))
+        if not qterms:
+            empty = self.spark.createDataFrame([], RESULT_SCHEMA)
+            if return_stats:
+                return empty, {"segments_scored": 0, "segments_total": 0}
+            return empty
+        terms = sorted({t for _, t, _ in qterms})
+        hits = self.postings.filter(F.col("term").isin(terms))
+
+        # ---- phase 1: per-term k-doc guarantee off the headers only
+        per_level = (
+            hits.select(
+                "term",
+                F.explode(F.arrays_zip("impacts", "doc_counts")).alias("z"),
+            )
+            .groupBy("term", F.col("z.impacts").alias("impact"))
+            .agg(F.sum("z.doc_counts").alias("n_docs"))
+            .collect()  # bounded: ≤ 2^bits levels per query term
+        )
+        levels: dict[str, list[tuple[int, int]]] = {}
+        for r in per_level:
+            levels.setdefault(r["term"], []).append(
+                (int(r["impact"]), int(r["n_docs"]))
+            )
+        guar: dict[str, int] = {}
+        for term, lv in levels.items():
+            seen = 0
+            for impact, n in sorted(lv, reverse=True):
+                seen += n
+                if seen >= k:
+                    guar[term] = impact
+                    break
+        theta: dict[int, int] = {}
+        for qid, term, weight in qterms:
+            if term in guar:
+                g = weight * guar[term]
+                if g > theta.get(qid, 0):
+                    theta[qid] = g
+
+        # ---- phase 2: segment pivot test, then exact scoring
+        qt_df = F.broadcast(
+            self.spark.createDataFrame(
+                qterms, "query_id long, term string, weight long"
+            )
+        )
+        th_df = F.broadcast(
+            self.spark.createDataFrame(
+                [(q, theta.get(q, 0)) for q, _ in queries],
+                "query_id long, theta long",
+            )
+        )
+        pairs = (
+            hits.select("term", "seg_group", "max_impact")
+            .join(qt_df, "term")
+            .groupBy("query_id", "seg_group")
+            .agg(
+                F.sum(F.col("weight") * F.col("max_impact")).alias("ub"),
+                F.count(F.lit(1)).alias("n_segs"),
+            )
+            .join(th_df, "query_id")
+            .withColumn("keep", F.col("ub") >= F.col("theta"))
+        )
+        stats = None
+        if return_stats:
+            m = pairs.agg(
+                F.sum(F.when(F.col("keep"), F.col("n_segs")).otherwise(0)).alias("s"),
+                F.sum("n_segs").alias("t"),
+            ).collect()[0]
+            stats = {
+                "segments_scored": int(m["s"] or 0),
+                "segments_total": int(m["t"] or 0),
+            }
+        surv = pairs.filter("keep").select("query_id", "seg_group")
+        scored_src = (
+            hits.join(qt_df, "term")
+            .join(surv, ["query_id", "seg_group"])
+            .repartition("query_id", "seg_group")
+        )
+
+        n_docs, mean_len = self.n_docs, self.mean_doc_len
+        coll_len = self.collection_len
+        codec = self.codec
+
+        def part_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qids: list[np.ndarray] = []
+            docs: list[np.ndarray] = []
+            contribs: list[np.ndarray] = []
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    dec = _segment_contrib(
+                        row, "bm25", False, True, n_docs, mean_len,
+                        coll_len, codec=codec,
+                    )
+                    if dec is None:
+                        continue
+                    docids, contrib = _per_query_contrib(dec, 0.0)
+                    qids.append(
+                        np.full(docids.size, row.query_id, dtype=np.int64)
+                    )
+                    docs.append(docids)
+                    contribs.append(contrib * int(row.weight))
+            if not qids:
+                return
+            acc = pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qids),
+                    "docid": np.concatenate(docs),
+                    "contrib": np.concatenate(contribs),
+                }
+            )
+            agg = (
+                acc.groupby(["query_id", "docid"], sort=False)["contrib"]
+                .sum()
+                .reset_index(name="rsv_fixed")
+            )
+            agg["rsv_fixed"] = agg["rsv_fixed"] % ACCUM_MOD
+            outs = []
+            for _, g in agg.groupby("query_id", sort=False):
+                if len(g) > k:
+                    order = np.lexsort(
+                        (-g["docid"].to_numpy(), -g["rsv_fixed"].to_numpy())
+                    )[:k]
+                    g = g.iloc[order]
+                outs.append(g)
+            yield pd.concat(outs)
+
+        cand = scored_src.mapInPandas(
+            part_fn, schema="query_id long, docid long, rsv_fixed long"
+        )
+        results = self._rank_topk(cand, k)
+        if return_stats:
+            return results, stats
+        return results
+
+    # ------------------------------------------------------------------
     def _kl_select(
         self, texts: list[str], terms_wanted: int
     ) -> list[tuple[str, float]]:

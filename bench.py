@@ -177,6 +177,59 @@ def main() -> None:
             "topk_agreement_pct": round(100.0 * sk_agree, 1),
         }
 
+        # ---- block-max WAND (exact) segment pruning ---------------------
+        # unlike the QaaT heuristics this path is rank-identical by
+        # construction (certified θ₀ lower bound); report how many
+        # segment decodes the pivot test avoids on both corpora. The
+        # skewed index is rebuilt with small blocks so the low-impact
+        # tail spreads across many seg_groups — the granularity the
+        # segment-level pivot test prunes at.
+        wand_res, wstats = qeng.search_wand(qaat_queries, k=10, return_stats=True)
+        wand_pdf = wand_res.toPandas()
+        w_agree = 0
+        for qid in {q for q, _ in qaat_queries}:
+            a = list(wand_pdf[wand_pdf.query_id == qid].docid)
+            b = list(exact_pdf[exact_pdf.query_id == qid].docid)
+            w_agree += sum(1 for x, y in zip(a, b) if x == y)
+        skw_tables = build_index(
+            spark,
+            spark.createDataFrame(make_transcripts_skewed(4096)),
+            quantize_bits=8,
+            block_bits=6,
+        )
+        write_index(skw_tables, f"{tmp}/skwidx")
+        skweng = _SE(spark, load_index(spark, f"{tmp}/skwidx"))
+        skw_res, skw_stats = skweng.search_wand(sk_q, k=10, return_stats=True)
+        skw_pdf = skw_res.toPandas()
+        skw_ex = skweng.search_batch(sk_q, k=10).toPandas()
+        wand = {
+            "segments_scored": wstats["segments_scored"],
+            "segments_total": wstats["segments_total"],
+            "skipped_pct": round(
+                100.0
+                * (1 - wstats["segments_scored"] / max(wstats["segments_total"], 1)),
+                1,
+            ),
+            "topk_agreement_pct": round(100.0 * w_agree / max(total_rows, 1), 1),
+            "skewed_segments_scored": skw_stats["segments_scored"],
+            "skewed_segments_total": skw_stats["segments_total"],
+            "skewed_skipped_pct": round(
+                100.0
+                * (
+                    1
+                    - skw_stats["segments_scored"]
+                    / max(skw_stats["segments_total"], 1)
+                ),
+                1,
+            ),
+            "skewed_topk_agreement_pct": round(
+                100.0
+                * sum(1 for a, b in zip(skw_pdf.docid, skw_ex.docid) if a == b)
+                / max(len(skw_ex), 1),
+                1,
+            ),
+        }
+
         # ---- TopSig signature index (same quarter corpus) ---------------
         from atire_spark.topsig import build_topsig, search_topsig
 
@@ -242,6 +295,7 @@ def main() -> None:
         "sf_corpus_rows": sf_rows,
         "qaat_pruning": qaat,
         "qaat_pruning_skewed": qaat_skewed,
+        "wand_pruning": wand,
         "topsig": topsig,
         "cpus": cpus,
         "gen_sec": round(gen_sec, 3),

@@ -493,6 +493,64 @@ class TestQaatSkewedPruning:
         assert list(got.rsv_fixed) == list(exact.rsv_fixed)
 
 
+class TestBlockMaxWand:
+    """search_wand: exact document-space block-max pruning (WAND,
+    Broder et al. CIKM 2003; block-max, Ding & Suel SIGIR 2011) over
+    the impact-ordered (term, seg_group) segments. Unlike the QaaT
+    stop rules it must be RANK-IDENTICAL to exhaustive evaluation —
+    the θ₀ bound is certified, not heuristic."""
+
+    @pytest.fixture(scope="class")
+    def wand_engine(self, spark):
+        tdf = spark.createDataFrame(make_transcripts(200))
+        idx = build_index(
+            spark, tdf, block_bits=9, blocks_per_seg=3, quantize_bits=8
+        )
+        return SearchEngine(spark, idx)
+
+    BATCH = [
+        (1, "alpha"),
+        (2, "term00001 term00002"),
+        (3, "term00001 term00002 term00003 alpha"),
+        (4, "zzznotaterm"),
+        (5, "term00007 zzznotaterm"),
+    ]
+
+    @pytest.mark.parametrize("k", [1, 5, 20])
+    def test_rank_identical_to_taat(self, wand_engine, k):
+        got = wand_engine.search_wand(self.BATCH, k=k).toPandas()
+        exact = wand_engine.search_batch(self.BATCH, k=k).toPandas()
+        cols = ["query_id", "rank", "docid", "rsv_fixed"]
+        pd.testing.assert_frame_equal(
+            got[cols].reset_index(drop=True),
+            exact[cols].reset_index(drop=True),
+        )
+
+    def test_skewed_corpus_skips_segments(self, spark):
+        from atire_spark.synth import make_transcripts_skewed
+
+        # small blocks spread the low-impact tail docs over many
+        # seg_groups; θ₀ (the bridge doc's impact, the kth guarantee)
+        # then prunes every tail-only group before its bytes are read
+        tdf = spark.createDataFrame(make_transcripts_skewed(2048))
+        idx = build_index(spark, tdf, block_bits=5, quantize_bits=8)
+        eng = SearchEngine(spark, idx)
+        q = [(1, "skewterm"), (2, "skewterm pad")]
+        res, stats = eng.search_wand(q, k=10, return_stats=True)
+        assert stats["segments_scored"] < stats["segments_total"]
+        got = res.toPandas()
+        exact = eng.search_batch(q, k=10).toPandas()
+        cols = ["query_id", "rank", "docid", "rsv_fixed"]
+        pd.testing.assert_frame_equal(
+            got[cols].reset_index(drop=True),
+            exact[cols].reset_index(drop=True),
+        )
+
+    def test_unquantized_rejected(self, small_engine):
+        with pytest.raises(ValueError, match="quantized"):
+            small_engine.search_wand([(1, "alpha")])
+
+
 class TestInterpolatedFeedback:
     """FEEDBACK_INTERPOLATED (Puurula's ALTA, atire_api.c:1407-1555)
     on the lmp ranker — the SQL-oracle parity lives in the entry
