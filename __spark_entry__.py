@@ -441,6 +441,83 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic CJK fixture for the bigram-segmentation certification:
+# the driver corpus is ASCII, so the CJK path (parser.c:251-283
+# BIGRAM_SEGMENTATION — overlapping 2-char windows + trailing char, a
+# 1-char run is itself) gets its own literal turns, shared verbatim
+# with the SQL oracle. Han runs are space-separated so the oracle can
+# re-tokenize with substr arithmetic.
+_CJK_TURNS: list[tuple[str, int, str]] = [
+    ("c0", 0, "model summary 北京大学 tokens"),
+    ("c0", 1, "英语 mixed line alpha"),
+    ("c1", 0, "高性能计算 cluster run 北京"),
+    ("c1", 1, "单"),
+    ("c2", 0, "北京 北京大学 repeat terms"),
+    ("c2", 1, "no cjk here at all"),
+]
+
+
+def _q_cjk_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index the CJK fixture with cjk_bigrams=True and emit the same
+    (term, df, cf, max_impact) shape as the corpus member — certifies
+    the CJK run scan, the overlapping-bigram expansion and the
+    trailing-char quirk end-to-end through the real build."""
+    import pandas as pd
+
+    from atire_spark.build import build_index
+
+    tdf = spark.createDataFrame(
+        pd.DataFrame(_CJK_TURNS, columns=["conv_id", "turn_idx", "text"])
+    )
+    idx = build_index(spark, tdf, cjk_bigrams=True)
+    return (
+        idx.postings.groupBy("term", "df", "cf")
+        .agg(F.max("max_impact").alias("max_impact"))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+            F.col("max_impact").cast("int").alias("max_impact"),
+        )
+    )
+
+
+def _cjk_term_stats_sql() -> str:
+    values = ",\n    ".join(
+        "({}, '{}')".format(i, text.replace("'", "''"))
+        for i, (_c, _t, text) in enumerate(_CJK_TURNS)
+    )
+    return rf"""
+WITH docs(docid, text) AS (VALUES
+    {values}
+),
+toks AS (
+  SELECT docid, unnest(string_split(text, ' ')) AS tok FROM docs
+),
+nz AS (SELECT docid, tok FROM toks WHERE tok <> ''),
+terms AS (
+  SELECT docid, lower(tok) AS term
+  FROM nz WHERE NOT regexp_matches(tok, '^\p{{Han}}+$')
+  UNION ALL
+  SELECT docid, substr(tok, CAST(u.i AS INT), 2) AS term
+  FROM nz, unnest(generate_series(1, length(tok) - 1)) u(i)
+  WHERE regexp_matches(tok, '^\p{{Han}}+$') AND length(tok) >= 2
+  UNION ALL
+  SELECT docid, substr(tok, length(tok), 1) AS term
+  FROM nz WHERE regexp_matches(tok, '^\p{{Han}}+$')
+),
+tf AS (
+  SELECT docid, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms GROUP BY docid, term
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS cf,
+       CAST(max(least(tf, 255)) AS INT) AS max_impact
+FROM tf GROUP BY term
+"""
+
+
 def _q_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode every segment back to (term, docid, tf) — proves the
     impact-order + per-group vbyte layout round-trips through storage."""
@@ -4296,7 +4373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg.update(CORPUS_QUERIES)
     reg["docmap"] = _q_docmap
     reg["collection_stats"] = _q_collection_stats
-    reg["term_stats"] = _q_term_stats
+    reg["term_stats"] = _suite_fn(
+        [("corpus", _q_term_stats), ("cjk_bigram", _q_cjk_term_stats)],
+        "mode",
+    )
     reg["postings_roundtrip"] = _q_postings_roundtrip
     # k=10 / k=100 / conjunctive-AND share the result schema — one
     # suite row keeps the registry inside the driver's 50-entry window
@@ -4761,10 +4841,16 @@ WHERE r.rank <= {TOP_K}
     for k in (
         "docmap",
         "collection_stats",
-        "term_stats",
         "postings_roundtrip",
     ):
         reg[k] = parts[k]
+    reg["term_stats"] = _suite_sql(
+        [
+            ("corpus", parts["term_stats"]),
+            ("cjk_bigram", _cjk_term_stats_sql()),
+        ],
+        "mode",
+    )
     reg["bm25_topk"] = _suite_sql(
         [
             ("k10", parts["bm25_topk"]),
