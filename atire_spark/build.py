@@ -628,6 +628,7 @@ def quantized_segments_from_stage1(
     bits: int = DEFAULT_QUANT_BITS,
     registry: list | None = None,
     codec: str = "vbyte",
+    qminmax: tuple[float, float] | None = None,
 ) -> tuple[DataFrame, DataFrame, float, float]:
     # stage1 appears twice in the join DAG (directly and under the
     # stats agg) — persist so it is computed once and served from
@@ -657,18 +658,25 @@ def quantized_segments_from_stage1(
         if np.isfinite(mn):
             yield pd.DataFrame({"mn": [mn], "mx": [mx]})
 
-    mm = (
-        joined.select("tfs", "lens", "df")
-        .mapInPandas(minmax_fn, schema="mn double, mx double")
-        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
-        .collect()[0]
-    )
-    if mm["mn"] is None:
-        # zero postings in the corpus: nothing to quantize; 0/0 keeps
-        # quantize_rsv's degenerate single-score path (impact 1)
-        qmin = qmax = 0.0
+    if qminmax is not None:
+        # precomputed bounds (the checkpointed build computes them in a
+        # separate resumable phase, one chunk of terms at a time — the
+        # min/max is safely decomposable because term chunking keeps
+        # each term's global df inside its chunk)
+        qmin, qmax = qminmax
     else:
-        qmin, qmax = float(mm["mn"]), float(mm["mx"])
+        mm = (
+            joined.select("tfs", "lens", "df")
+            .mapInPandas(minmax_fn, schema="mn double, mx double")
+            .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+            .collect()[0]
+        )
+        if mm["mn"] is None:
+            # zero postings in the corpus: nothing to quantize; 0/0 keeps
+            # quantize_rsv's degenerate single-score path (impact 1)
+            qmin = qmax = 0.0
+        else:
+            qmin, qmax = float(mm["mn"]), float(mm["mx"])
 
     from atire_spark.kernels.segment import build_segments_batch
 
@@ -703,6 +711,44 @@ def quantized_segments_from_stage1(
 
     postings = keyed.mapInPandas(seg_fn, schema=QUANT_POSTINGS_SCHEMA)
     return postings, term_stats, qmin, qmax
+
+
+def quant_minmax_from_stage1(
+    stage1: DataFrame, n_docs: int, mean_doc_len: float
+) -> tuple[float, float] | None:
+    """Collection (min, max) raw rsv over one stage1 slice
+    (rsv_all_nodes, memory_index.c:1570-1580) — None when the slice is
+    empty. Per-term-chunk calls compose by plain min/max because a
+    term chunk contains every posting of its terms (global df stays
+    inside the chunk)."""
+    term_stats = stage1.groupBy("term").agg(F.sum("df_b").alias("df"))
+    joined = stage1.join(term_stats, "term")
+
+    def minmax_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mn, mx = np.inf, -np.inf
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                rsv = raw_rsv(
+                    np.asarray(row.tfs, dtype=np.int64),
+                    np.asarray(row.lens, dtype=np.int64),
+                    int(row.df),
+                    n_docs,
+                    mean_doc_len,
+                )
+                mn = min(mn, float(rsv.min()))
+                mx = max(mx, float(rsv.max()))
+        if np.isfinite(mn):
+            yield pd.DataFrame({"mn": [mn], "mx": [mx]})
+
+    mm = (
+        joined.select("tfs", "lens", "df")
+        .mapInPandas(minmax_fn, schema="mn double, mx double")
+        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+        .collect()[0]
+    )
+    if mm["mn"] is None:
+        return None
+    return float(mm["mn"]), float(mm["mx"])
 
 
 # ---------------------------------------------------------------- build

@@ -36,8 +36,11 @@ from pyspark.sql import functions as F
 
 from atire_spark.build import (
     IndexTables,
+    _stage1,
     assign_docids,
     build_postings,
+    quant_minmax_from_stage1,
+    quantized_segments_from_stage1,
     tokenize_stage,
 )
 
@@ -85,12 +88,21 @@ def build_index_checkpointed(
     n_term_chunks: int = 8,
     block_bits: int = 20,
     blocks_per_seg: int = 4096,
+    quantize_bits: int | str | None = None,
 ) -> IndexTables:
     """Build (or resume building) the index under ``workdir``.
 
     Re-running after a crash skips every (phase, chunk) already logged
     ``ok`` and produces byte-identical postings — chunk membership and
     docid assignment are pure functions of the input.
+
+    ``quantize_bits`` (int or ``"auto"``) adds the -Q pipeline
+    (memory_index.c:1541-1589) as an extra resumable phase: the
+    collection min/max rsv is computed one term chunk at a time
+    (safely decomposable — a term chunk holds every posting of its
+    terms, so its global df stays in-chunk) and persisted, then each
+    postings chunk quantizes against the same fixed bounds, so a
+    resumed build quantizes identically to an uninterrupted one.
     """
     run_id = uuid.uuid4().hex[:12]
     log = _read_log(spark, workdir)
@@ -142,18 +154,83 @@ def build_index_checkpointed(
             ),
         )
 
-    # ---- phase: postings (chunked by term hash) ------------------------
+    # ---- phase: quantminmax (only for -Q; chunked by term hash) --------
     docs = spark.read.parquet(f"{workdir}/docs")
+    n_docs = mean_len = 0
+    if quantize_bits is not None:
+        row = (
+            spark.read.parquet(f"{workdir}/docmap")
+            .agg(F.count("*").alias("n"), F.sum("doc_len").alias("s"))
+            .collect()[0]
+        )
+        n_docs, coll = int(row["n"]), int(row["s"] or 0)
+        mean_len = coll / n_docs if n_docs else 0.0
+        if quantize_bits == "auto":
+            # memory_index.c:1553-1556 (Crane/Trotman/O'Keefe CIKM'13)
+            import math
+
+            quantize_bits = int(5.4 + 5.4e-4 * math.sqrt(n_docs))
+        log = _read_log(spark, workdir)
+        done = _done(log, "quantminmax")
+        for chunk in range(n_term_chunks):
+            if chunk in done:
+                continue
+            t0 = time.monotonic()
+            s1 = _stage1(
+                docs,
+                block_bits,
+                lambda c, n=n_term_chunks, k=chunk: F.pmod(
+                    F.xxhash64(c), F.lit(n)
+                )
+                == k,
+            )
+            mm = quant_minmax_from_stage1(s1, n_docs, mean_len)
+            spark.createDataFrame(
+                [mm] if mm is not None else [], "mn double, mx double"
+            ).write.mode("overwrite").parquet(f"{workdir}/quant/chunk={chunk}")
+            _append_log(
+                spark,
+                workdir,
+                dict(
+                    phase="quantminmax",
+                    chunk=chunk,
+                    status="ok",
+                    wall_sec=time.monotonic() - t0,
+                    run_id=run_id,
+                ),
+            )
+        mrow = (
+            spark.read.parquet(f"{workdir}/quant")
+            .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+            .collect()[0]
+        )
+        qmin = float(mrow["mn"]) if mrow["mn"] is not None else 0.0
+        qmax = float(mrow["mx"]) if mrow["mx"] is not None else 0.0
+
+    # ---- phase: postings (chunked by term hash) ------------------------
     log = _read_log(spark, workdir)
     done = _done(log, "postings")
     for chunk in range(n_term_chunks):
         if chunk in done:
             continue
         t0 = time.monotonic()
-        postings, _ = build_postings(
-            docs, block_bits=block_bits, blocks_per_seg=blocks_per_seg,
-            term_filter=(lambda c, n=n_term_chunks, k=chunk: F.pmod(F.xxhash64(c), F.lit(n)) == k),
+        tf = lambda c, n=n_term_chunks, k=chunk: (
+            F.pmod(F.xxhash64(c), F.lit(n)) == k
         )
+        if quantize_bits is not None:
+            postings, _ts, _mn, _mx = quantized_segments_from_stage1(
+                _stage1(docs, block_bits, tf),
+                n_docs,
+                mean_len,
+                blocks_per_seg,
+                quantize_bits,
+                qminmax=(qmin, qmax),
+            )
+        else:
+            postings, _ = build_postings(
+                docs, block_bits=block_bits, blocks_per_seg=blocks_per_seg,
+                term_filter=tf,
+            )
         postings.write.mode("overwrite").parquet(f"{workdir}/postings/chunk={chunk}")
         m = (
             spark.read.parquet(f"{workdir}/postings/chunk={chunk}")
@@ -183,13 +260,31 @@ def build_index_checkpointed(
         t0 = time.monotonic()
         postings_all = spark.read.parquet(f"{workdir}/postings")
         docmap = spark.read.parquet(f"{workdir}/docmap")
-        stats = docmap.agg(
-            F.count("*").alias("documents"),
-            F.sum("doc_len").alias("collection_len"),
-            (F.sum("doc_len") / F.count("*")).alias("mean_doc_len"),
-        ).crossJoin(
-            postings_all.select("term").distinct().agg(
-                F.count("*").alias("unique_terms")
+        stats = (
+            docmap.agg(
+                F.count("*").alias("documents"),
+                F.sum("doc_len").alias("collection_len"),
+                (F.sum("doc_len") / F.count("*")).alias("mean_doc_len"),
+            )
+            .crossJoin(
+                postings_all.select("term").distinct().agg(
+                    F.count("*").alias("unique_terms")
+                )
+            )
+            .select(
+                "*",
+                F.lit(1 if quantize_bits is not None else 0).alias(
+                    "quantized"
+                ),
+                F.lit(int(quantize_bits or 0)).alias("quant_bits"),
+                F.lit(qmin if quantize_bits is not None else 0.0).alias(
+                    "quant_min"
+                ),
+                F.lit(qmax if quantize_bits is not None else 0.0).alias(
+                    "quant_max"
+                ),
+                F.lit("").alias("stemmer"),
+                F.lit("vbyte").alias("codec"),
             )
         )
         stats.write.mode("overwrite").parquet(f"{workdir}/stats")

@@ -31,6 +31,14 @@ def main() -> None:
     ap.add_argument("--block-bits", type=int, default=20)
     ap.add_argument("--blocks-per-seg", type=int, default=16)
     ap.add_argument(
+        "--quantize-bits",
+        metavar="N|auto",
+        help="the reference's -Q: quantize each posting's BM25 rsv "
+        "into N bits (or 'auto' = memory_index.c:1553-1556); runs as "
+        "an extra resumable phase, enables --qaat/--wand early "
+        "termination in cli_search",
+    )
+    ap.add_argument(
         "--topsig",
         metavar="W:D",
         help="also build a TopSig signature index of width W bits and "
@@ -60,6 +68,15 @@ def main() -> None:
         n_term_chunks=args.term_chunks,
         block_bits=args.block_bits,
         blocks_per_seg=args.blocks_per_seg,
+        quantize_bits=(
+            None
+            if args.quantize_bits is None
+            else (
+                "auto"
+                if args.quantize_bits == "auto"
+                else int(args.quantize_bits)
+            )
+        ),
     )
     wall = time.monotonic() - t0
     topsig_info = None

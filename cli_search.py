@@ -40,6 +40,13 @@ def main() -> None:
         help="quantum-at-a-time with block-max DIFF early termination "
         "(quantized index; resets to exact on unquantized)",
     )
+    ap.add_argument(
+        "--wand",
+        action="store_true",
+        help="exact block-max WAND: metadata-pass threshold + segment "
+        "pivot test, rank-identical to the default path "
+        "(quantized index)",
+    )
     ap.add_argument("--trec", action="store_true", help="TREC run-file output")
     ap.add_argument(
         "--assess",
@@ -97,6 +104,8 @@ def main() -> None:
         res = eng.search_boolean(batch, k=args.k)
     elif args.qaat:
         res = eng.search_qaat(batch, k=args.k, early_termination="diff")
+    elif args.wand:
+        res = eng.search_wand(batch, k=args.k)
     else:
         res = eng.search_batch(
             batch, k=args.k, ranker=args.ranker, conjunctive=args.conjunctive

@@ -94,3 +94,43 @@ def test_resume_skips_done_chunks_and_is_identical(spark, workdir, monkeypatch):
     want = oracle.search("alpha", k=10)
     assert list(got["docid"]) == list(want["docid"])
     assert list(got["rsv_fixed"]) == list(want["rsv_fixed"])
+
+
+def test_checkpointed_quantized_matches_direct(spark, workdir):
+    """-Q through the resumable path: the chunked min/max phase must
+    compose to the same global bounds the direct build computes, so
+    the quantized postings bytes — and every downstream ranking —
+    are identical."""
+    pdf = make_transcripts("tiny")
+    tdf = spark.createDataFrame(pdf)
+    tables = build_index_checkpointed(
+        spark, tdf, workdir, n_chunks=2, n_term_chunks=2, block_bits=5,
+        blocks_per_seg=2, quantize_bits=8,
+    )
+    direct = build_index(spark, tdf, block_bits=5, blocks_per_seg=2, quantize_bits=8)
+
+    srow = tables.stats.collect()[0].asDict()
+    drow = direct.stats.collect()[0].asDict()
+    assert srow["quantized"] == 1 and srow["quant_bits"] == 8
+    assert srow["quant_min"] == pytest.approx(drow["quant_min"])
+    assert srow["quant_max"] == pytest.approx(drow["quant_max"])
+
+    a = (
+        tables.postings.select("term", "seg_group", "postings")
+        .orderBy("term", "seg_group")
+        .toPandas()
+    )
+    b = (
+        direct.postings.select("term", "seg_group", "postings")
+        .orderBy("term", "seg_group")
+        .toPandas()
+    )
+    assert list(a["postings"]) == list(b["postings"])
+
+    # the quantized engine paths (QaaT / WAND need is_quantized) see it
+    eng = SearchEngine(spark, tables)
+    assert eng.quantized and eng.quant_bits == 8
+    got = eng.search_wand([(1, "alpha")], k=5).toPandas()
+    want = SearchEngine(spark, direct).search_batch([(1, "alpha")], k=5).toPandas()
+    assert list(got.docid) == list(want.docid)
+    assert list(got.rsv_fixed) == list(want.rsv_fixed)
