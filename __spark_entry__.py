@@ -1437,6 +1437,105 @@ def _q_snippet_kl_cloud(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_snippet_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from atire_spark.snippets import snippet_first_tag
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return snippet_first_tag(
+        docs.select("doc_id", "source", "text"), SNIPPET_LEN
+    )
+
+
+def _q_snippet_best_tag(weighted: bool):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from atire_spark.snippets import snippet_best_tag, tficf_weights
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if weighted:
+            eng = _engine(spark, sf_dir)
+            wts = tficf_weights(
+                SNIPPET_TERMS,
+                eng.postings.select("term", "cf"),
+                eng.collection_len,
+            )
+        else:
+            wts = {t: 1.0 for t in SNIPPET_TERMS}
+        return snippet_best_tag(
+            docs.select("doc_id", "source", "text"), wts, SNIPPET_LEN
+        )
+
+    return fn
+
+
+def _snippet_title_sql() -> str:
+    """Closed form of the tag scan over the deterministic rendering:
+    content-after-first-<title> with tags stripped is exactly
+    source ⊕ text, whitespace-normalized (the corpus text contains no
+    '<'), truncated."""
+    return f"""
+WITH {_CORPUS_CTE}
+SELECT doc_id,
+       substr(trim(regexp_replace(source || ' ' || text, '\\s+', ' ', 'g')),
+              1, {SNIPPET_LEN}) AS snippet
+FROM documents
+"""
+
+
+def _snippet_best_tag_sql(weights_expr: str) -> str:
+    from atire_spark.snippets import TAG_TOKENS
+
+    return f"""
+WITH {_CORPUS_CTE},
+tokpos AS (
+  SELECT doc_id, unnest(tl) AS term, unnest(range(0, len(tl))) AS pos
+  FROM (
+    SELECT doc_id,
+           regexp_extract_all(lower(text), '[a-z]+|[0-9]+') AS tl
+    FROM documents
+  )
+),
+weighted AS (
+  SELECT t.doc_id, t.pos, t.pos // {TAG_TOKENS} AS para, t.term,
+         {weights_expr} AS weight
+  FROM tokpos t
+),
+pscore AS (
+  SELECT doc_id, para, round(sum(weight), 9) AS score
+  FROM weighted
+  GROUP BY doc_id, para
+),
+best AS (
+  SELECT doc_id, para AS start, score FROM (
+    SELECT doc_id, para, score,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, para ASC
+           ) AS rn
+    FROM pscore
+  ) WHERE rn = 1 AND score > 0
+),
+won AS (
+  SELECT b.doc_id, b.start, b.score,
+         substr(string_agg(t.term, ' ' ORDER BY t.pos), 1,
+                {SNIPPET_LEN}) AS snippet
+  FROM best b JOIN tokpos t USING (doc_id)
+  WHERE t.pos // {TAG_TOKENS} >= b.start
+  GROUP BY b.doc_id, b.start, b.score
+)
+SELECT doc_id, CAST(start AS BIGINT) AS start, score, snippet FROM won
+UNION ALL
+SELECT d.doc_id, CAST(0 AS BIGINT) AS start, 0.0 AS score,
+       substr(d.source || CASE WHEN j.body IS NULL OR j.body = ''
+                               THEN '' ELSE ' ' || j.body END,
+              1, {SNIPPET_LEN}) AS snippet
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS body
+  FROM tokpos GROUP BY doc_id
+) j USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM best)
+"""
+
+
 def _snippet_window_sql(weights_expr: str) -> str:
     """Shared window-snippet oracle: parallel-unnest token positions,
     windowed weight sum, earliest-best window, tokens re-joined."""
@@ -3159,7 +3258,31 @@ def _q_snippets_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         zd,
         F.col("cloud").alias("snippet"),
     )
-    return b.unionByName(wtf).unionByName(wtficf).unionByName(cloud)
+    title = _q_snippet_title(spark, sf_dir).select(
+        F.lit("title_tag").alias("method"), "doc_id", zl, zd, "snippet"
+    )
+    bt = _q_snippet_best_tag(True)(spark, sf_dir).select(
+        F.lit("best_tag_tficf").alias("method"),
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.col("score").cast("double").alias("score"),
+        "snippet",
+    )
+    bttf = _q_snippet_best_tag(False)(spark, sf_dir).select(
+        F.lit("best_tag_tf").alias("method"),
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.col("score").cast("double").alias("score"),
+        "snippet",
+    )
+    return (
+        b.unionByName(wtf)
+        .unionByName(wtficf)
+        .unionByName(cloud)
+        .unionByName(title)
+        .unionByName(bt)
+        .unionByName(bttf)
+    )
 
 
 def _snippets_suite_sql(parts: dict[str, str]) -> str:
@@ -3169,6 +3292,9 @@ def _snippets_suite_sql(parts: dict[str, str]) -> str:
         ("window_tf", "snippet_window_tf", "snippet", True),
         ("window_tficf", "snippet_window_tficf", "snippet", True),
         ("kl_cloud", "snippet_kl_cloud", "cloud", False),
+        ("title_tag", "snippet_title", "snippet", False),
+        ("best_tag_tficf", "snippet_best_tag_tficf", "snippet", True),
+        ("best_tag_tf", "snippet_best_tag_tf", "snippet", True),
     ]:
         start = 'CAST("start" AS BIGINT)' if has_win else "CAST(0 AS BIGINT)"
         score = "CAST(score AS DOUBLE)" if has_win else "CAST(0.0 AS DOUBLE)"
@@ -4548,6 +4674,20 @@ FROM documents
             " ELSE 0.0 END"
         ),
         "snippet_kl_cloud": _snippet_kl_cloud_sql(),
+        "snippet_title": _snippet_title_sql(),
+        "snippet_best_tag_tficf": _snippet_best_tag_sql(
+            "CASE WHEN t.term IN ("
+            + ", ".join(f"'{t}'" for t in SNIPPET_TERMS)
+            + ") THEN ln(CAST((SELECT coll_len FROM stats) AS DOUBLE)"
+            " / CAST((SELECT cf FROM termstats"
+            "         WHERE termstats.term = t.term) AS DOUBLE))"
+            " ELSE 0.0 END"
+        ),
+        "snippet_best_tag_tf": _snippet_best_tag_sql(
+            "CASE WHEN t.term IN ("
+            + ", ".join(f"'{t}'" for t in SNIPPET_TERMS)
+            + ") THEN 1.0 ELSE 0.0 END"
+        ),
         # two-stage rerank over the top-k in-memory subcollection
         # (atire_api.c:1716-1767)
         "bm25_rerank_topk": _rerank_sql(TOP_K, RERANK_FPK),

@@ -1,13 +1,14 @@
 """Snippet generation — result-page text extracts.
 
 Re-expression of the reference's snippet makers
-(/root/reference/source/snippet_factory.c:19-46; seven algorithms).
-For a plain-text transcripts corpus the tag-anchored variants
-(SNIPPET_TITLE, first-<tag>, best-tag) have no anchor, leaving four
-meaningful algorithms, all implemented here as pure DataFrame
-pipelines over the whole corpus at once (the reference generates one
-snippet per displayed result; a Spark engine snippets millions of
-rows per pass):
+(/root/reference/source/snippet_factory.c:19-46) — all SEVEN
+algorithms, as pure DataFrame pipelines over the whole corpus at once
+(the reference generates one snippet per displayed result; a Spark
+engine snippets millions of rows per pass). The transcripts corpus is
+untagged, so the three tag-anchored variants (SNIPPET_TITLE,
+SNIPPET_BEST_TFICF_TAG, SNIPPET_BEST_TF_TAG — at the bottom of this
+module) run over the same deterministic tagged rendering the INEX
+focusing module uses; the other four:
 
 - ``snippet_beginning``  (snippet_beginning.c): the document's opening
   text, whitespace-deduplicated, first N characters;
@@ -196,3 +197,165 @@ def snippet_kl_cloud(
             ),
         ).alias("cloud")
     )
+
+
+# -------------------------------------------------- tag-anchored trio
+TAG_TOKENS = 8  # focus.tag_document's paragraph width — shared rendering
+
+
+def snippet_first_tag(docs: DataFrame, length: int = 80) -> DataFrame:
+    """SNIPPET_TITLE (snippet_tag.c:33-76 ``get_snippet``): the snippet
+    begins at the *contents* of the first occurrence of the anchor
+    tag; XML_to_text then runs to the document end and the first
+    ``length`` characters are kept, duplicate spaces stripped.
+
+    The transcripts corpus is untagged, so documents pass through the
+    same deterministic tagged rendering INEX focusing uses
+    (focus.tag_document), extended with a ``<title>`` element carrying
+    the document's source label:
+    ``<doc><title>{source}</title><p>{text}</p></doc>``. The
+    scan-for-tag → strip-tags → truncate machinery runs literally
+    (locate + regexp over the rendered string), so a natively tagged
+    corpus works unchanged; only the rendering is synthetic.
+    """
+    t = docs.withColumn(
+        "tagged",
+        F.concat(
+            F.lit("<doc><title>"),
+            F.col("source"),
+            F.lit("</title><p>"),
+            F.col("text"),
+            F.lit("</p></doc>"),
+        ),
+    )
+    return t.select(
+        "doc_id",
+        F.substring(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.expr(
+                            "substring(tagged,"
+                            " locate('<title>', tagged) + 7)"
+                        ),
+                        r"<[^>]*>",
+                        " ",
+                    ),
+                    r"\s+",
+                    " ",
+                )
+            ),
+            1,
+            length,
+        ).alias("snippet"),
+    )
+
+
+def snippet_best_tag(
+    docs: DataFrame,
+    term_weights: dict[str, float],
+    length: int = 80,
+    tag_tokens: int = TAG_TOKENS,
+) -> DataFrame:
+    """SNIPPET_BEST_TFICF_TAG / SNIPPET_BEST_TF_TAG
+    (snippet_best_tag.c:25-115; the _tf variant is the same scan with
+    hit weight 1, snippet_best_tag_tf.h): every instance of the anchor
+    tag is scored by the summed hit weight of the query terms inside
+    it; the instance with the strictly highest score wins
+    (``score > best_score`` — ties go to the earliest instance, and
+    ``best_score`` starts at 0 so a hitless document keeps
+    ``best_start = document`` head, title included); the snippet is
+    XML_to_text from the winner to the document end, truncated.
+
+    Rendering adaptation (shared with focusing/window snippets):
+    paragraph instances are tag_document's deterministic
+    ``tag_tokens``-token chunks, so "inside the i-th tag" = token
+    positions [i·w, (i+1)·w); the snippet is token-joined text
+    (the module's documented unit-of-width adaptation).
+
+    Returns (doc_id, start = winning paragraph index, score, snippet);
+    hitless documents emit (0, 0.0, head-of-document snippet).
+    """
+    spark = docs.sparkSession
+    toks = _token_positions(docs, TOKEN_RE_SQL).withColumn(
+        "para", (F.col("pos") / F.lit(tag_tokens)).cast("long")
+    )
+    wts = spark.createDataFrame(
+        [(t, float(w)) for t, w in term_weights.items()],
+        "term string, weight double",
+    )
+    scores = (
+        toks.join(F.broadcast(wts), "term")
+        .groupBy("doc_id", "para")
+        .agg(F.round(F.sum("weight"), 9).alias("score"))
+    )
+    best = (
+        scores.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("score").desc(), F.col("para").asc()
+                )
+            ),
+        )
+        .filter((F.col("rn") == 1) & (F.col("score") > 0))
+        .select("doc_id", F.col("para").alias("start"), "score")
+    )
+    joined_from = (
+        toks.join(best, "doc_id")
+        .filter(F.col("para") >= F.col("start"))
+        .groupBy("doc_id", "start", "score")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("term")))
+                    ),
+                    lambda x: x.term,
+                ),
+            ).alias("body")
+        )
+        .select(
+            "doc_id",
+            "start",
+            "score",
+            F.substring("body", 1, length).alias("snippet"),
+        )
+    )
+    # hitless fallback: best_start = the document head of the tagged
+    # rendering — title (source) then every paragraph
+    fallback = (
+        docs.join(best.select("doc_id"), "doc_id", "left_anti")
+        .join(
+            toks.groupBy("doc_id").agg(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("pos"), F.col("term"))
+                            )
+                        ),
+                        lambda x: x.term,
+                    ),
+                ).alias("body")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.lit(0).cast("long").alias("start"),
+            F.lit(0.0).alias("score"),
+            F.substring(
+                F.when(
+                    F.coalesce(F.col("body"), F.lit("")) == "",
+                    F.col("source"),
+                ).otherwise(F.concat_ws(" ", "source", "body")),
+                1,
+                length,
+            ).alias("snippet"),
+        )
+    )
+    return joined_from.unionByName(fallback)
