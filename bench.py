@@ -68,7 +68,7 @@ def main() -> None:
         # stage the corpus to parquet first: the deployment input is a
         # table on storage; a driver-parallelized frame would re-ship
         # rows from the driver on every scan (fake serial cost)
-        spark.createDataFrame(pdf).repartition(cpus).write.parquet(
+        spark.createDataFrame(pdf).repartition(4 * cpus).write.parquet(
             f"{tmp}/input"
         )
         tdf = spark.read.parquet(f"{tmp}/input")

@@ -51,14 +51,15 @@ def worker(cpus: int, n_convs: int, mode: str) -> None:
         # cores for EVERYTHING, which is what affinity reproduces.
         os.sched_setaffinity(0, set(range(cpus)))
     if mode == "executors":
-        # N separate executor JVMs x 8 cores each — the faithful
-        # "N vs 4N executors" simulation (each executor has its own
-        # heap and garbage collector, like a real cluster node)
-        n_exec = cpus // 8
+        # N separate executor JVMs x SPARK_GRAFT_SCALE_EXEC_CORES each
+        # — the faithful "N vs 4N executors" simulation (each executor
+        # has its own heap and garbage collector, like a cluster node)
+        exec_cores = int(os.environ.get("SPARK_GRAFT_SCALE_EXEC_CORES", "8"))
+        n_exec = cpus // exec_cores
         spark = get_spark(
             cpus=cpus,
-            app=f"scale{n_exec}x8",
-            master=f"local-cluster[{n_exec},8,8192]",
+            app=f"scale{n_exec}x{exec_cores}",
+            master=f"local-cluster[{n_exec},{exec_cores},8192]",
             extra_conf={
                 "spark.executor.memory": "7g",
                 # executor JVMs are fresh processes: ship the package
@@ -72,7 +73,11 @@ def worker(cpus: int, n_convs: int, mode: str) -> None:
         spark = get_spark(cpus=cpus, app=f"scale{cpus}")
     pdf = make_transcripts_bench(n_convs)
     with tempfile.TemporaryDirectory() as tmp:
-        spark.createDataFrame(pdf).repartition(max(cpus, 8)).write.parquet(
+        # FIXED input layout (32 files) for every leg: the input table's
+        # file count is a property of the data, not of the cluster being
+        # measured — per-leg layouts would hand the bigger leg a
+        # differently-shaped scan and bias the ratio
+        spark.createDataFrame(pdf).repartition(32).write.parquet(
             f"{tmp}/input"
         )
         tdf = spark.read.parquet(f"{tmp}/input")

@@ -153,3 +153,90 @@ def test_parse_gif_and_wav_headers():
     bufs = _synth_av_payloads([4, 9])
     assert parse_media_header(bufs[0]) == ("gif", 16 + 4, 16 + 28, 3)
     assert parse_wav_header(bufs[1]) == (8000 * 5, 100 + 9, 2)
+
+
+def test_trec_source(spark, tmp_path):
+    from atire_spark.sources import read_trec
+
+    (tmp_path / "part1.xml").write_text(
+        "<DOC>\n<DOCNO> WSJ870324-0001 </DOCNO>\n"
+        "alpha bravo charlie\n</DOC>\n"
+        "<DOC>\n<DOCNO>WSJ870324-0002</DOCNO>\ndelta echo\n</DOC>\n"
+    )
+    (tmp_path / "part2.xml").write_text(
+        "<DOC><DOCNO>D3</DOCNO>foxtrot golf</DOC>trailing junk"
+    )
+    df = read_trec(spark, str(tmp_path / "*.xml")).orderBy("conv_id")
+    rows = [(r.conv_id, r.turn_idx, r.text) for r in df.collect()]
+    assert rows == [
+        ("D3", 0, "foxtrot golf"),
+        ("WSJ870324-0001", 0, "alpha bravo charlie"),
+        ("WSJ870324-0002", 0, "delta echo"),
+    ]
+    # feeds the standard build unchanged
+    from atire_spark.build import build_index
+
+    idx = build_index(spark, df)
+    assert idx.docmap.count() == 3
+
+
+def test_warc_source(spark, tmp_path):
+    from atire_spark.sources import read_warc
+
+    rec = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Record-ID: <urn:uuid:abc-1>\r\n"
+        "WARC-Target-URI: http://example.com/a\r\n"
+        "\r\n"
+        "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        "\r\n"
+        "hello warc world"
+    )
+    skip = (
+        "WARC/1.0\r\n"
+        "WARC-Type: request\r\n"
+        "WARC-Record-ID: <urn:uuid:abc-2>\r\n"
+        "\r\n"
+        "GET / HTTP/1.1"
+    )
+    resource = (
+        "WARC/1.0\r\n"
+        "WARC-Type: resource\r\n"
+        "WARC-Record-ID: <urn:uuid:abc-3>\r\n"
+        "\r\n"
+        "plain resource payload"
+    )
+    (tmp_path / "f.warc").write_text(rec + skip + resource)
+    df = read_warc(spark, str(tmp_path / "f.warc")).orderBy("conv_id")
+    rows = [(r.conv_id, r.text) for r in df.collect()]
+    assert rows == [
+        ("<urn:uuid:abc-1>", "hello warc world"),
+        ("<urn:uuid:abc-3>", "plain resource payload"),
+    ]
+
+
+def test_tar_and_pkzip_sources(spark, tmp_path):
+    import tarfile
+    import zipfile
+
+    from atire_spark.sources import read_pkzip, read_tar
+
+    tar_path = tmp_path / "docs.tar.gz"
+    with tarfile.open(tar_path, "w:gz") as tf:
+        for name, body in [("a.txt", "alpha text"), ("sub/b.txt", "bravo text")]:
+            data = body.encode()
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, __import__("io").BytesIO(data))
+    tdf = read_tar(spark, str(tar_path)).orderBy("conv_id")
+    assert [r.text for r in tdf.collect()] == ["alpha text", "bravo text"]
+    assert all(r.conv_id.endswith((".txt",)) for r in tdf.collect())
+
+    zip_path = tmp_path / "docs.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        zf.writestr("x.txt", "xray text")
+        zf.writestr("dir/", "")
+        zf.writestr("y.txt", "yankee text")
+    zdf = read_pkzip(spark, str(zip_path)).orderBy("conv_id")
+    assert [r.text for r in zdf.collect()] == ["xray text", "yankee text"]
