@@ -1,0 +1,169 @@
+"""Index merge — the reference's ``atire_merge`` binary re-expressed.
+
+ATIRE's recipe for collections too large for one indexing pass is
+"index the parts separately, then merge" (reference README.md:78-93;
+``atire_merge`` walks the part dictionaries in term order,
+concatenates each term's postings with a docid offset and re-serialises,
+atire/atire_merge.c:563-930). Here :func:`merge_indexes` merges two
+independently built indexes (both docid-0-based) into one:
+
+- the right index's docids shift by the left's document count (the
+  merge offset, atire_merge.c's ``docid_offset``);
+- its segments are decoded, re-blocked against the shifted docids and
+  re-serialised through the SAME vectorized segment builder the batch
+  build uses — one shuffle of B's postings, A's segments are reused
+  byte-for-byte (the scale path never rewrites the big side);
+- a term's merged postings simply coexist as multiple segment rows —
+  the query side already unions a term's segments (stop-term
+  splitting and streaming appends rely on the same property), so no
+  per-term concat pass is needed beyond the block rebuild;
+- global df/cf are re-aggregated from the segment stats
+  (metadata-sized) and joined back, exactly like the batch build.
+
+Like the reference, merging requires compatible indexes: both
+unquantized (``-Q`` bakes collection-wide bounds a merge would
+invalidate — the reference re-quantises at merge time via its own
+serialise settings; rebuild with -Q instead), same codec, same
+stemmer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from atire_spark.build import (
+    STAGE1_SCHEMA,
+    IndexTables,
+    segments_from_stage1,
+)
+from atire_spark.kernels.impact import decode_segment
+
+
+def _stats_row(tables: IndexTables) -> dict:
+    return tables.stats.collect()[0].asDict()
+
+
+def merge_indexes(
+    spark: SparkSession,
+    a: IndexTables,
+    b: IndexTables,
+    block_bits: int = 20,
+    blocks_per_seg: int = 16,
+) -> IndexTables:
+    """Merge two independently built indexes; ``b``'s docids follow
+    ``a``'s (docid offset = a.documents). ``block_bits`` /
+    ``blocks_per_seg`` are the serialise-side geometry for the
+    re-blocked right side (the reference's merge likewise re-serialises
+    with its own parameter block); the left side's segments are kept
+    as-is — mixed geometries are safe because every path keys
+    accumulation by docid and derives a group's docid span from the
+    segment rows themselves."""
+    sa, sb = _stats_row(a), _stats_row(b)
+    for name, row in (("left", sa), ("right", sb)):
+        if int(row.get("quantized", 0) or 0):
+            raise ValueError(
+                f"cannot merge a quantized {name} index: -Q bakes "
+                "collection-wide bounds; rebuild the merged collection "
+                "with -Q instead (reference re-quantises at merge time)"
+            )
+    codec_a = sa.get("codec") or "vbyte"
+    codec_b = sb.get("codec") or "vbyte"
+    if codec_a != codec_b:
+        raise ValueError(f"codec mismatch: {codec_a!r} vs {codec_b!r}")
+    stem_a, stem_b = sa.get("stemmer") or "", sb.get("stemmer") or ""
+    if stem_a != stem_b:
+        raise ValueError(
+            f"~stemmer mismatch: {stem_a!r} vs {stem_b!r} — the merged "
+            "index would silently miss terms on one side"
+        )
+
+    n_a = int(sa["documents"])
+    n_b = int(sb["documents"])
+    coll = int(sa["collection_len"]) + int(sb["collection_len"])
+    n_docs = n_a + n_b
+
+    docmap = a.docmap.unionByName(
+        b.docmap.withColumn(
+            "docid", (F.col("docid") + F.lit(n_a)).cast("long")
+        )
+    )
+
+    codec = codec_a
+
+    def reblock(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for row in pdf.itertuples(index=False):
+                d, t, l = decode_segment(
+                    np.asarray(row.impacts),
+                    np.asarray(row.doc_counts),
+                    row.postings,
+                    row.doc_lens,
+                    codec=codec,
+                    byte_offsets=np.asarray(row.byte_offsets, dtype=np.int64),
+                )
+                d = d.astype(np.int64) + n_a
+                order = np.argsort(d, kind="stable")
+                d, t = d[order], t[order]
+                l = l[order]
+                blocks = d >> block_bits
+                cut = np.flatnonzero(np.diff(blocks)) + 1
+                for s, e in zip(
+                    np.concatenate(([0], cut)),
+                    np.concatenate((cut, [d.size])),
+                ):
+                    rows.append(
+                        (
+                            row.term,
+                            int(blocks[s]),
+                            d[s:e].tolist(),
+                            t[s:e].astype(np.int32).tolist(),
+                            l[s:e].tolist(),
+                            int(e - s),
+                            int(t[s:e].sum()),
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "term", "block", "docids", "tfs", "lens",
+                        "df_b", "cf_b",
+                    ],
+                )
+
+    stage1_b = b.postings.mapInPandas(reblock, schema=STAGE1_SCHEMA)
+    registry: list = []
+    b_segs, _ = segments_from_stage1(
+        stage1_b, blocks_per_seg, registry=registry, codec=codec
+    )
+
+    seg_cols = [c for c in a.postings.columns if c not in ("df", "cf")]
+    all_segs = a.postings.select(seg_cols).unionByName(
+        b_segs.select(seg_cols)
+    )
+    term_stats = all_segs.groupBy("term").agg(
+        F.sum("seg_df").alias("df"), F.sum("seg_cf").alias("cf")
+    )
+    postings = all_segs.join(term_stats, "term")
+
+    stats = term_stats.agg(F.count("*").alias("unique_terms")).select(
+        F.lit(n_docs).cast("long").alias("documents"),
+        F.lit(coll).cast("long").alias("collection_len"),
+        F.lit(coll / n_docs if n_docs else 0.0).alias("mean_doc_len"),
+        "unique_terms",
+        F.lit(0).alias("quantized"),
+        F.lit(0).alias("quant_bits"),
+        F.lit(0.0).alias("quant_min"),
+        F.lit(0.0).alias("quant_max"),
+        F.lit(stem_a).alias("stemmer"),
+        F.lit(codec).alias("codec"),
+    )
+    return IndexTables(
+        docmap=docmap, postings=postings, stats=stats, cached=registry
+    )

@@ -1,0 +1,75 @@
+"""atire_merge analogue: merging two independently built indexes must
+rank exactly like one build over the concatenated collection."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from atire_spark.build import build_index
+from atire_spark.merge import merge_indexes
+from atire_spark.query import SearchEngine
+from atire_spark.synth import make_transcripts
+
+
+@pytest.fixture(scope="module")
+def parts(spark):
+    pdf = make_transcripts(160)
+    # part conv_ids of the left half sort before the right half, so
+    # "merge left+right" and "build over the whole frame" assign the
+    # SAME docids (input order = (conv_id, turn_idx) order)
+    convs = sorted(pdf["conv_id"].unique())
+    half = convs[len(convs) // 2]
+    left = pdf[pdf["conv_id"] < half]
+    right = pdf[pdf["conv_id"] >= half]
+    return pdf, left, right
+
+
+BATCH = [(1, "alpha"), (2, "term00001 term00002"), (3, "zzznotaterm")]
+
+
+class TestMergeIndexes:
+    def test_rank_identical_to_monolithic_build(self, spark, parts):
+        pdf, left, right = parts
+        a = build_index(spark, spark.createDataFrame(left), block_bits=7)
+        b = build_index(spark, spark.createDataFrame(right), block_bits=7)
+        merged = merge_indexes(
+            spark, a, b, block_bits=7, blocks_per_seg=2
+        )
+        mono = build_index(spark, spark.createDataFrame(pdf), block_bits=7)
+
+        # identical docmap (docid offsets line up with input order)
+        got = merged.docmap.orderBy("docid").toPandas()
+        want = mono.docmap.orderBy("docid").toPandas()
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+        # identical global term stats
+        gs = (
+            merged.postings.select("term", "df", "cf").distinct()
+            .orderBy("term").toPandas()
+        )
+        ws = (
+            mono.postings.select("term", "df", "cf").distinct()
+            .orderBy("term").toPandas()
+        )
+        assert gs.equals(ws)
+
+        # rank-identical retrieval
+        em = SearchEngine(spark, merged)
+        eo = SearchEngine(spark, mono)
+        rm = em.search_batch(BATCH, k=15).toPandas()
+        ro = eo.search_batch(BATCH, k=15).toPandas()
+        cols = ["query_id", "rank", "docid", "rsv_fixed"]
+        assert rm[cols].values.tolist() == ro[cols].values.tolist()
+
+    def test_incompatible_indexes_rejected(self, spark, parts):
+        _, left, right = parts
+        a = build_index(spark, spark.createDataFrame(left))
+        bq = build_index(
+            spark, spark.createDataFrame(right), quantize_bits=8
+        )
+        with pytest.raises(ValueError, match="quantized"):
+            merge_indexes(spark, a, bq)
+        bs = build_index(
+            spark, spark.createDataFrame(right), stemmer="porter"
+        )
+        with pytest.raises(ValueError, match="stemmer"):
+            merge_indexes(spark, a, bs)
