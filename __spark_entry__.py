@@ -194,6 +194,43 @@ def _q_bm25_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
 
 
+def _merged_engine(spark: SparkSession, sf_dir: str):
+    """Index produced by atire_merge's recipe (README.md:78-86): build
+    the two halves of the corpus as INDEPENDENT 0-based indexes, then
+    merge_indexes shifts the right side's docids and re-serialises its
+    segments. The halves split on the (conv_id, turn_idx) sort order,
+    so merged docids coincide with the monolithic build's and the SAME
+    batch BM25 oracle certifies the whole merge path (docid offset,
+    re-blocking, df/cf re-aggregation)."""
+    key = sf_dir.rstrip("/") + "#merged"
+    if key not in _INDEX_CACHE:
+        import tempfile
+
+        from atire_spark.build import build_index, load_index, write_index
+        from atire_spark.merge import merge_indexes
+        from atire_spark.query import SearchEngine
+
+        t = _transcripts(spark, sf_dir)
+        med = t.select(
+            F.expr(
+                "percentile_approx(CAST(substr(conv_id, 5) AS LONG), 0.5, 10000)"
+            )
+        ).collect()[0][0]
+        cond = F.expr(f"CAST(substr(conv_id, 5) AS LONG) <= {int(med)}")
+        a = build_index(spark, t.filter(cond))
+        b = build_index(spark, t.filter(~cond))
+        merged = merge_indexes(spark, a, b)
+        idx_dir = tempfile.mkdtemp(prefix="atire_entry_merged_")
+        write_index(merged, idx_dir)
+        _INDEX_CACHE[key] = SearchEngine(spark, load_index(spark, idx_dir))
+    return _INDEX_CACHE[key]
+
+
+def _q_bm25_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _merged_engine(spark, sf_dir)
+    return eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
+
+
 def _simple9_engine(spark: SparkSession, sf_dir: str):
     """Index with Simple-9 posting compression (the reference's -cs
     codec, compress_simple9.c) instead of the default vbyte — same
@@ -4511,6 +4548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("k10", _q_bm25),
             ("k100", _q_bm25_k100),
             ("conjunctive", _q_bm25_conjunctive),
+            ("merged", _q_bm25_merged),
         ],
         "mode",
     )
@@ -4996,6 +5034,9 @@ WHERE r.rank <= {TOP_K}
             ("k10", parts["bm25_topk"]),
             ("k100", parts["bm25_topk_k100"]),
             ("conjunctive", parts["bm25_conjunctive"]),
+            # merged halves == monolithic build ⇒ the same oracle
+            # certifies the whole atire_merge path
+            ("merged", parts["bm25_topk"]),
         ],
         "mode",
     )
