@@ -143,7 +143,11 @@ def merge_indexes(
         stage1_b, blocks_per_seg, registry=registry, codec=codec
     )
 
-    seg_cols = [c for c in a.postings.columns if c not in ("df", "cf")]
+    # canonical segment columns only: a checkpointed index carries an
+    # extra `chunk` hive-partition column the rebuilt side doesn't have
+    from atire_spark.build import POSTINGS_SCHEMA
+
+    seg_cols = [c.split(" ")[0] for c in POSTINGS_SCHEMA.split(", ")]
     all_segs = a.postings.select(seg_cols).unionByName(
         b_segs.select(seg_cols)
     )
