@@ -642,22 +642,6 @@ def quantized_segments_from_stage1(
     if registry is not None:
         registry.extend([stage1, joined])
 
-    def minmax_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mn, mx = np.inf, -np.inf
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                rsv = raw_rsv(
-                    np.asarray(row.tfs, dtype=np.int64),
-                    np.asarray(row.lens, dtype=np.int64),
-                    int(row.df),
-                    n_docs,
-                    mean_doc_len,
-                )
-                mn = min(mn, float(rsv.min()))
-                mx = max(mx, float(rsv.max()))
-        if np.isfinite(mn):
-            yield pd.DataFrame({"mn": [mn], "mx": [mx]})
-
     if qminmax is not None:
         # precomputed bounds (the checkpointed build computes them in a
         # separate resumable phase, one chunk of terms at a time — the
@@ -665,18 +649,13 @@ def quantized_segments_from_stage1(
         # each term's global df inside its chunk)
         qmin, qmax = qminmax
     else:
-        mm = (
-            joined.select("tfs", "lens", "df")
-            .mapInPandas(minmax_fn, schema="mn double, mx double")
-            .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
-            .collect()[0]
-        )
-        if mm["mn"] is None:
+        mm = _minmax_from_joined(joined, n_docs, mean_doc_len)
+        if mm is None:
             # zero postings in the corpus: nothing to quantize; 0/0 keeps
             # quantize_rsv's degenerate single-score path (impact 1)
             qmin = qmax = 0.0
         else:
-            qmin, qmax = float(mm["mn"]), float(mm["mx"])
+            qmin, qmax = mm
 
     from atire_spark.kernels.segment import build_segments_batch
 
@@ -713,16 +692,13 @@ def quantized_segments_from_stage1(
     return postings, term_stats, qmin, qmax
 
 
-def quant_minmax_from_stage1(
-    stage1: DataFrame, n_docs: int, mean_doc_len: float
+def _minmax_from_joined(
+    joined: DataFrame, n_docs: int, mean_doc_len: float
 ) -> tuple[float, float] | None:
-    """Collection (min, max) raw rsv over one stage1 slice
-    (rsv_all_nodes, memory_index.c:1570-1580) — None when the slice is
-    empty. Per-term-chunk calls compose by plain min/max because a
-    term chunk contains every posting of its terms (global df stays
-    inside the chunk)."""
-    term_stats = stage1.groupBy("term").agg(F.sum("df_b").alias("df"))
-    joined = stage1.join(term_stats, "term")
+    """Collection (min, max) raw rsv over (tfs, lens, df)-joined stage1
+    rows (rsv_all_nodes, memory_index.c:1570-1580) — None when empty.
+    The single shared kernel behind both the direct -Q build and the
+    checkpointed per-chunk phase."""
 
     def minmax_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mn, mx = np.inf, -np.inf
@@ -749,6 +725,23 @@ def quant_minmax_from_stage1(
     if mm["mn"] is None:
         return None
     return float(mm["mn"]), float(mm["mx"])
+
+
+def quant_minmax_from_stage1(
+    stage1: DataFrame, n_docs: int, mean_doc_len: float
+) -> tuple[float, float] | None:
+    """Per-term-chunk (min, max) raw rsv — chunk results compose by
+    plain min/max because a term chunk contains every posting of its
+    terms (global df stays inside the chunk). stage1 feeds both the
+    df aggregation and the probe side of the join, so it is persisted
+    across the two consumptions (same shape the direct build caches)."""
+    stage1 = stage1.persist()
+    try:
+        term_stats = stage1.groupBy("term").agg(F.sum("df_b").alias("df"))
+        joined = stage1.join(term_stats, "term")
+        return _minmax_from_joined(joined, n_docs, mean_doc_len)
+    finally:
+        stage1.unpersist()
 
 
 # ---------------------------------------------------------------- build

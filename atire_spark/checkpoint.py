@@ -105,6 +105,41 @@ def build_index_checkpointed(
     resumed build quantizes identically to an uninterrupted one.
     """
     run_id = uuid.uuid4().hex[:12]
+
+    # ---- build-parameter pin: a resume MUST use the original flags.
+    # The log records only (phase, chunk, status); without this pin a
+    # crashed unquantized run resumed with -Q would silently mix
+    # tf-impact and quantized-impact postings chunks under a stats row
+    # claiming the whole index is quantized.
+    import json as _json
+    import os as _os
+
+    params = {
+        "n_chunks": n_chunks,
+        "n_term_chunks": n_term_chunks,
+        "block_bits": block_bits,
+        "blocks_per_seg": blocks_per_seg,
+        "quantize_bits": quantize_bits,
+    }
+    meta_path = f"{workdir}/_build_params.json"
+    if _os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            recorded = _json.load(fh)
+        if recorded != params:
+            diffs = {
+                k: (recorded.get(k), params[k])
+                for k in params
+                if recorded.get(k) != params[k]
+            }
+            raise ValueError(
+                f"resume with different build parameters {diffs} "
+                f"(recorded vs requested) — finish or delete {workdir}"
+            )
+    else:
+        _os.makedirs(workdir, exist_ok=True)
+        with open(meta_path, "w") as fh:
+            _json.dump(params, fh)
+
     log = _read_log(spark, workdir)
 
     # ---- phase: tokenize (chunked by conv_id hash) --------------------

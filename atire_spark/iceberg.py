@@ -73,11 +73,16 @@ def write_index_iceberg(
     """
     _require_iceberg(spark, table_prefix)
 
-    def _write(df: DataFrame, name: str, sort: list[str] | None) -> None:
+    def _write(
+        df: DataFrame,
+        name: str,
+        sort: list[str] | None,
+        replace: bool = False,
+    ) -> None:
         if sort:
             df = df.sortWithinPartitions(*sort)
         w = df.writeTo(f"{table_prefix}_{name}")
-        if mode == "append":
+        if mode == "append" and not replace:
             w.append()
         else:
             w.using("iceberg").createOrReplace()
@@ -94,7 +99,12 @@ def write_index_iceberg(
         ["term", "seg_group"],
     )
     _write(tables.docmap, "docmap", ["docid"])
-    _write(tables.stats, "stats", None)
+    # stats is a SINGLE-ROW snapshot of the whole index: an append
+    # would accumulate conflicting rows and SearchEngine's
+    # stats.collect()[0] would read an arbitrary stale one — the
+    # caller of an incremental append passes the RE-AGGREGATED stats
+    # (documents/collection_len over old+new) and it replaces
+    _write(tables.stats, "stats", None, replace=True)
     if tables.puurula is not None:
         _write(
             tables.puurula.repartition("seg_group"),

@@ -151,8 +151,20 @@ def merge_indexes(
     all_segs = a.postings.select(seg_cols).unionByName(
         b_segs.select(seg_cols)
     )
-    term_stats = all_segs.groupBy("term").agg(
-        F.sum("seg_df").alias("df"), F.sum("seg_cf").alias("cf")
+    # global df/cf from BOTH sides' ORIGINAL segment metadata, never
+    # from the rebuilt rows: stored postings carry TF_CAP-saturated
+    # tfs (memory_index_hash_node.h:140-143 — the reference's postings
+    # lose the same information), so re-deriving cf from decoded tfs
+    # would undercount terms with >255 occurrences in one doc. The
+    # rebuilt right-side rows' per-SEGMENT seg_cf is therefore
+    # saturated-approximate (documented limitation, as in the
+    # reference's own merged postings); the global df/cf every ranker
+    # consumes is exact.
+    term_stats = (
+        a.postings.select("term", "seg_df", "seg_cf")
+        .unionByName(b.postings.select("term", "seg_df", "seg_cf"))
+        .groupBy("term")
+        .agg(F.sum("seg_df").alias("df"), F.sum("seg_cf").alias("cf"))
     )
     postings = all_segs.join(term_stats, "term")
 

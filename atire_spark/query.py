@@ -2023,11 +2023,14 @@ class SearchEngine:
           whole accumulation completes inside one task, same shape as
           the grouped scorer — then the usual bounded top-k merge.
 
-        The bound arithmetic assumes the accumulator does not wrap;
-        the reference's quantum rules share that assumption (uint16
-        accumulators, 8-bit impacts — headroom for 256-term queries).
-        Requires a quantized index (the reference likewise restricts
-        quantum processing to baked-in scores, atire_api.c:472-478).
+        The bound arithmetic assumes the accumulator does not wrap
+        (the reference's quantum rules share that assumption — uint16
+        accumulators, 8-bit impacts); queries whose maximum possible
+        pre-wrap score reaches the wrap point get pruning disabled
+        (θ₀ = 0 — exact either way), so rank identity holds
+        unconditionally. Requires a quantized index (the reference
+        likewise restricts quantum processing to baked-in scores,
+        atire_api.c:472-478).
         """
         if not self.quantized:
             raise ValueError(
@@ -2065,7 +2068,9 @@ class SearchEngine:
                 (int(r["impact"]), int(r["n_docs"]))
             )
         guar: dict[str, int] = {}
+        maxg: dict[str, int] = {}
         for term, lv in levels.items():
+            maxg[term] = max(i for i, _ in lv)
             seen = 0
             for impact, n in sorted(lv, reverse=True):
                 seen += n
@@ -2078,6 +2083,19 @@ class SearchEngine:
                 g = weight * guar[term]
                 if g > theta.get(qid, 0):
                     theta[qid] = g
+        # wrap-soundness guard: the θ₀/Σmax arithmetic assumes the
+        # uint16 accumulator never wraps. If a query's maximum possible
+        # pre-wrap score Σ weight·max_impact reaches ACCUM_MOD, wrapped
+        # scores are no longer monotone in the bounds — disable pruning
+        # for THAT query (θ₀ = 0 ⇒ every segment decodes ⇒ identical to
+        # the grouped path, wrap included), keeping rank identity
+        # unconditional rather than docstring-conditional.
+        qbound: dict[int, int] = {}
+        for qid, term, weight in qterms:
+            qbound[qid] = qbound.get(qid, 0) + weight * maxg.get(term, 0)
+        for qid, bound in qbound.items():
+            if bound >= ACCUM_MOD:
+                theta[qid] = 0
 
         # ---- phase 2: segment pivot test, then exact scoring
         qt_df = F.broadcast(

@@ -57,19 +57,24 @@ def read_trec(
     ``-rtrec:<start>:<end>`` (atire/index.c:414-415). Chunks with no
     opening tag (the tail after the last document) are dropped.
     """
+    import re as _re
+
+    # lineSep splits on the LITERAL closing tag; the extraction
+    # regexes must therefore match the tags literally too
+    dt, it = _re.escape(doc_tag), _re.escape(id_tag)
     chunks = spark.read.text(path, lineSep=f"</{doc_tag}>")
     body = F.regexp_replace(  # strip the wrapper + id element
         F.regexp_replace(
-            F.col("value"), f"(?s)<{id_tag}>.*?</{id_tag}>", " "
+            F.col("value"), f"(?s)<{it}>.*?</{it}>", " "
         ),
-        f"</?{doc_tag}>",
+        f"</?{dt}>",
         " ",
     )
     return (
         chunks.filter(F.col("value").contains(f"<{doc_tag}>"))
         .select(
             F.regexp_extract(
-                "value", f"<{id_tag}>\\s*(.*?)\\s*</{id_tag}>", 1
+                "value", f"<{it}>\\s*(.*?)\\s*</{it}>", 1
             ).alias("conv_id"),
             F.lit(0).alias("turn_idx"),
             F.trim(F.regexp_replace(body, r"\s+", " ")).alias("text"),
@@ -83,10 +88,15 @@ def read_warc(spark: SparkSession, path: str, version: str = "1.0") -> DataFrame
 
     A record is ``WARC headers CRLF CRLF [HTTP headers CRLF CRLF]
     payload``; splitting on the version marker keeps the headers with
-    their payload, and the payload is everything after the last header
-    block (two blocks for response records, one for resource records —
-    directory_iterator_warc.c skips warcinfo/request records the same
-    way).
+    their payload. Header blocks are fixed per WARC-Type — ONE for
+    resource records (WARC headers only), TWO for response records
+    (WARC + HTTP headers) — so the payload is everything from the 2nd
+    / 3rd blank-line-separated block TO THE RECORD END, rejoined:
+    bodies legitimately contain their own blank lines (HTML,
+    multipart) and spec-compliant records end with a trailing
+    CRLF CRLF, neither of which may truncate the document
+    (directory_iterator_warc.c skips warcinfo/request records the
+    same way).
     """
     marker = f"WARC/{version}"
     chunks = spark.read.text(path, lineSep=marker)
@@ -94,15 +104,23 @@ def read_warc(spark: SparkSession, path: str, version: str = "1.0") -> DataFrame
     rec_id = F.regexp_extract("value", r"WARC-Record-ID:\s*(\S+)", 1)
     uri = F.regexp_extract("value", r"WARC-Target-URI:\s*(\S+)", 1)
     parts = F.split("value", r"\r\n\r\n")
-    payload = F.when(
-        F.size(parts) >= 3, F.element_at(parts, 3)
-    ).otherwise(F.element_at(parts, F.size(parts)))
+
+    def _from_block(i: int):
+        # blocks i..end rejoined on the separator they were split on
+        return F.array_join(
+            F.slice(parts, i, F.greatest(F.size(parts) - i + 1, F.lit(0))),
+            "\r\n\r\n",
+        )
+
+    payload = F.when(rec_type == "response", _from_block(3)).otherwise(
+        _from_block(2)
+    )
     return (
         chunks.filter(rec_type.isin("response", "resource"))
         .select(
             F.when(rec_id != "", rec_id).otherwise(uri).alias("conv_id"),
             F.lit(0).alias("turn_idx"),
-            F.trim(payload).alias("text"),
+            F.regexp_replace(payload, r"^\s+|\s+$", "").alias("text"),
         )
     )
 

@@ -55,6 +55,12 @@ def worker(cpus: int, n_convs: int, mode: str) -> None:
         # — the faithful "N vs 4N executors" simulation (each executor
         # has its own heap and garbage collector, like a cluster node)
         exec_cores = int(os.environ.get("SPARK_GRAFT_SCALE_EXEC_CORES", "8"))
+        if exec_cores > cpus:
+            raise SystemExit(
+                f"SPARK_GRAFT_SCALE_EXEC_CORES={exec_cores} exceeds this "
+                f"leg's {cpus} cpus — local-cluster[0,...] would hang; "
+                "lower it or use SPARK_GRAFT_SCALE_MODE=threads"
+            )
         n_exec = cpus // exec_cores
         spark = get_spark(
             cpus=cpus,

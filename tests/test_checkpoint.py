@@ -134,3 +134,18 @@ def test_checkpointed_quantized_matches_direct(spark, workdir):
     want = SearchEngine(spark, direct).search_batch([(1, "alpha")], k=5).toPandas()
     assert list(got.docid) == list(want.docid)
     assert list(got.rsv_fixed) == list(want.rsv_fixed)
+
+
+def test_resume_with_different_flags_rejected(spark, workdir):
+    """A crashed unquantized run resumed with -Q would silently mix
+    impact kinds across postings chunks; the parameter pin refuses."""
+    tdf = spark.createDataFrame(make_transcripts("tiny"))
+    build_index_checkpointed(
+        spark, tdf, workdir, n_chunks=2, n_term_chunks=2, block_bits=5,
+        blocks_per_seg=2,
+    )
+    with pytest.raises(ValueError, match="different build parameters"):
+        build_index_checkpointed(
+            spark, tdf, workdir, n_chunks=2, n_term_chunks=2, block_bits=5,
+            blocks_per_seg=2, quantize_bits=8,
+        )

@@ -73,3 +73,36 @@ class TestMergeIndexes:
         )
         with pytest.raises(ValueError, match="stemmer"):
             merge_indexes(spark, a, bs)
+
+
+def test_merged_cf_exact_past_tf_saturation(spark):
+    """Stored postings saturate tf at 255; merged global cf must come
+    from the original segment metadata, not from decoded tfs."""
+    import pandas as pd
+
+    left = pd.DataFrame(
+        {"conv_id": ["a0"], "turn_idx": [0], "text": ["alpha bravo"]}
+    )
+    right = pd.DataFrame(
+        {
+            "conv_id": ["b0"],
+            "turn_idx": [0],
+            "text": [" ".join(["capterm"] * 300) + " alpha"],
+        }
+    )
+    a = build_index(spark, spark.createDataFrame(left))
+    b = build_index(spark, spark.createDataFrame(right))
+    merged = merge_indexes(spark, a, b)
+    mono = build_index(
+        spark, spark.createDataFrame(pd.concat([left, right]))
+    )
+    gm = {
+        r["term"]: (int(r["df"]), int(r["cf"]))
+        for r in merged.postings.select("term", "df", "cf").distinct().collect()
+    }
+    go = {
+        r["term"]: (int(r["df"]), int(r["cf"]))
+        for r in mono.postings.select("term", "df", "cf").distinct().collect()
+    }
+    assert gm == go
+    assert gm["capterm"] == (1, 300)  # cf uncapped, tf saturated in postings

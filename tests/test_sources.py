@@ -183,6 +183,8 @@ def test_trec_source(spark, tmp_path):
 def test_warc_source(spark, tmp_path):
     from atire_spark.sources import read_warc
 
+    # response body with an INTERNAL blank line and the spec-mandated
+    # trailing CRLF CRLF — neither may truncate the document
     rec = (
         "WARC/1.0\r\n"
         "WARC-Type: response\r\n"
@@ -191,7 +193,8 @@ def test_warc_source(spark, tmp_path):
         "\r\n"
         "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
         "\r\n"
-        "hello warc world"
+        "hello warc world\r\n\r\nsecond paragraph"
+        "\r\n\r\n"
     )
     skip = (
         "WARC/1.0\r\n"
@@ -211,7 +214,7 @@ def test_warc_source(spark, tmp_path):
     df = read_warc(spark, str(tmp_path / "f.warc")).orderBy("conv_id")
     rows = [(r.conv_id, r.text) for r in df.collect()]
     assert rows == [
-        ("<urn:uuid:abc-1>", "hello warc world"),
+        ("<urn:uuid:abc-1>", "hello warc world\r\n\r\nsecond paragraph"),
         ("<urn:uuid:abc-3>", "plain resource payload"),
     ]
 

@@ -633,3 +633,25 @@ class TestNexiCas:
         a = small_engine.search_cas([(1, "alpha term00001")], k=10).toPandas()
         b = small_engine.search_batch([(1, "alpha term00001")], k=10).toPandas()
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestWandWrapGuard:
+    """A query whose maximum possible pre-wrap score reaches the uint16
+    wrap point must disable pruning (θ₀ = 0) and stay rank-identical —
+    wrapped scores are not monotone in the block-max bounds."""
+
+    def test_wrap_query_prunes_nothing_and_stays_exact(self, spark):
+        tdf = spark.createDataFrame(make_transcripts(120))
+        idx = build_index(spark, tdf, block_bits=5, quantize_bits=8)
+        eng = SearchEngine(spark, idx)
+        # capterm's quantized max impact is ~255 (the 300× planted
+        # turn), so weight 300 × 255 ≥ 2^16 — wrap genuinely possible;
+        # a low-impact term at the same weight would NOT trip the
+        # guard and pruning would stay on (and stay sound)
+        q = [(1, " ".join(["capterm"] * 300))]
+        res, stats = eng.search_wand(q, k=5, return_stats=True)
+        assert stats["segments_scored"] == stats["segments_total"]
+        got = res.toPandas()
+        want = eng.search_batch(q, k=5).toPandas()
+        assert list(got.docid) == list(want.docid)
+        assert list(got.rsv_fixed) == list(want.rsv_fixed)
