@@ -2490,11 +2490,18 @@ FROM ranked WHERE rank <= {k}
 
 
 def _q_topk_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialisation + the TREC run-file exporter
+    (atire_engine_result_set_export_TREC.c:43-49): the driver-hashed
+    ``line`` column is the exact run-file text, so the exporter's
+    `topic Q0 docno rank rsv run_name` format is oracle-certified."""
+    from atire_spark.export import export_trec
+
     eng = _engine(spark, sf_dir)
     res = eng.search_batch(TESTDATA_QUERIES[:3], k=TOP_K)
-    return eng.materialize(res).select(
+    mat = eng.materialize(res).select(
         "query_id", "rank", "docid", "conv_id", "turn_idx", "rsv_fixed"
     )
+    return export_trec(mat, run_name="atire_spark", full=True)
 
 
 def _q_pregen_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4960,7 +4967,10 @@ ranked AS (
          docid, rsv_fixed
   FROM acc
 )
-SELECT r.query_id, r.rank, r.docid, d.conv_id, d.turn_idx, r.rsv_fixed
+SELECT r.query_id, r.rank, r.docid, d.conv_id, d.turn_idx, r.rsv_fixed,
+       CAST(r.query_id AS VARCHAR) || ' Q0 ' || d.conv_id || ':'
+         || CAST(d.turn_idx AS VARCHAR) || ' ' || CAST(r.rank AS VARCHAR)
+         || ' ' || CAST(r.rsv_fixed AS VARCHAR) || ' atire_spark' AS line
 FROM ranked r JOIN docmap d USING (docid)
 WHERE r.rank <= {TOP_K}
 """,
