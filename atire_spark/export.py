@@ -13,9 +13,16 @@ driver-side loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["external_id", "export_trec", "export_inex_snippet"]
+__all__ = [
+    "external_id",
+    "export_trec",
+    "export_inex_snippet",
+    "export_inex_element",
+    "export_inex_efficiency",
+    "export_inex_focus",
+]
 
 
 def external_id(materialized: DataFrame) -> DataFrame:
@@ -158,4 +165,207 @@ def export_inex_snippet(
         .unionByName(footer)
         .unionByName(post)
         .select("qid", "r", "line")
+    )
+
+
+def _topic_blocks(
+    spark, out: DataFrame, pre_lines: list[str], post_line: str,
+    header_line, row_lines: list, footer_line,
+) -> DataFrame:
+    """Assemble a line-per-row run document: fixed preamble, then one
+    block per topic (header / per-result line groups in rank order /
+    footer), then the postamble.  ``row_lines`` is a list of column
+    expressions — each result contributes len(row_lines) consecutive
+    lines, sequenced by (qid, rank, sub)."""
+    qid = F.col("query_id").cast("long")
+    n_sub = len(row_lines)
+    # header attributes (timings etc.) are constant per topic — carry
+    # them through the group so header_line can reference any column
+    header = (
+        out.groupBy("query_id")
+        .agg(
+            *[
+                F.first(c).alias(c)
+                for c in out.columns
+                if c != "query_id"
+            ]
+        )
+        .select(qid.alias("qid"), F.lit(0).cast("long").alias("r"), header_line.alias("line"))
+    )
+    row_parts = [
+        out.select(
+            qid.alias("qid"),
+            (F.col("rank") * n_sub + i).cast("long").alias("r"),
+            expr.alias("line"),
+        )
+        for i, expr in enumerate(row_lines)
+    ]
+    footer = out.groupBy("query_id").agg(F.max("rank").alias("mr")).select(
+        qid.alias("qid"),
+        ((F.col("mr") + 1) * n_sub).cast("long").alias("r"),
+        footer_line.alias("line"),
+    )
+    pre = spark.createDataFrame(
+        [(-1, i, ln) for i, ln in enumerate(pre_lines)],
+        "qid LONG, r LONG, line STRING",
+    )
+    post = spark.createDataFrame(
+        [(2**62, 0, post_line)], "qid LONG, r LONG, line STRING"
+    )
+    doc = pre.unionByName(header)
+    for p in row_parts:
+        doc = doc.unionByName(p)
+    return doc.unionByName(footer).unionByName(post).select(
+        "qid", "r", "line"
+    )
+
+
+def export_inex_element(
+    materialized: DataFrame,
+    participant_id: str = "Unknown",
+    run_id: str = "Unknown",
+    task: str = "adhoc",
+) -> DataFrame:
+    """INEX ad-hoc element-result submission
+    (source/search_engine_forum_INEX.c:14-21,103-137): XML preamble
+    with the reference's fixed topic-fields/collections block, then
+    per topic a ``<result>`` of ``<file>name</file>``, the hardcoded
+    ``<path>/article[1]</path>`` (whole-article results, :130), and a
+    0-based ``<rank>``."""
+    out = external_id(materialized)
+    pre = [
+        f'<inex-submission participant-id="{participant_id}" '
+        f'run-id="{run_id}" task="{task}" query="automatic" '
+        f'result-type="element">',
+        '<topic-fields title="yes" castitle="no" description="no" '
+        'narrative="no"/>',
+        "<description>None</description>",
+        "<collections>",
+        "<collection>wikipedia</collection>",
+        "</collections>",
+    ]
+    rows = [
+        F.lit("<result>"),
+        F.concat(F.lit("<file>"), _inex_doc_id(F.col("name")), F.lit("</file>")),
+        F.lit("<path>/article[1]</path>"),
+        F.concat(
+            F.lit("<rank>"), F.col("rank") - 1, F.lit("</rank></result>")
+        ),
+    ]
+    return _topic_blocks(
+        materialized.sparkSession,
+        out,
+        pre,
+        "</inex-submission>",
+        F.concat(F.lit('<topic topic-id="'), F.col("query_id"), F.lit('">')),
+        rows,
+        F.lit("</topic>"),
+    )
+
+
+def export_inex_efficiency(
+    materialized: DataFrame,
+    participant_id: str = "Unknown",
+    run_id: str = "Unknown",
+    topk: int = 10,
+    topic_stats: DataFrame | None = None,
+) -> DataFrame:
+    """INEX efficiency-track submission
+    (source/search_engine_forum_INEX_efficiency.c:23-111): the header
+    carries the run's hardware/topk attributes, each topic block its
+    cpu/io timing attributes (pass per-topic ``topic_stats`` with
+    columns query_id, cpu_time_ms, io_time_ms, io_bytes; defaults 0),
+    and each result the descending surrogate ``<rsv>hits-which</rsv>``
+    — including the reference's literal ``<path>/article[1]></path>``
+    stray ``>`` (:100)."""
+    out = external_id(materialized)
+    if topic_stats is not None:
+        out = out.join(topic_stats, "query_id", "left")
+    for c in ("cpu_time_ms", "io_time_ms", "io_bytes"):
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(0).cast("long"))
+    out = out.fillna(0, subset=["cpu_time_ms", "io_time_ms", "io_bytes"])
+    out = out.withColumn(
+        "hits", F.max("rank").over(Window.partitionBy("query_id"))
+    )
+    pre = [
+        f'<efficiency-submission  participant-id = "{participant_id}"'
+        f' run-id = "{run_id}" task = "adhoc" type = "article"'
+        ' query = "automatic" sequential = "yes" no_cpu = "8"'
+        ' ram = "8GB" no_nodes = "1" hardware_cost = "3000NZD"'
+        f' hardware_year = "2008" topk = "{topk}"'
+        ' index_size_bytes = "0" indexing_time_sec = "0">',
+        '<topic-fields co_title = "yes" cas_title = "no"'
+        ' xpath_title = "no" text_predicates = "no"'
+        ' description = "no" narrative = "no" />',
+    ]
+    header = F.concat(
+        F.lit('<topic topic-id = "'),
+        F.col("query_id"),
+        F.lit('" total_time_ms = "'),
+        F.col("cpu_time_ms") + F.col("io_time_ms"),
+        F.lit('" cpu_time_ms = "'),
+        F.col("cpu_time_ms"),
+        F.lit('" io_time_ms = "'),
+        F.col("io_time_ms"),
+        F.lit('" io_bytes = "'),
+        F.col("io_bytes"),
+        F.lit('">'),
+    )
+    rows = [
+        F.lit("<result>"),
+        F.concat(F.lit("<file>"), _inex_doc_id(F.col("name")), F.lit("</file>")),
+        F.lit("<path>/article[1]></path>"),
+        F.concat(F.lit("<rank>"), F.col("rank") - 1, F.lit("</rank>")),
+        F.concat(
+            F.lit("<rsv>"),
+            F.col("hits") - (F.col("rank") - 1),
+            F.lit("</rsv></result>"),
+        ),
+    ]
+    return _topic_blocks(
+        materialized.sparkSession,
+        out,
+        pre,
+        "</efficiency-submission>",
+        header,
+        rows,
+        F.lit("</topic>"),
+    )
+
+
+def export_inex_focus(
+    focused: DataFrame,
+    docmap: DataFrame,
+    run_id: str = "Unknown",
+    bep: bool = False,
+) -> DataFrame:
+    """Focused-retrieval run lines over :func:`atire_spark.focus.
+    focus_results` output with ``inex_offsets=True``:
+
+        ``topic Q0 name rank (hits-rank+1) run inex_start inex_finish``
+
+    per source/search_engine_forum_INEX_focus.c:24-41 (the rsv field
+    is the descending surrogate ``hits - which``); ``bep=True`` drops
+    the finish column — the best-entry-point format
+    (source/search_engine_forum_INEX_bep.c:24-41)."""
+    out = focused.join(
+        docmap.select("docid", "conv_id", "turn_idx"), "docid"
+    )
+    out = external_id(out).withColumn(
+        "hits", F.max("rank").over(Window.partitionBy("query_id"))
+    )
+    cols = [
+        F.col("query_id"),
+        F.lit("Q0"),
+        F.col("name"),
+        F.col("rank"),
+        F.col("hits") - (F.col("rank") - 1),
+        F.lit(run_id),
+        F.col("inex_start"),
+    ]
+    if not bep:
+        cols.append(F.col("inex_finish"))
+    return out.select(
+        "query_id", "rank", F.concat_ws(" ", *cols).alias("line")
     )

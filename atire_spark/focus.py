@@ -100,6 +100,49 @@ def focus_article(document: str, terms) -> tuple[int, int]:
 _FOCUSERS = {"lowest_tag": focus_passage, "article": focus_article}
 
 
+def focus_to_inex(document: str, start: int, finish: int) -> tuple[int, int]:
+    """Convert passage offsets to INEX character offsets — counted in
+    characters EXCLUDING XML tags, with each entity reference counted
+    as one character (ANT_search_engine_forum_INEX::focus_to_INEX,
+    source/search_engine_forum_INEX.c:38-100).  The mirror walks
+    Python characters where the C walks UTF-8 byte groups — the same
+    unit, since ``utf8_bytes`` advances exactly one code point.
+
+    Faithful quirks: counting starts at the first ``<`` not followed
+    by ``!``/``?`` (:47-49); an entity terminated by a space consumes
+    the space without counting it (:69-79); the per-character
+    comparisons are strict ``<`` against the span pointers (:54-57),
+    so a span that starts mid-tag resolves to the count at the tag's
+    first character."""
+    inex_start = inex_finish = offset = 0
+    i, n = 0, len(document)
+    while i < n:
+        if document[i] == "<" and i + 1 < n and document[i + 1] not in "!?":
+            break
+        i += 1
+    while i < n:
+        if i < start:
+            inex_start = offset
+        if i < finish:
+            inex_finish = offset
+        c = document[i]
+        if c == "<":
+            while i < n and document[i] != ">":
+                i += 1
+            if i < n:
+                i += 1
+        elif c == "&":
+            while i < n and document[i] not in " ;":
+                i += 1
+            offset += 1
+            if i < n:
+                i += 1
+        else:
+            offset += 1
+            i += 1
+    return inex_start, inex_finish
+
+
 def focus_results(
     results: DataFrame,
     docmap: DataFrame,
@@ -107,10 +150,16 @@ def focus_results(
     queries: list[tuple[int, str]],
     mode: str = "lowest_tag",
     tagger=tag_document,
+    inex_offsets: bool = False,
 ) -> DataFrame:
     """Focus a top-k result frame: join the doc repository, render the
     tagged form, and extract the per-hit passage distributed (one
-    Arrow batch pass; no driver materialisation)."""
+    Arrow batch pass; no driver materialisation).
+
+    ``inex_offsets=True`` adds ``inex_start``/``inex_finish`` —
+    tag-excluded character offsets computed by :func:`focus_to_inex`
+    inside the same batch pass (the tagged rendering never leaves the
+    executor) — for the BEP / focused run exporters."""
     import pandas as pd
 
     focuser = _FOCUSERS[mode]
@@ -131,24 +180,30 @@ def focus_results(
                 focuser(doc, term_sets.get(int(q), frozenset()))
                 for doc, q in zip(tagged, pdf["query_id"])
             ]
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "rank": pdf["rank"],
-                    "docid": pdf["docid"],
-                    "rsv_fixed": pdf["rsv_fixed"],
-                    "start": [s for s, _ in spans],
-                    "finish": [f for _, f in spans],
-                    "passage": [
-                        doc[s:f] for doc, (s, f) in zip(tagged, spans)
-                    ],
-                }
-            )
+            out = {
+                "query_id": pdf["query_id"],
+                "rank": pdf["rank"],
+                "docid": pdf["docid"],
+                "rsv_fixed": pdf["rsv_fixed"],
+                "start": [s for s, _ in spans],
+                "finish": [f for _, f in spans],
+                "passage": [
+                    doc[s:f] for doc, (s, f) in zip(tagged, spans)
+                ],
+            }
+            if inex_offsets:
+                conv = [
+                    focus_to_inex(doc, s, f)
+                    for doc, (s, f) in zip(tagged, spans)
+                ]
+                out["inex_start"] = [a for a, _ in conv]
+                out["inex_finish"] = [b for _, b in conv]
+            yield pd.DataFrame(out)
 
-    return joined.mapInPandas(
-        fn,
-        schema=(
-            "query_id long, rank int, docid long, rsv_fixed long,"
-            " start int, finish int, passage string"
-        ),
+    schema = (
+        "query_id long, rank int, docid long, rsv_fixed long,"
+        " start int, finish int, passage string"
     )
+    if inex_offsets:
+        schema += ", inex_start long, inex_finish long"
+    return joined.mapInPandas(fn, schema=schema)

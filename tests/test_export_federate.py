@@ -97,6 +97,120 @@ class TestInexSnippetExport:
         assert '   <snippet rsv="10" doc-id="c:4"></snippet>' in doc
 
 
+class TestFocusToInex:
+    def test_tags_excluded_entities_count_one(self):
+        # search_engine_forum_INEX.c:38-100 hand vector
+        from atire_spark.focus import focus_to_inex
+
+        doc = "<doc><p>hello &amp; world</p></doc>"
+        w = doc.index("world")
+        s, f = focus_to_inex(doc, w, w + 5)
+        # the C updates INEX_* with the offset BEFORE counting the
+        # current char and only while current < span pointer
+        # (forum_INEX.c:54-57), so start lands on the offset recorded
+        # at the space preceding 'world': "hello " (6) + entity (1)
+        # = 7, and finish at the offset before 'd' is counted = 12
+        assert (s, f) == (7, 12)
+
+    def test_whole_document_span(self):
+        from atire_spark.focus import focus_to_inex
+
+        doc = "<doc><p>ab cd</p></doc>"
+        s, f = focus_to_inex(doc, 0, len(doc))
+        assert s == 0 and f == 5  # "ab cd"
+
+
+class TestInexElementAndEfficiency:
+    @pytest.fixture(scope="class")
+    def mat(self, spark, engine):
+        res = engine.search_batch(BATCH[:2], k=3)
+        return engine.materialize(res)
+
+    def test_element_submission_structure(self, spark, mat):
+        from atire_spark.export import export_inex_element
+
+        doc = (
+            export_inex_element(mat, "otago", "r1", "adhoc")
+            .orderBy("qid", "r")
+            .toPandas()["line"]
+            .tolist()
+        )
+        assert doc[0].startswith(
+            '<inex-submission participant-id="otago" run-id="r1" '
+            'task="adhoc"'
+        )
+        assert "<collection>wikipedia</collection>" in doc
+        assert doc[-1] == "</inex-submission>"
+        i = doc.index('<topic topic-id="1">')
+        # first result block: 0-based rank (forum_INEX.c:131)
+        assert doc[i + 1] == "<result>"
+        assert doc[i + 3] == "<path>/article[1]</path>"
+        assert doc[i + 4] == "<rank>0</rank></result>"
+
+    def test_efficiency_timings_and_surrogate_rsv(self, spark, mat):
+        from atire_spark.export import export_inex_efficiency
+
+        stats = spark.createDataFrame(
+            [(1, 12, 3, 4096), (2, 7, 1, 512)],
+            "query_id LONG, cpu_time_ms LONG, io_time_ms LONG, "
+            "io_bytes LONG",
+        )
+        doc = (
+            export_inex_efficiency(mat, "otago", "r1", 3, stats)
+            .orderBy("qid", "r")
+            .toPandas()["line"]
+            .tolist()
+        )
+        assert 'topk = "3"' in doc[0]
+        hdr = [ln for ln in doc if ln.startswith('<topic topic-id = "1"')]
+        assert hdr and 'total_time_ms = "15"' in hdr[0]
+        assert 'cpu_time_ms = "12"' in hdr[0]
+        # the reference's literal stray '>' (forum_INEX_efficiency.c:100)
+        assert "<path>/article[1]></path>" in doc
+        # first result of topic 1: rsv = hits - which = 3 - 0
+        i = doc.index(hdr[0])
+        assert doc[i + 5] == "<rsv>3</rsv></result>"
+        assert doc[-1] == "</efficiency-submission>"
+
+
+class TestInexFocusExport:
+    def test_focus_and_bep_lines(self, spark, engine):
+        from atire_spark.export import export_inex_focus
+        from atire_spark.focus import focus_results
+
+        from atire_spark.synth import make_transcripts
+
+        res = engine.search_batch([(1, "alpha")], k=3)
+        qset = [(1, "alpha")]
+        # the same deterministic corpus the engine fixture indexed
+        corpus = spark.createDataFrame(make_transcripts(120))
+        foc = focus_results(
+            res,
+            engine.index.docmap,
+            corpus,
+            qset,
+            inex_offsets=True,
+        )
+        lines = export_inex_focus(
+            foc, engine.index.docmap, run_id="run9"
+        ).toPandas()
+        assert len(lines) == 3
+        fp = foc.toPandas().set_index("rank")
+        for _, r in lines.iterrows():
+            parts = r["line"].split(" ")
+            rank = int(parts[3])
+            # topic Q0 name rank hits-which run start finish
+            assert parts[0] == "1" and parts[1] == "Q0"
+            assert int(parts[4]) == 3 - (rank - 1)
+            assert parts[5] == "run9"
+            assert int(parts[6]) == fp.loc[rank, "inex_start"]
+            assert int(parts[7]) == fp.loc[rank, "inex_finish"]
+        bep = export_inex_focus(
+            foc, engine.index.docmap, run_id="run9", bep=True
+        ).toPandas()
+        assert all(len(l.split(" ")) == 7 for l in bep["line"])
+
+
 @pytest.fixture(scope="module")
 def shards(spark):
     pdf = make_transcripts(160)
