@@ -72,6 +72,15 @@ def main() -> None:
             f"{tmp}/input"
         )
         tdf = spark.read.parquet(f"{tmp}/input")
+        # untimed warmup build over a small slice: the first build in
+        # a fresh JVM pays codegen/JIT compilation and Python-worker
+        # forking (observed 130 s vs 34 s steady-state on identical
+        # code) — warm those once so the timed repeats measure the
+        # engine, as a long-lived cluster would run it
+        warm = build_index(
+            spark, spark.createDataFrame(pdf.iloc[: len(pdf) // 16])
+        )
+        write_index(warm, f"{tmp}/warmidx", mode="overwrite")
         # the sandbox host's spare CPU drifts minute-to-minute (3x
         # run-to-run swings on identical code are documented in
         # BENCH.md) — median of 3 repeats so the driver's cross-round

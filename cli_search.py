@@ -49,6 +49,17 @@ def main() -> None:
     )
     ap.add_argument("--trec", action="store_true", help="TREC run-file output")
     ap.add_argument(
+        "--forum",
+        choices=["trec", "inex", "inex_snippet", "inex_efficiency"],
+        help="run-file format (the reference's -e): TREC lines, INEX "
+        "ad-hoc element XML, INEX snippet XML, INEX efficiency XML",
+    )
+    ap.add_argument(
+        "--output", help="write the run file here (the reference's -o)"
+    )
+    ap.add_argument("--run-id", default="atire_spark")
+    ap.add_argument("--participant-id", default="atire_spark")
+    ap.add_argument(
         "--assess",
         help="qrel/assessment file (TREC or INEX format, auto-sniffed) — "
         "evaluate the run like the reference's -a",
@@ -110,14 +121,45 @@ def main() -> None:
         res = eng.search_batch(
             batch, k=args.k, ranker=args.ranker, conjunctive=args.conjunctive
         )
-    rows = eng.materialize(res).orderBy("query_id", "rank").collect()
-    wall = time.monotonic() - t0
+    mat = eng.materialize(res)
+    forum = args.forum or ("trec" if args.trec else None)
+    if forum is not None:
+        from atire_spark.export import (
+            export_inex_efficiency,
+            export_inex_element,
+            export_inex_snippet,
+            export_trec,
+        )
 
-    for r in rows:
-        ext_id = f"{r['conv_id']}:{r['turn_idx']}"
-        if args.trec:
-            print(f"{r['query_id']} Q0 {ext_id} {r['rank']} {r['rsv_fixed']} atire_spark")
+        if forum == "trec":
+            run = export_trec(mat, run_name=args.run_id).orderBy(
+                "query_id", "rank"
+            )
+        elif forum == "inex":
+            run = export_inex_element(
+                mat, args.participant_id, args.run_id
+            ).orderBy("qid", "r")
+        elif forum == "inex_snippet":
+            run = export_inex_snippet(
+                mat, args.participant_id, args.run_id
+            ).orderBy("qid", "r")
         else:
+            run = export_inex_efficiency(
+                mat, args.participant_id, args.run_id, args.k
+            ).orderBy("qid", "r")
+        lines = [r["line"] for r in run.select("line").collect()]
+        wall = time.monotonic() - t0
+        if args.output:
+            with open(args.output, "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+        else:
+            for ln in lines:
+                print(ln)
+    else:
+        rows = mat.orderBy("query_id", "rank").collect()
+        wall = time.monotonic() - t0
+        for r in rows:
+            ext_id = f"{r['conv_id']}:{r['turn_idx']}"
             print(
                 f"qid={r['query_id']} rank={r['rank']} docid={r['docid']} "
                 f"doc={ext_id} rsv_fixed={r['rsv_fixed']} rsv={r['rsv']:.2f}"
