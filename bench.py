@@ -78,7 +78,7 @@ def main() -> None:
         # code) — warm those once so the timed repeats measure the
         # engine, as a long-lived cluster would run it
         warm = build_index(
-            spark, spark.createDataFrame(pdf.iloc[: len(pdf) // 16])
+            spark, spark.createDataFrame(pdf.iloc[: len(pdf) // 4])
         )
         write_index(warm, f"{tmp}/warmidx", mode="overwrite")
         # the sandbox host's spare CPU drifts minute-to-minute (3x
