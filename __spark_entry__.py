@@ -556,8 +556,14 @@ FROM tf GROUP BY term
 
 
 def _q_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode every segment back to (term, docid, tf) — proves the
-    impact-order + per-group vbyte layout round-trips through storage."""
+    """Suite: (a) decode every segment back to (term, docid, tf) —
+    proves the impact-order + per-group vbyte layout round-trips
+    through storage; (b) the same decode over an
+    :func:`atire_spark.reorder.reorder_index` rewrite under the
+    reversed-docid permutation (atire_reorder.c:382-560) — the oracle
+    is the tf table with docid → N-1-docid, so the whole
+    decode → cogrouped remap → re-serialise chain is
+    driver-certified."""
     import numpy as np
     import pandas as pd
 
@@ -587,8 +593,22 @@ def _q_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-    return eng.index.postings.mapInPandas(
+    plain = eng.index.postings.mapInPandas(
         decode_fn, schema="term string, docid long, tf int"
+    )
+    from atire_spark.reorder import reorder_index
+
+    n = int(eng.index.stats.select("documents").head()[0])
+    mapping = eng.index.docmap.select(
+        "docid",
+        (F.lit(n - 1) - F.col("docid")).cast("long").alias("new_docid"),
+    )
+    re_idx = reorder_index(spark, eng.index, mapping)
+    reordered = re_idx.postings.select(
+        "term", "seg_group", "impacts", "doc_counts", "postings"
+    ).mapInPandas(decode_fn, schema="term string, docid long, tf int")
+    return plain.select(F.lit("plain").alias("mode"), "*").unionByName(
+        reordered.select(F.lit("reordered").alias("mode"), "*")
     )
 
 
@@ -5029,9 +5049,22 @@ WHERE r.rank <= {TOP_K}
     for k in (
         "docmap",
         "collection_stats",
-        "postings_roundtrip",
     ):
         reg[k] = parts[k]
+    reg["postings_roundtrip"] = _suite_sql(
+        [
+            ("plain", parts["postings_roundtrip"]),
+            # atire_reorder under the reversed permutation: every
+            # posting survives with docid -> N-1-docid
+            (
+                "reordered",
+                f"""WITH {_CORPUS_CTE}
+SELECT t.term, s.n_docs - 1 - t.docid AS docid, t.tf
+FROM tf t CROSS JOIN stats s""",
+            ),
+        ],
+        "mode",
+    )
     reg["term_stats"] = _suite_sql(
         [
             ("corpus", parts["term_stats"]),
