@@ -627,6 +627,118 @@ def _q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.search_batch(TESTDATA_QUERIES, k=TOP_K, conjunctive=True)
 
 
+def _q_bm25_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broker scatter-gather (atire_broke.c:168-193) over a two-shard
+    split at H = N // 2: each shard is an independent build with
+    LOCAL statistics; the merge offsets shard B's docids by H
+    (virtual ids == global docids here) and re-ranks with the
+    broker's rsv-desc / lowest-docid tie-break
+    (atire_engine_result_set.c:141-165)."""
+    from atire_spark.build import build_index
+    from atire_spark.federate import search_federated
+    from atire_spark.query import SearchEngine
+
+    eng = _engine(spark, sf_dir)
+    key = sf_dir.rstrip("/") + "#federated"
+    if key not in _INDEX_CACHE:
+        n = int(eng.index.stats.select("documents").head()[0])
+        h = n // 2
+        tdf = _transcripts(spark, sf_dir)
+        dm = eng.index.docmap
+
+        def half(pred):
+            sel = dm.filter(pred).select("conv_id", "turn_idx")
+            return SearchEngine(
+                spark,
+                build_index(spark, tdf.join(sel, ["conv_id", "turn_idx"])),
+            )
+
+        _INDEX_CACHE[key] = (
+            half(F.col("docid") < h),
+            half(F.col("docid") >= h),
+        )
+    ea, eb = _INDEX_CACHE[key]
+    return search_federated([ea, eb], TESTDATA_QUERIES, k=TOP_K)
+
+
+def _federated_bm25_sql(k: int) -> str:
+    """Two-shard broker oracle: per-shard BM25 with shard-local
+    df/N/mean_len, per-shard engine top-k (tie-break docid DESC —
+    each sub-engine's internal order), then the broker merge ranked
+    rsv DESC / global docid ASC."""
+    return f"""
+WITH {_CORPUS_CTE},
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+),
+hsel AS (SELECT CAST(n_docs // 2 AS BIGINT) AS h FROM stats),
+sdoc AS (
+  SELECT d.docid, d.doc_len,
+         CASE WHEN d.docid < hsel.h THEN 0 ELSE 1 END AS shard
+  FROM docmap d CROSS JOIN hsel
+),
+sstats AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_len
+  FROM sdoc GROUP BY shard
+),
+stf AS (
+  SELECT s.shard, s.docid, s.doc_len, t.term, t.tf
+  FROM tf t JOIN sdoc s USING (docid)
+),
+stermstats AS (
+  SELECT shard, term, CAST(count(*) AS BIGINT) AS df
+  FROM stf GROUP BY shard, term
+),
+scored AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, t.shard, t.docid,
+         CASE WHEN ts.df = ss.n_docs THEN CAST(0 AS BIGINT)
+              ELSE CAST(q.weight AS BIGINT) * (1 + CAST(trunc(
+                100.0 * ln(CAST(ss.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE))
+                      * ((CAST(t.tf AS DOUBLE) * (0.9 + 1.0))
+                         / (CAST(t.tf AS DOUBLE)
+                            + CAST(CAST(0.9 * ((1.0 - 0.4)
+                                + 0.4 * (CAST(t.doc_len AS DOUBLE) / ss.mean_len))
+                              AS REAL) AS DOUBLE)))) AS BIGINT))
+         END AS contrib,
+         CASE WHEN ts.df = ss.n_docs THEN 0 ELSE 1 END AS is_hit
+  FROM q
+  JOIN stermstats ts USING (term)
+  JOIN stf t ON t.term = q.term AND t.shard = ts.shard
+  JOIN sstats ss ON ss.shard = t.shard
+),
+acc AS (
+  SELECT query_id, shard, docid,
+         CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  FROM scored
+  WHERE is_hit = 1 OR contrib <> 0
+  GROUP BY query_id, shard, docid
+  HAVING sum(is_hit) > 0
+),
+shard_topk AS (
+  SELECT * FROM (
+    SELECT query_id, shard, docid, rsv_fixed,
+           row_number() OVER (
+             PARTITION BY query_id, shard
+             ORDER BY rsv_fixed DESC, docid DESC
+           ) AS srank
+    FROM acc
+  ) WHERE srank <= {k}
+),
+merged AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid ASC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM shard_topk
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM merged WHERE rank <= {k}
+"""
+
+
 def _q_termcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     return eng.search_batch(TESTDATA_QUERIES, k=TOP_K, ranker="termcount")
@@ -4576,6 +4688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("k100", _q_bm25_k100),
             ("conjunctive", _q_bm25_conjunctive),
             ("merged", _q_bm25_merged),
+            ("federated", _q_bm25_federated),
         ],
         "mode",
     )
@@ -5080,6 +5193,9 @@ FROM tf t CROSS JOIN stats s""",
             # merged halves == monolithic build ⇒ the same oracle
             # certifies the whole atire_merge path
             ("merged", parts["bm25_topk"]),
+            # broker scatter-gather: shard-LOCAL statistics + the
+            # broker merge tie-break — a genuinely different oracle
+            ("federated", _federated_bm25_sql(TOP_K)),
         ],
         "mode",
     )
