@@ -2689,6 +2689,64 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _q_pregen_strexact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREXACT_RESTRICTED pregen writer
+    (pregen_writer_exact_strings.c:182-206): the external id is
+    base37-encoded (':' is unencodable and drops out) and each doc
+    scores the dense strcmp-rank of its encoded field."""
+    from atire_spark.pregen import pregen_scores
+
+    eng = _engine(spark, sf_dir)
+    docs = eng.index.docmap.select(
+        "docid",
+        F.concat_ws(
+            ":", F.col("conv_id"), F.col("turn_idx").cast("string")
+        ).alias("name"),
+    )
+    scores = pregen_scores(docs, "name", "strexact_restricted")
+    return eng.search_pregen(TESTDATA_QUERIES, scores, k=TOP_K)
+
+
+def _pregen_strexact_sql(k: int) -> str:
+    """STREXACT_RESTRICTED oracle: over [0-9a-z] the base37 encoding
+    is order-isomorphic to the plain string (digits before letters,
+    shorter prefix first) and ':' is skipped, so the dense rank of
+    replace(external_id, ':', '') is the exact encoded-bytes rank."""
+    return f"""
+WITH {_CORPUS_CTE},
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+),
+cand AS (
+  SELECT DISTINCT CAST(q.query_id AS BIGINT) AS query_id, t.docid
+  FROM q JOIN tf t USING (term)
+),
+pg AS (
+  SELECT docid,
+         CAST(dense_rank() OVER (
+           ORDER BY replace(conv_id || ':' || CAST(turn_idx AS VARCHAR),
+                            ':', '')
+         ) AS BIGINT) AS score
+  FROM docmap
+),
+acc AS (
+  SELECT c.query_id, c.docid, CAST(pg.score AS BIGINT) AS rsv_fixed
+  FROM cand c JOIN pg ON pg.docid = c.docid
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM acc
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_readable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readable ranker, reference defaults (mix=0, cutoff=hardest):
     matched docs ranked easiest-reading-first by Dale-Chall; the
@@ -4658,7 +4716,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         [("qaat_exact", _q_qaat_exact), ("wand", _q_bm25_wand)],
         "mode",
     )
-    reg["pregen_recent_topk"] = _q_pregen_recent
+    reg["pregen_recent_topk"] = _suite_fn(
+        [
+            ("recent", _q_pregen_recent),
+            ("strexact", _q_pregen_strexact),
+        ],
+        "field",
+    )
     reg["readable_topk"] = _q_readable
     reg["bm25_quantized_topk"] = _suite_fn(
         [("fixed8", _q_bm25_quantized), ("auto", _q_bm25_quantized_auto)],
@@ -5138,7 +5202,13 @@ WHERE r.rank <= {TOP_K}
         ],
         "mode",
     )
-    reg["pregen_recent_topk"] = parts["pregen_recent_topk"]
+    reg["pregen_recent_topk"] = _suite_sql(
+        [
+            ("recent", parts["pregen_recent_topk"]),
+            ("strexact", _pregen_strexact_sql(TOP_K)),
+        ],
+        "field",
+    )
     reg["readable_topk"] = parts["readable_topk"]
     reg["bm25_quantized_topk"] = _suite_sql(
         [
