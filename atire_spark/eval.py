@@ -523,3 +523,97 @@ def evaluate(
             raise ValueError(f"unknown metric {m!r}")
         out = df if out is None else out.join(df, "query_id", "outer")
     return out.orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+def kendall_tau(pairs) -> float:
+    """Kendall's tau-b between two score lists over the same documents
+    — the reference's pregen-ordering comparison
+    (source/pregen_kendall_tau.c:116-190, the O(n log n) Knight 1966
+    method it cites): sort by (score1 desc, score2 desc), count the
+    merge-sort swaps needed to order score2 descending, apply the
+    tie-correction factors 2n1/2n2 and the reference's
+    "jointly-tied blocks" 2n3 reading (:164-179, counted over
+    consecutive runs tied on BOTH keys in the (s1, s2) sort).
+
+    tau = ((2n0 − 2n1 − 2n2 + 2n3)/2 − 2·swaps)
+          / sqrt((2n0 − 2n1)(2n0 − 2n2) / 4)
+
+    ``pairs``: iterable of (score1, score2).
+    """
+    docs = sorted(pairs, key=lambda p: (-p[0], -p[1]))
+    n = len(docs)
+    twice_n0 = n * (n - 1)
+
+    def _twice_ties(key) -> int:
+        total, i = 0, 0
+        while i < n - 1:
+            j = i + 1
+            while j < n and key(docs[i]) == key(docs[j]):
+                j += 1
+            ties = j - i
+            if ties > 1:
+                total += ties * (ties - 1)
+            i = j
+        return total
+
+    twice_n1 = _twice_ties(lambda p: p[0])
+    twice_n3 = _twice_ties(lambda p: (p[0], p[1]))
+
+    # merge-sort swap count ordering score2 descending (:49-111)
+    def _sort(lst):
+        if len(lst) <= 1:
+            return lst, 0
+        mid = len(lst) // 2
+        left, s1 = _sort(lst[:mid])
+        right, s2 = _sort(lst[mid:])
+        merged, swaps, i, j = [], s1 + s2, 0, 0
+        while i < len(left) or j < len(right):
+            if i >= len(left) or (
+                j < len(right) and right[j][1] > left[i][1]
+            ):
+                swaps += len(left) - i
+                merged.append(right[j])
+                j += 1
+            else:
+                merged.append(left[i])
+                i += 1
+        return merged, swaps
+
+    docs, swaps = _sort(docs)
+    twice_n2 = _twice_ties(lambda p: p[1])
+
+    numerator = (twice_n0 - twice_n1 - twice_n2 + twice_n3) // 2 - 2 * swaps
+    denominator = math.sqrt(
+        (twice_n0 - twice_n1) * (twice_n0 - twice_n2) / 4.0
+    )
+    return numerator / denominator
+
+
+def kendall_tau_df(
+    scores: DataFrame,
+    col1: str,
+    col2: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Distributed wrapper: tau-b per ``by`` group (or one global row)
+    over a (…, col1, col2) frame — one applyInPandas pass, each group
+    the size of a result list, exactly the per-pregen-pair comparison
+    the reference runs in RAM."""
+    import pandas as pd
+
+    group_col = by or "_g"
+    src = (
+        scores
+        if by is not None
+        else scores.withColumn("_g", F.lit(0))
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        tau = kendall_tau(list(zip(pdf[col1], pdf[col2])))
+        return pd.DataFrame({group_col: [pdf[group_col].iloc[0]], "tau": [tau]})
+
+    out = src.select(group_col, col1, col2).groupBy(group_col).applyInPandas(
+        fn, schema=f"{group_col} long, tau double"
+    )
+    return out if by is not None else out.select("tau")

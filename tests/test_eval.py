@@ -313,3 +313,75 @@ def test_ia_counts_invalid_subtopics_in_denominator(spark):
     got = intent_aware(mean_average_precision, results, qrels).collect()[0]
     # subtopic 0 AP = 1; subtopic 1 invalid → 0; mean over 2 subtopics
     assert got["ia_average_precision"] == 0.5
+
+
+class TestKendallTau:
+    """pregen_kendall_tau.c:116-190 — tau-b with the reference's tie
+    corrections; verified equivalent to the textbook tau-b."""
+
+    def test_hand_vectors(self):
+        from atire_spark.eval import kendall_tau
+
+        assert kendall_tau([(1, 1), (2, 2), (3, 3)]) == 1.0
+        assert kendall_tau([(1, 3), (2, 2), (3, 1)]) == -1.0
+        assert abs(kendall_tau([(1, 1), (2, 3), (3, 2)]) - 1 / 3) < 1e-12
+
+    def test_matches_brute_force_with_ties(self):
+        import itertools
+        import math
+        import random
+
+        from atire_spark.eval import kendall_tau
+
+        def brute(pairs):
+            conc = disc = t1 = t2 = 0
+            for (a1, a2), (b1, b2) in itertools.combinations(pairs, 2):
+                s1 = (a1 > b1) - (a1 < b1)
+                s2 = (a2 > b2) - (a2 < b2)
+                if s1 == 0 and s2 == 0:
+                    continue
+                if s1 == 0:
+                    t1 += 1
+                elif s2 == 0:
+                    t2 += 1
+                elif s1 == s2:
+                    conc += 1
+                else:
+                    disc += 1
+            return (conc - disc) / math.sqrt(
+                (conc + disc + t1) * (conc + disc + t2)
+            )
+
+        rng = random.Random(9)
+        for _ in range(50):
+            n = rng.randint(3, 30)
+            pairs = [
+                (rng.randint(0, 5), rng.randint(0, 5)) for _ in range(n)
+            ]
+            if len({p[0] for p in pairs}) < 2 or len({p[1] for p in pairs}) < 2:
+                continue
+            assert abs(kendall_tau(pairs) - brute(pairs)) < 1e-9
+
+    def test_spark_grouped(self, spark):
+        import pandas as pd
+
+        from atire_spark.eval import kendall_tau, kendall_tau_df
+
+        pdf = pd.DataFrame(
+            {
+                "query_id": [1, 1, 1, 2, 2, 2],
+                "s1": [1, 2, 3, 1, 2, 3],
+                "s2": [1, 2, 3, 3, 2, 1],
+            }
+        )
+        got = {
+            r["query_id"]: r["tau"]
+            for r in kendall_tau_df(
+                spark.createDataFrame(pdf), "s1", "s2", by="query_id"
+            ).collect()
+        }
+        assert got[1] == 1.0 and got[2] == -1.0
+        single = kendall_tau_df(
+            spark.createDataFrame(pdf[pdf.query_id == 1]), "s1", "s2"
+        ).collect()[0]["tau"]
+        assert single == 1.0
