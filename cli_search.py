@@ -24,6 +24,19 @@ def main() -> None:
     ap.add_argument("--index", required=True, help="index workdir (from cli_build)")
     ap.add_argument("--query", action="append", default=[], help="query text (repeatable)")
     ap.add_argument("--queries-file", help="ANT-format query file: '<id> <terms...>'")
+    ap.add_argument(
+        "--topics-format",
+        choices=["ant", "trec", "inex"],
+        default="ant",
+        help="query-file format: raw 'id terms' lines (default), a TREC "
+        "topic file, or an INEX topic file (channel_trec/channel_inex)",
+    )
+    ap.add_argument(
+        "--topics-tags",
+        default="t",
+        help="which topic fields feed the query: combination of "
+        "q/t/d/n (TREC) or t/c/d/n (INEX)",
+    )
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument(
         "--ranker", choices=["bm25", "termcount", "topsig"], default="bm25"
@@ -86,13 +99,28 @@ def main() -> None:
 
     batch: list[tuple[int, str]] = []
     if args.queries_file:
-        with open(args.queries_file) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                qid, _, terms = line.partition(" ")
-                batch.append((int(qid), terms))
+        if args.topics_format in ("trec", "inex"):
+            from atire_spark.topics import (
+                read_inex_topics,
+                read_trec_topics,
+            )
+
+            with open(args.queries_file) as fh:
+                text = fh.read()
+            reader = (
+                read_trec_topics
+                if args.topics_format == "trec"
+                else read_inex_topics
+            )
+            batch.extend(reader(text, tags=args.topics_tags))
+        else:
+            with open(args.queries_file) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    qid, _, terms = line.partition(" ")
+                    batch.append((int(qid), terms))
     for i, q in enumerate(args.query, start=len(batch) + 1):
         batch.append((i, q))
     if not batch:
