@@ -671,3 +671,78 @@ class TestDictSegmenter:
             want = tokenize(t, cjk_segmenter=seg)
             assert sorted(toks.iloc[i]) == sorted(want), t
             assert lens[i] == len(want)
+
+
+class TestScrubber:
+    """directory_iterator_scrub.c:33-127 byte vectors."""
+
+    def test_nul_mode(self):
+        from atire_spark.kernels.scrub import NUL, scrub
+
+        assert scrub(b"a\x00b", NUL) == b"a b"
+        assert scrub(b"a\x00b", 0) == b"a\x00b"
+
+    def test_non_ascii_mode(self):
+        from atire_spark.kernels.scrub import NON_ASCII, scrub
+
+        assert scrub("aé".encode(), NON_ASCII) == b"a  "
+
+    def test_utf8_wild_continuation(self):
+        from atire_spark.kernels.scrub import UTF8, scrub
+
+        assert scrub(b"a\x80b", UTF8) == b"a b"
+
+    def test_utf8_valid_passthrough(self):
+        from atire_spark.kernels.scrub import UTF8, scrub
+
+        s = "héllo 世界".encode()
+        assert scrub(s, UTF8) == s
+
+    def test_utf8_surrogate_lead_spaced(self):
+        from atire_spark.kernels.scrub import UTF8, scrub
+
+        # 0xD8-0xDF leads spaced; their continuation chomped after
+        assert scrub(b"a\xd8\xb0b", UTF8) == b"a  b"
+
+    def test_utf8_overlong_ascii_decoded(self):
+        from atire_spark.kernels.scrub import UTF8, scrub
+
+        # 0xC1 0xA1 is overlong for 'a' (0x61); second byte chomped
+        assert scrub(b"\xc1\xa1x", UTF8) == b"a x"
+        # overlong NUL becomes space
+        assert scrub(b"\xc0\x80x", UTF8) == b"  x"
+
+    def test_utf8_overlong_multibyte_reencoded(self):
+        from atire_spark.kernels.scrub import UTF8, scrub
+
+        # 0xE0 0x81 0xA1 is an overlong 3-byte 'a': re-encoded to a
+        # single 'a' at the lead, BOTH leftover continuation bytes
+        # chomped on the following iterations
+        assert scrub(b"\xe0\x81\xa1x", UTF8) == b"a  x"
+
+    def test_utf8_truncated_sequence_spaced(self):
+        from atire_spark.kernels.scrub import UTF8, scrub
+
+        # 3-byte lead with only one continuation then ASCII
+        assert scrub(b"\xe4\xb8x", UTF8) == b"  x"
+        # truncated at end of buffer
+        assert scrub(b"x\xe4\xb8", UTF8) == b"x  "
+
+    def test_utf8_beyond_max_codepoint(self):
+        from atire_spark.kernels.scrub import UTF8, scrub
+
+        # 0xF5.. leads are beyond U+10FFFF
+        assert scrub(b"\xf5\x80\x80\x80", UTF8) == b"    "
+
+    def test_spark_column_wrapper(self, spark):
+        import pandas as pd
+
+        from atire_spark.kernels.scrub import UTF8, scrub_column
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"text": ["ok", "a\udc80b"]})
+        )
+        got = [
+            r["text"] for r in scrub_column(df, "text", UTF8).collect()
+        ]
+        assert got[0] == "ok" and "a" in got[1] and "b" in got[1]
