@@ -29,12 +29,18 @@ Reimplements the *capabilities* of the reference ATIRE engine
   slot on both index and query side.
 - corpus operators: dedup (exact/MinHash-LSH/SimHash/embedding-cosine),
   fingerprints, token stats, quality, language ID, Dale-Chall, brute +
-  multi-band-LSH + IVF cosine kNN, multimodal binary plumbing
-  (metadata, resize planning, frame sampling; decode stubbed).
+  multi-band-LSH + IVF cosine kNN (k-means-trained build/query split),
+  multimodal binary plumbing (real PNG/BMP/GIF/RIFF header decode,
+  resize planning, frame sampling).
+- periphery (r3): TREC/INEX run-file exporters (the full forum-writer
+  family), broker-style federated search, docid reorder, TREC/INEX
+  topic-file readers, the pregen writer family, Kendall tau-b, the
+  compressed document repository, the -S byte scrubber, and the
+  dictionary/doclist utility CLIs.
 
 Nothing here is a port: the reference's hash tables, B-trees and byte
 buffers are replaced by DataFrame aggregations, Iceberg/Parquet segment
 tables and numpy kernels.
 """
 
-__version__ = "0.2.1"
+__version__ = "0.3.0"
