@@ -243,6 +243,114 @@ WHERE CAST(i.n_int AS DOUBLE)
 """
 
 
+# exact n-gram Jaccard dedup: same pair spec as the MinHash member but
+# candidate generation is an inverted-index (rare-n-gram blocking) join
+# instead of banded signatures — every pair sharing at least one n-gram
+# with df <= NGRAM_DF_CAP is compared exactly. The df cap is the scale
+# guard (prefix-filtering analogue): a boilerplate n-gram shared by
+# every doc would otherwise emit a quadratic candidate set; capping df
+# bounds any one join key to <= cap^2 candidate pairs, and near-dup
+# pairs still block on their rare n-grams. The cap is part of the
+# operator's spec, mirrored exactly by the SQL oracle.
+NGRAM_N = MINHASH_SHINGLE
+NGRAM_DF_CAP = 20
+NGRAM_THR = MINHASH_JACCARD
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via rare-n-gram
+    blocking. Unlike MinHash (probabilistic banding), recall is
+    guaranteed for any pair sharing >= 1 n-gram rarer than the df cap;
+    the exact-intersection rerank is shared with the MinHash member.
+    Same output schema as :func:`dedup_minhash_lsh` so both certify
+    under one suite entry (on this corpus both find the identical 25
+    planted near-dup pairs — a cross-validation of the two methods)."""
+    n, cap, thr = NGRAM_N, NGRAM_DF_CAP, NGRAM_THR
+    sh = _shingles(spark, sf_dir, n=n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = sh.join(dfc.filter(F.col("df") <= cap), "shingle").select(
+        "doc_id", "shingle"
+    )
+    a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_int"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_int").cast("long").alias("intersection"),
+            F.col("n_a").cast("long").alias("n_shingles_a"),
+            F.col("n_b").cast("long").alias("n_shingles_b"),
+            (
+                F.col("n_int").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_int")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= thr)
+    )
+
+
+def dedup_ngram_jaccard_sql() -> str:
+    n, cap, thr = NGRAM_N, NGRAM_DF_CAP, NGRAM_THR
+    return f"""
+WITH dtoks AS (
+  SELECT doc_id, {TOKS_EXPR} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(0, len(toks) - {n - 1}),
+                j -> array_to_string(list_slice(toks, j + 1, j + {n}), ' ')))) AS shingle
+  FROM dtoks WHERE len(toks) >= {n}
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+rare AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle)
+  WHERE dfc.df <= {cap}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_int
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_int AS BIGINT) AS intersection,
+       CAST(na.n_sh AS BIGINT) AS n_shingles_a,
+       CAST(nb.n_sh AS BIGINT) AS n_shingles_b,
+       CAST(i.n_int AS DOUBLE)
+         / CAST(na.n_sh + nb.n_sh - i.n_int AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.n_int AS DOUBLE)
+      / CAST(na.n_sh + nb.n_sh - i.n_int AS DOUBLE) >= {thr}
+"""
+
+
 # ----------------------------------------------------------- fingerprints
 _HEX = "0123456789abcdef"
 # hex chars with bit b set, for b = 0..3
@@ -315,6 +423,112 @@ sums AS (
 SELECT doc_id,
        {words}
 FROM sums
+"""
+
+
+# SimHash near-duplicate pairs: Hamming-distance blocking over the four
+# 16-bit signature words. Pigeonhole: hamming <= SIMHASH_HAM_MAX (3)
+# over 64 bits forces at least one of the 4 words to match exactly, so
+# word-equality blocking has guaranteed recall at that radius. Exact
+# Hamming is then bit_count(xor(...)) per word on the candidates only.
+# Scale: the block join keys are 16-bit word values — up to 4 * 2^16
+# buckets, each bounded by the corpus's signature collision rate; a
+# degenerate all-same-word corpus is the skew case (AQE skew-join /
+# salting, same playbook as the index build's stop terms).
+SIMHASH_HAM_MAX = 3
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming radius <= SIMHASH_HAM_MAX.
+
+    Output shares the near-dup pair suite schema: ``intersection`` is
+    the number of agreeing bits (64 - hamming), ``n_shingles_a/b`` are
+    the signature width (64), ``jaccard`` is the bit-agreement fraction
+    — the signature-space similarity this member ranks by."""
+    sig = simhash(spark, sf_dir)
+    blocks = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(w).alias("w"), F.col(f"w{w}").alias("val")
+                    )
+                    for w in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w").alias("w"), F.col("b.val").alias("val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"w{w}").alias(f"a{w}") for w in range(4)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"w{w}").alias(f"b{w}") for w in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.expr(f"a{w} ^ b{w}")) for w in range(4)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.lit(64) - F.col("hamming")).cast("long").alias("intersection"),
+            F.lit(64).cast("long").alias("n_shingles_a"),
+            F.lit(64).cast("long").alias("n_shingles_b"),
+            ((F.lit(64) - F.col("hamming")).cast("double") / 64.0).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def dedup_simhash_pairs_sql() -> str:
+    ham = " + ".join(f"bit_count(xor(sa.w{w}, sb.w{w}))" for w in range(4))
+    return f"""
+WITH sig AS (
+{simhash_sql()}
+),
+blocks AS (
+  SELECT doc_id, unnest([0, 1, 2, 3]) AS w, unnest([w0, w1, w2, w3]) AS val
+  FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a JOIN blocks b
+    ON a.w = b.w AND a.val = b.val AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT p.doc_a, p.doc_b, {ham} AS hamming
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(64 - hamming AS BIGINT) AS intersection,
+       CAST(64 AS BIGINT) AS n_shingles_a,
+       CAST(64 AS BIGINT) AS n_shingles_b,
+       CAST(64 - hamming AS DOUBLE) / 64.0 AS jaccard
+FROM ham
+WHERE hamming <= {SIMHASH_HAM_MAX}
 """
 
 
@@ -1609,9 +1823,35 @@ LIMIT {EMB_DEDUP_TOPN}
 """
 
 
+# near-dup pair suite: three independent algorithms over the shared
+# (doc_a, doc_b, intersection, n_shingles_a, n_shingles_b, jaccard)
+# pair schema, tagged by `method` so one driver row certifies all
+# three (the registry is pinned to the driver's 50-entry window).
+_NEARDUP_MEMBERS = [
+    ("minhash_lsh", dedup_minhash_lsh, dedup_minhash_lsh_sql),
+    ("ngram_jaccard", dedup_ngram_jaccard, dedup_ngram_jaccard_sql),
+    ("simhash_hamming", dedup_simhash_pairs, dedup_simhash_pairs_sql),
+]
+
+
+def dedup_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tag, fn, _ in _NEARDUP_MEMBERS:
+        d = fn(spark, sf_dir).select(F.lit(tag).alias("method"), "*")
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def dedup_neardup_suite_sql() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{tag}' AS method, sub.* FROM (\n{sql_fn()}\n) sub"
+        for tag, _, sql_fn in _NEARDUP_MEMBERS
+    )
+
+
 CORPUS_QUERIES = {
     "dedup_exact": dedup_exact,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh": dedup_neardup_suite,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "fingerprint_simhash": simhash,
     "fingerprint_mink": doc_fingerprint,
@@ -1631,7 +1871,7 @@ CORPUS_QUERIES = {
 def corpus_oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": dedup_exact_sql(),
-        "dedup_minhash_lsh": dedup_minhash_lsh_sql(),
+        "dedup_minhash_lsh": dedup_neardup_suite_sql(),
         "dedup_embedding_cosine": dedup_embedding_cosine_sql(),
         "fingerprint_simhash": simhash_sql(),
         "fingerprint_mink": doc_fingerprint_sql(),
