@@ -194,6 +194,44 @@ def _q_bm25_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.search_batch(TESTDATA_QUERIES, k=TOP_K)
 
 
+def _q_bm25_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming standing-query matcher (stream_query.py) over the same
+    corpus: every turn scored against the broadcast query set with
+    frozen snapshot stats, reshaped to top-k. A completely different
+    code path from the index scan (stateless mapInPandas per-turn
+    scoring vs segment decode) that must land on the IDENTICAL
+    fixed-point BM25 ranking — so the unchanged batch oracle certifies
+    the streaming matcher's arithmetic end-to-end."""
+    from pyspark.sql import Window
+
+    from atire_spark.stream_query import (
+        frozen_stats_from_index,
+        standing_query_matches,
+    )
+
+    eng = _engine(spark, sf_dir)
+    stats = frozen_stats_from_index(spark, eng.index, TESTDATA_QUERIES)
+    m = standing_query_matches(
+        _transcripts(spark, sf_dir), TESTDATA_QUERIES, stats
+    )
+    d = eng.index.docmap.select("docid", "conv_id", "turn_idx")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv_fixed").desc(), F.col("docid").desc()
+    )
+    return (
+        m.join(d, ["conv_id", "turn_idx"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            "docid",
+            "rsv_fixed",
+            (F.col("rsv_fixed") / F.lit(100.0)).alias("rsv"),
+        )
+    )
+
+
 def _merged_engine(spark: SparkSession, sf_dir: str):
     """Index produced by atire_merge's recipe (README.md:78-86): build
     the two halves of the corpus as INDEPENDENT 0-based indexes, then
@@ -4756,7 +4794,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ],
         "mode",
     )
-    reg["bm25_streamed_topk"] = _q_bm25_streamed
+    reg["bm25_streamed_topk"] = _suite_fn(
+        [
+            ("ingest", _q_bm25_streamed),
+            ("standing", _q_bm25_standing),
+        ],
+        "mode",
+    )
     reg["bm25_codecs_topk"] = _suite_fn(
         [
             ("simple9", _q_bm25_simple9),
@@ -5269,7 +5313,17 @@ FROM tf t CROSS JOIN stats s""",
         ],
         "mode",
     )
-    reg["bm25_streamed_topk"] = parts["bm25_streamed_topk"]
+    reg["bm25_streamed_topk"] = _suite_sql(
+        [
+            # streamed (two-append) index == batch build ⇒ same oracle
+            ("ingest", parts["bm25_streamed_topk"]),
+            # standing-query matcher (streaming query side): per-turn
+            # mapInPandas scoring must land the identical fixed-point
+            # ranking ⇒ the very same oracle certifies it
+            ("standing", parts["bm25_streamed_topk"]),
+        ],
+        "mode",
+    )
     reg["bm25_codecs_topk"] = _suite_sql(
         [
             ("simple9", parts["bm25_simple9_topk"]),
