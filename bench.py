@@ -278,6 +278,30 @@ def main() -> None:
             "batch_query_sec": round(topsig_query_sec, 3),
         }
 
+        # ---- streaming standing-query matcher throughput ----------------
+        # the alerting/routing inversion (stream_query.py): all 8 bench
+        # queries stand, every turn of the full bench corpus streams
+        # past them — stateless map-only scan, so turns/sec here is the
+        # per-core routing capacity (matcher turns/sec scales linearly
+        # with executors; nothing shuffles)
+        from atire_spark.stream_query import (
+            frozen_stats_from_index,
+            standing_query_matches,
+        )
+
+        standing = [(i + 1, q) for i, (_, q) in enumerate(BENCH_QUERIES)]
+        sq_stats = frozen_stats_from_index(spark, idx, standing)
+        t0 = time.monotonic()
+        n_matches = standing_query_matches(tdf, standing, sq_stats).count()
+        sq_sec = time.monotonic() - t0
+        standing_block = {
+            "turns": n_turns,
+            "standing_queries": len(standing),
+            "matches": int(n_matches),
+            "scan_sec": round(sq_sec, 3),
+            "turns_per_sec": round(n_turns / sq_sec, 1),
+        }
+
         # ---- sf-dir corpus end-to-end (driver cross-round signal) -------
         t0 = time.monotonic()
         import __spark_entry__ as entry_mod
@@ -306,6 +330,7 @@ def main() -> None:
         "qaat_pruning_skewed": qaat_skewed,
         "wand_pruning": wand,
         "topsig": topsig,
+        "standing_query": standing_block,
         "cpus": cpus,
         "gen_sec": round(gen_sec, 3),
     }
