@@ -69,6 +69,31 @@ def _write_state(index_dir: str, state: dict) -> None:
     os.replace(tmp, p)
 
 
+def _append_ingest_log(
+    spark: SparkSession, index_dir: str, row: dict
+) -> None:
+    """Per-epoch lineage/metrics row (append-only parquet) — the
+    streaming counterpart of the checkpointed build's _build_log
+    (turns parsed, postings emitted, bytes compressed per partition of
+    work; here the partition IS the epoch)."""
+    import datetime as _dt
+
+    row = {
+        **row,
+        "ts": _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
+    }
+    spark.createDataFrame(
+        [row],
+        "epoch long, docs_added long, turns_seen long, postings_rows long,"
+        " postings_bytes long, wall_sec double, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(f"{index_dir}/_ingest_log")
+
+
+def read_ingest_log(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The stream's lineage: one row per committed epoch."""
+    return spark.read.parquet(f"{index_dir}/_ingest_log")
+
+
 def append_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -83,6 +108,9 @@ def append_batch(
     The same function body serves foreachBatch and direct incremental
     appends (the reference's multi-part + merge recipe run by hand).
     """
+    import time as _time
+
+    t0 = _time.monotonic()
     state = _read_state(index_dir)
     if epoch_id <= state["last_epoch"]:
         return 0  # replayed epoch after restart: already committed
@@ -113,6 +141,18 @@ def append_batch(
                 "stemmer": stemmer or "",
             },
         )
+        _append_ingest_log(
+            spark,
+            index_dir,
+            {
+                "epoch": int(epoch_id),
+                "docs_added": 0,
+                "turns_seen": None,
+                "postings_rows": 0,
+                "postings_bytes": 0,
+                "wall_sec": round(_time.monotonic() - t0, 3),
+            },
+        )
         return 0
     # shift this batch's docids past everything already indexed
     offsets = {pid: off + base for pid, off in offsets.items()}
@@ -140,6 +180,12 @@ def append_batch(
     )
     term_stats.write.mode("append").parquet(f"{index_dir}/term_stats")
     docmap.write.mode("append").parquet(f"{index_dir}/docmap")
+    # per-epoch metrics over the persisted stage (one extra agg job,
+    # no re-tokenize): segment rows emitted + compressed posting bytes
+    m = postings.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.length("postings")).alias("bytes"),
+    ).collect()[0]
     for df_ in registry:
         df_.unpersist()
     _write_state(
@@ -148,6 +194,18 @@ def append_batch(
             "n_docs": base + n_new,
             "last_epoch": int(epoch_id),
             "stemmer": stemmer or "",
+        },
+    )
+    _append_ingest_log(
+        spark,
+        index_dir,
+        {
+            "epoch": int(epoch_id),
+            "docs_added": int(n_new),
+            "turns_seen": None,
+            "postings_rows": int(m["rows"]),
+            "postings_bytes": int(m["bytes"] or 0),
+            "wall_sec": round(_time.monotonic() - t0, 3),
         },
     )
     return n_new

@@ -91,6 +91,17 @@ def test_epoch_replay_is_idempotent(spark, stream_dirs):
     idx = load_stream_index(spark, index_dir)
     assert idx.docmap.count() == 3
 
+    # lineage: exactly one committed-epoch metrics row (the replay
+    # logged nothing), with real posting volume
+    from atire_spark.streaming import read_ingest_log
+
+    log = read_ingest_log(spark, index_dir).collect()
+    assert len(log) == 1
+    row = log[0]
+    assert row["epoch"] == 0 and row["docs_added"] == 3
+    assert row["postings_rows"] > 0 and row["postings_bytes"] > 0
+    assert row["wall_sec"] > 0
+
 
 def test_readstream_file_source_drains(spark, stream_dirs):
     """End-to-end through writeStream/foreachBatch with a file source
