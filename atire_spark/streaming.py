@@ -247,6 +247,29 @@ def stream_build(
     return writer.start()
 
 
+def compact_stream_index(
+    spark: SparkSession, index_dir: str, out_dir: str
+) -> None:
+    """Compact a streamed index into the batch layout.
+
+    Continuous appends accumulate one small segment/term-stats/docmap
+    file set per epoch; scans stay correct (the query side unions a
+    term's segments) but pay a per-file cost and lose file-level
+    min/max pruning because each epoch's file spans the whole term
+    range. Compaction is the LSM/Iceberg-maintenance step: aggregate
+    the term-stat partials, inline global df/cf, and rewrite postings
+    RANGE-clustered by (term, seg_group) — i.e. exactly
+    ``write_index(load_stream_index(...))``. Docids, scores, and ranks
+    are unchanged (the reference analogue is atire_merge compacting
+    per-part indexes, README.md:78-93); the output is a normal batch
+    index that ``load_index`` serves, and ingestion can continue into
+    the original directory meanwhile (reads here are snapshot-scoped).
+    """
+    from atire_spark.build import write_index
+
+    write_index(load_stream_index(spark, index_dir), out_dir)
+
+
 def load_stream_index(spark: SparkSession, index_dir: str) -> IndexTables:
     """Open the streamed index: global term stats aggregate the
     per-batch partials (a metadata-sized table), segments join them on

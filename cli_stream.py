@@ -15,7 +15,13 @@ fixed-point BM25 against a frozen snapshot index's statistics):
         --queries '1:alpha bravo' '2:merge sort' \\
         --out /alerts --checkpoint /ckpt/match [--topk 10]
 
-Both drain-and-stop by default (``--follow`` keeps running). The
+Compact (LSM/Iceberg-maintenance step: rewrite the appended per-epoch
+segment files into the range-clustered batch layout; scores unchanged):
+
+    spark-submit --py-files dist/atire_spark.zip cli_stream.py compact \\
+        --index /idx/live --out /idx/compacted
+
+Ingest and match drain-and-stop by default (``--follow`` keeps running). The
 source is a parquet file stream with the transcripts schema
 (conv_id string, turn_idx int, role string, text string, tool string,
 ts timestamp).
@@ -50,10 +56,10 @@ def _stream(spark, source: str, files_per_trigger: int | None):
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("mode", choices=["ingest", "match"])
-    ap.add_argument("--source", required=True, help="parquet stream dir")
+    ap.add_argument("mode", choices=["ingest", "match", "compact"])
+    ap.add_argument("--source", help="parquet stream dir (ingest/match)")
     ap.add_argument("--index", required=True, help="index dir (ingest: target; match: snapshot for stats)")
-    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--checkpoint", help="stream checkpoint dir (ingest/match)")
     ap.add_argument("--out", help="match output parquet dir")
     ap.add_argument(
         "--queries",
@@ -75,6 +81,30 @@ def main() -> None:
     spark = get_spark(cpus=args.cpus, app=f"atire_spark_stream_{args.mode}")
     t0 = time.monotonic()
 
+    if args.mode == "compact":
+        if not args.out:
+            ap.error("compact mode requires --out")
+        from atire_spark.build import load_index
+        from atire_spark.streaming import compact_stream_index
+
+        compact_stream_index(spark, args.index, args.out)
+        row = load_index(spark, args.out).stats.collect()[0].asDict()
+        print(
+            json.dumps(
+                {
+                    "mode": "compact",
+                    "out": args.out,
+                    "documents": int(row["documents"]),
+                    "unique_terms": int(row["unique_terms"]),
+                    "wall_sec": round(time.monotonic() - t0, 2),
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if not args.source or not args.checkpoint:
+        ap.error(f"{args.mode} mode requires --source and --checkpoint")
     if args.mode == "ingest":
         from atire_spark.streaming import load_stream_index, stream_build
 

@@ -103,6 +103,37 @@ def test_epoch_replay_is_idempotent(spark, stream_dirs):
     assert row["wall_sec"] > 0
 
 
+def test_compacted_stream_index_scores_identical(spark, stream_dirs):
+    """Compaction to the batch layout must not change a single score,
+    and must shrink the posting file count (the point of compacting)."""
+    import glob
+
+    from atire_spark.build import load_index
+    from atire_spark.query import SearchEngine
+    from atire_spark.streaming import (
+        append_batch,
+        compact_stream_index,
+        load_stream_index,
+    )
+
+    index_dir, _ = stream_dirs
+    os.makedirs(index_dir, exist_ok=True)
+    append_batch(spark, spark.createDataFrame(BATCH1), index_dir, 0)
+    append_batch(spark, spark.createDataFrame(BATCH2), index_dir, 1)
+    streamed = SearchEngine(spark, load_stream_index(spark, index_dir))
+
+    out = index_dir + "_compact"
+    compact_stream_index(spark, index_dir, out)
+    compacted = SearchEngine(spark, load_index(spark, out))
+
+    for q in ("alpha", "delta golf", "charlie"):
+        assert _rsv_by_doc(compacted, q) == _rsv_by_doc(streamed, q)
+
+    n_stream = len(glob.glob(f"{index_dir}/segments/*.parquet"))
+    n_compact = len(glob.glob(f"{out}/postings/*.parquet"))
+    assert n_compact < n_stream
+
+
 def test_readstream_file_source_drains(spark, stream_dirs):
     """End-to-end through writeStream/foreachBatch with a file source
     and availableNow trigger (one file per micro-batch)."""
