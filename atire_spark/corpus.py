@@ -569,12 +569,28 @@ FROM documents
 
 
 # ----------------------------------------------------------- text analysis
+# BPE-style pretokenizer regex (GPT-2-ish shape minus apostrophe
+# contractions): space-attached letter runs, digit runs, punctuation
+# runs — the cheap in-engine proxy for "how many BPE tokens will this
+# text cost" before any model tokenizer runs
+BPE_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc token statistics (the whitespace+regex token counter)."""
+    """Per-doc token statistics: the indexer-regex count plus the two
+    counts an LLM-pipeline budgeter wants — whitespace tokens and a
+    BPE-ish pretokenizer count (both closed-form, no model needed)."""
     stop = ", ".join(f"'{s}'" for s in STOPWORDS)
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.expr(f"CAST(size({TOKS_EXPR}) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "size(split(trim(text), '\\\\s+')) END AS BIGINT)"
+        ).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), F.lit(0))
+        ).cast("long").alias("n_bpe_tokens"),
         F.expr(f"CAST(size(array_distinct({TOKS_EXPR})) AS BIGINT)").alias(
             "n_unique"
         ),
@@ -603,6 +619,11 @@ def token_stats_sql() -> str:
     return f"""
 SELECT doc_id,
        CAST(len({t}) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN trim(text) = '' THEN 0 ELSE
+         len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+         AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_RE}')) AS BIGINT)
+         AS n_bpe_tokens,
        CAST(len(list_distinct({t})) AS BIGINT) AS n_unique,
        CASE WHEN len({t}) > 0 THEN
          CAST(list_reduce(list_transform({t}, t -> length(t)), (a, x) -> a + x)
