@@ -73,6 +73,16 @@ def frozen_stats_from_index(
     needs: n_docs, mean_doc_len, and df for exactly the standing
     vocabulary (pushed ``isin`` — the scan reads only the query
     terms' stats rows, never the postings)."""
+    srow0 = idx.stats.collect()[0].asDict()
+    if (srow0.get("stemmer") or "") not in ("", None):
+        # the matcher tokenizes raw query/turn terms; a ~stemmer index's
+        # df table is keyed by stems and would silently miss — refuse,
+        # like SearchEngine does on a stemmer mismatch
+        raise ValueError(
+            "standing-query matching over a stemmed index is not "
+            "supported (stats record ~stemmer="
+            f"{srow0['stemmer']!r}); freeze stats from an unstemmed index"
+        )
     vocab = sorted({t for _, q in standing for t in tokenize(q)})
     srow = idx.stats.select("documents", "mean_doc_len").collect()[0]
     dfs = {

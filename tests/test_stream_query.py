@@ -188,3 +188,12 @@ def test_running_topk_converges_to_batch_topk(spark, corpus):
             last.append((conv, int(tidx), int(rsv)))
         got[qid] = last
     assert got == want
+
+
+def test_standing_refuses_stemmed_index(spark):
+    """A ~stemmer index's df table is keyed by stems; the matcher must
+    refuse instead of silently missing terms (engine mismatch rule)."""
+    pdf = make_transcripts("tiny")
+    idx = build_index(spark, spark.createDataFrame(pdf), stemmer="s")
+    with pytest.raises(ValueError, match="stemmed"):
+        frozen_stats_from_index(spark, idx, STANDING)
