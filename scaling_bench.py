@@ -87,10 +87,40 @@ def worker(cpus: int, n_convs: int, mode: str) -> None:
             f"{tmp}/input"
         )
         tdf = spark.read.parquet(f"{tmp}/input")
-        t0 = time.monotonic()
-        tables = build_index(spark, tdf)
-        write_index(tables, f"{tmp}/idx")
-        build_sec = time.monotonic() - t0
+        job = os.environ.get("SPARK_GRAFT_SCALE_JOB", "build")
+        if job == "match":
+            # standing-query matcher scaling: map-only scan, so this
+            # leg pair evidences the streaming query side's linear
+            # scale-out claim. Stats snapshot + JIT/Arrow warmup are
+            # untimed (a deployed matcher runs against a long-lived
+            # snapshot with warm workers).
+            from atire_spark.stream_query import (
+                frozen_stats_from_index,
+                standing_query_matches,
+            )
+
+            standing = [
+                (1, "term09874"), (2, "alpha"), (3, "term00001 term08712"),
+                (4, "omegaterm"), (5, "alpha bravo charlie"),
+                (6, "term00001 term00002 term00003 term00004 term00005"),
+                (7, "zzznotaterm"), (8, "term00001 term00002"),
+            ]
+            idx = build_index(
+                spark, spark.createDataFrame(pdf.iloc[: len(pdf) // 8])
+            )
+            stats = frozen_stats_from_index(spark, idx, standing)
+            standing_query_matches(
+                spark.createDataFrame(pdf.iloc[: len(pdf) // 8]),
+                standing, stats,
+            ).count()  # warmup
+            t0 = time.monotonic()
+            standing_query_matches(tdf, standing, stats).count()
+            build_sec = time.monotonic() - t0
+        else:
+            t0 = time.monotonic()
+            tables = build_index(spark, tdf)
+            write_index(tables, f"{tmp}/idx")
+            build_sec = time.monotonic() - t0
     spark.stop()
     print(json.dumps({"cpus": cpus, "turns": len(pdf), "build_sec": build_sec}))
 
@@ -127,8 +157,13 @@ def main() -> None:
     r_n = turns / sec_n
     r_4n = turns / sec_4n
     eff = r_4n / (4.0 * r_n)
+    job = os.environ.get("SPARK_GRAFT_SCALE_JOB", "build")
     print(json.dumps({
-        "metric": "index_build_scaling",
+        "metric": (
+            "index_build_scaling"
+            if job == "build"
+            else "standing_query_match_scaling"
+        ),
         "mode": mode,
         "n_cores": n,
         "repeats": repeats,
