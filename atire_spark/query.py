@@ -1982,6 +1982,22 @@ class SearchEngine:
         return results, stats
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _wand_level_df(hits: DataFrame) -> DataFrame:
+        """WAND phase-1 impact-level histogram: docs per (term, impact
+        level) off the quantum-header columns alone — column pruning
+        must leave the ``postings``/``doc_lens`` BINARY columns unread
+        so the threshold pass costs a few KB per matched segment row
+        (audited by tests/test_plan_audit.py)."""
+        return (
+            hits.select(
+                "term",
+                F.explode(F.arrays_zip("impacts", "doc_counts")).alias("z"),
+            )
+            .groupBy("term", F.col("z.impacts").alias("impact"))
+            .agg(F.sum("z.doc_counts").alias("n_docs"))
+        )
+
     def search_wand(
         self,
         queries: list[tuple[int, str]],
@@ -2053,15 +2069,8 @@ class SearchEngine:
         hits = self.postings.filter(F.col("term").isin(terms))
 
         # ---- phase 1: per-term k-doc guarantee off the headers only
-        per_level = (
-            hits.select(
-                "term",
-                F.explode(F.arrays_zip("impacts", "doc_counts")).alias("z"),
-            )
-            .groupBy("term", F.col("z.impacts").alias("impact"))
-            .agg(F.sum("z.doc_counts").alias("n_docs"))
-            .collect()  # bounded: ≤ 2^bits levels per query term
-        )
+        # bounded collect: ≤ 2^bits levels per query term
+        per_level = self._wand_level_df(hits).collect()
         levels: dict[str, list[tuple[int, int]]] = {}
         for r in per_level:
             levels.setdefault(r["term"], []).append(

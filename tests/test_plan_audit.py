@@ -78,6 +78,21 @@ class TestFlagshipSearchPlan:
         assert "CartesianProduct" not in p, p
 
 
+class TestWandThresholdPlan:
+    def test_phase1_reads_quantum_headers_only(self, engine):
+        """The WAND threshold pass must stay metadata-only: column
+        pruning leaves the postings/doc_lens BINARY columns unread, so
+        phase 1 costs a few KB per matched segment row at any scale."""
+        from pyspark.sql import functions as F
+
+        hits = engine.postings.filter(F.col("term").isin(["alpha", "beta"]))
+        p = plan_of(engine._wand_level_df(hits))
+        schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+        assert schema, p
+        assert "postings" not in schema[0] and "doc_lens" not in schema[0], p
+        assert "impacts" in schema[0] and "doc_counts" in schema[0], p
+
+
 class TestCorpusOpPlans:
     def test_knn_brute_broadcasts_query_side_only(self, spark):
         p = plan_of(knn_brute_cosine(spark, SF))
