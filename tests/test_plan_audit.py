@@ -78,6 +78,41 @@ class TestFlagshipSearchPlan:
         assert "CartesianProduct" not in p, p
 
 
+class TestStreamIndexPlans:
+    def test_pushdown_survives_append_and_compaction(
+        self, spark, tmp_path_factory
+    ):
+        """The streaming story only holds at scale if the epoch-appended
+        layout AND the compacted layout both keep the pushed term filter
+        on the postings scan — an epoch partition column that broke
+        filter pushdown would silently turn every query into a full
+        scan of the accumulated index."""
+        import os
+
+        from atire_spark.streaming import (
+            append_batch,
+            compact_stream_index,
+            load_stream_index,
+        )
+
+        index_dir = str(tmp_path_factory.mktemp("planstream") / "idx")
+        os.makedirs(index_dir, exist_ok=True)
+        pdf = make_transcripts("tiny")
+        half = len(pdf) // 2
+        append_batch(spark, spark.createDataFrame(pdf.iloc[:half]), index_dir, 0)
+        append_batch(spark, spark.createDataFrame(pdf.iloc[half:]), index_dir, 1)
+
+        appended = SearchEngine(spark, load_stream_index(spark, index_dir))
+        p = plan_of(appended.search_batch([(1, "alpha beta")]))
+        assert "PushedFilters: [In(term, " in p, p
+
+        out_dir = str(tmp_path_factory.mktemp("planstream") / "compacted")
+        compact_stream_index(spark, index_dir, out_dir)
+        compacted = SearchEngine(spark, load_index(spark, out_dir))
+        p = plan_of(compacted.search_batch([(1, "alpha beta")]))
+        assert "PushedFilters: [In(term, " in p, p
+
+
 class TestWandThresholdPlan:
     def test_phase1_reads_quantum_headers_only(self, engine):
         """The WAND threshold pass must stay metadata-only: column
