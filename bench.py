@@ -98,14 +98,22 @@ def main() -> None:
         eng = SearchEngine(spark, idx)
         eng.search_one("alpha", k=10).collect()  # warm cache + JIT
 
-        q_secs: dict[str, float] = {}
-        for name, qtext in BENCH_QUERIES:
-            runs = []
-            for _ in range(3):
+        # interleaved rounds: run the full query set 3 times round-robin
+        # and take each query's median ACROSS rounds — a transient host
+        # stall then inflates one round of every query (rejected by the
+        # median) instead of all repeats of whichever one or two queries
+        # happened to be running (observed: two adjacent queries at ~5 s
+        # while the other six sat at ~1 s under a back-to-back protocol)
+        q_runs: dict[str, list[float]] = {name: [] for name, _ in BENCH_QUERIES}
+        for _ in range(3):
+            for name, qtext in BENCH_QUERIES:
                 t0 = time.monotonic()
                 eng.search_one(qtext, k=10).collect()
-                runs.append(time.monotonic() - t0)
-            q_secs[name] = round(statistics.median(runs), 4)
+                q_runs[name].append(time.monotonic() - t0)
+        q_secs = {
+            name: round(statistics.median(runs), 4)
+            for name, runs in q_runs.items()
+        }
 
         # ---- QaaT block-max pruning stats (QUANTUM_STOP_DIFF) -----------
         # the heuristic early termination is NOT oracle-gated (it is a
