@@ -52,17 +52,20 @@ STEM_QUERIES: list[tuple[int, str]] = [
     (8, "zzzmissings"),
 ]
 
-# NEXI CO grammar coverage: +/- signs (parsed, scored as bare terms),
-# phrases (degrade to bags), punctuation stopping the scan
+# NEXI CO grammar coverage — reference-exact, binary-verified
+# (reference_ab.py): +/- signs (parsed, scored as bare terms), phrases
+# (ONE inert verbatim term), punctuation leaving a trailing token →
+# ERROR_PREMATURE_END_OF_QUERY → the query is refused (0 hits), and
+# all-uppercase terms kept verbatim as tag lookups (inert here)
 NEXI_QUERIES: list[tuple[int, str]] = [
     (1, "+dup"),
     (2, "-dup"),
     (3, "dup + spark"),
-    (4, "hash, join"),  # comma stops the CO scan → only "hash"
-    (5, '"hash join" merge'),
+    (4, "hash, join"),  # comma stopper + leftover → query refused
+    (5, '"hash join" merge'),  # phrase inert → only "merge" scores
     (6, "spark -dup window"),
-    (7, "the; spark"),  # semicolon stops → only "the"
-    (8, "+DUP -THE"),
+    (7, "the; spark"),  # semicolon stopper + leftover → refused
+    (8, "+DUP -THE"),  # all-upper = tag names, match nothing
 ]
 
 # boolean grammar coverage (AND/OR/NOT/XOR, brackets, adjacency=OR)
@@ -2358,15 +2361,16 @@ def _q_nexi_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # HAND-WRITTEN expected parses (not generated from the engine's parser,
-# so the oracle independently pins the CO-grammar semantics):
+# so the oracle independently pins the CO-grammar semantics). Queries
+# 4 and 7 are REFUSED (trailing token after the stopper →
+# ERROR_PREMATURE_END_OF_QUERY, NEXI_ant.c:27-28) and query 8's
+# all-uppercase tag terms match nothing — none contribute rows; query
+# 5's phrase is one inert verbatim term, so only "merge" scores.
 _NEXI_EXPECTED_VALUES = """(1, 'dup', 1),
        (2, 'dup', 1),
        (3, 'dup', 1), (3, 'spark', 1),
-       (4, 'hash', 1),
-       (5, 'hash', 1), (5, 'join', 1), (5, 'merge', 1),
-       (6, 'spark', 1), (6, 'dup', 1), (6, 'window', 1),
-       (7, 'the', 1),
-       (8, 'dup', 1), (8, 'the', 1)"""
+       (5, 'merge', 1),
+       (6, 'spark', 1), (6, 'dup', 1), (6, 'window', 1)"""
 
 
 # NEXI CAS grammar coverage (nexi.c:510-567): about() clauses, nested
@@ -2386,11 +2390,13 @@ NEXI_CAS_QUERIES: list[tuple[int, str]] = [
 
 # HAND-DERIVED expected parses (the oracle pins the CAS degradation
 # semantics independently of the engine's parser); error queries 7-8
-# contribute no rows
+# contribute no rows, and query 4's quoted phrase is ONE inert
+# verbatim term — binary-verified: //sec[about(., "alpha bravo") and
+# about(., omegaterm)] scores identically to plain ``omegaterm``
 _NEXI_CAS_EXPECTED_VALUES = """(1, 'dup', 1),
        (2, 'spark', 1), (2, 'merge', 1),
        (3, 'dup', 1), (3, 'spark', 1),
-       (4, 'hash', 1), (4, 'join', 1), (4, 'window', 1),
+       (4, 'window', 1),
        (5, '5', 1),
        (6, 'dup', 1), (6, 'spark', 1)"""
 

@@ -28,6 +28,7 @@ import re
 from pyspark.sql import DataFrame, functions as F
 
 from atire_spark.kernels.tokenizer import tokenize
+from atire_spark.query import parse_query
 
 # a tag token, open or close; attribute-free synthetic tags and the
 # reference parser's TT_TAG_OPEN/TT_TAG_CLOSE both anchor on '<'
@@ -163,8 +164,11 @@ def focus_results(
     import pandas as pd
 
     focuser = _FOCUSERS[mode]
+    # query-side terms come from the NEXI CO parse (the reference
+    # focuses the parsed query terms, not a re-tokenization)
     term_sets = {
-        qid: frozenset(tokenize(text)) for qid, text in queries
+        qid: frozenset(t for t, _ in parse_query(text))
+        for qid, text in queries
     }
 
     joined = (

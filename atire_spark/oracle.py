@@ -28,6 +28,20 @@ import pandas as pd
 
 from atire_spark.kernels.tokenizer import tokenize
 
+
+def _query_terms(query: str) -> list[str]:
+    """Query-side term extraction — the reference-exact NEXI CO parse
+    (nexi.c get_next_token/read_CO, see atire_spark.query.parse_nexi):
+    XML-name lexing, case folding with the all-uppercase tag rule,
+    inert verbatim phrase terms, and error-refused queries (an errored
+    parse yields no terms → zero rows). The DOCUMENT side keeps using
+    the index tokenizer — the two lexers intentionally differ, like
+    the reference's parser.c vs nexi.c."""
+    from atire_spark.query import parse_nexi
+
+    return [t.term for t in parse_nexi(query)]
+
+
 K1 = 0.9
 B = 0.4
 TF_CAP = 255
@@ -179,7 +193,7 @@ class OracleIndex:
         if q is None:
             q = self.quantize(bits)
             object.__setattr__(self, key, q)
-        terms = tokenize(query)
+        terms = _query_terms(query)
         acc = np.zeros(self.n_docs, dtype=np.int64)
         touched = np.zeros(self.n_docs, dtype=bool)
         for term in terms:
@@ -209,7 +223,7 @@ class OracleIndex:
         """BM25 top-k → DataFrame(rank, docid, rsv_fixed)."""
         from atire_spark.kernels.stem import query_stem
 
-        terms = [query_stem(t, self.stemmer) for t in tokenize(query)]
+        terms = [query_stem(t, self.stemmer) for t in _query_terms(query)]
         acc = np.zeros(self.n_docs, dtype=np.int64)
         touched = np.zeros(self.n_docs, dtype=bool)
         for term in terms:  # one pass per occurrence, like the reference
@@ -269,7 +283,7 @@ class OracleIndex:
         doc_len_of = {i: int(v) for i, v in enumerate(self.doc_lens)}
         acc = np.zeros(self.n_docs, dtype=np.int64)
         touched = np.zeros(self.n_docs, dtype=bool)
-        for base in tokenize(query):  # one pass per occurrence
+        for base in _query_terms(query):  # one pass per occurrence
             use_iter = len(base) >= 3 and "a" <= base[0] <= "z"
             if use_iter:
                 st = fn(base)
@@ -339,7 +353,7 @@ class OracleIndex:
         """Classic thesaurus expansion (nexi.c:484-495): synset terms
         join the query at the same weight, each scored independently."""
         expanded = []
-        for t in tokenize(query):  # expansion on the raw surface token
+        for t in _query_terms(query):  # expansion on the raw surface token
             expanded.append(t)
             expanded.extend(thesaurus.get_synset(t))
         # reuse the standard loop (it stems each term per occurrence)
@@ -357,7 +371,7 @@ class OracleIndex:
 
         acc = np.zeros(self.n_docs, dtype=np.int64)
         touched = np.zeros(self.n_docs, dtype=bool)
-        for base in tokenize(query):  # one pass per occurrence
+        for base in _query_terms(query):  # one pass per occurrence
             members = [query_stem(base, self.stemmer)]
             members += [
                 query_stem(s, self.stemmer) for s in thesaurus.get_synset(base)

@@ -341,21 +341,83 @@ def _segment_contrib(
 
 from dataclasses import dataclass as _dataclass
 
-# NEXI CO scan tokens: single CJK chars (the parser's unsegmented CJK
-# default, parser.c:251-258 — matching the index side), letter runs,
-# digit runs, or one non-space char (the reference's parser emits
-# punctuation one char at a time, parser.c:339-346). A bigram-indexed
-# corpus needs query bigrams passed via ``parsed_terms``.
+# NEXI query lexer (reference nexi.c:191-253 ``get_next_token`` +
+# nexi.c:92-186 ``ispart``). The NEXI lexer is intentionally DIFFERENT
+# from the document tokenizer: a token starting with an XML
+# name-start character (letter / '_' / ':') runs over the XML NameChar
+# set (letters, digits, '.', '-', '_', ':') plus "'" (apostrophes,
+# ispart's "don't tell me" case) — so ``cat2``/``cat.dog``/``don't``
+# are each ONE query token even though the document side indexes them
+# split. Digit tokens run over digits only; '-' followed by a digit
+# takes the whole negative number; '/' pairs into '//'; '.','(','|',')'
+# are always single-char; any other single-byte punctuation is its own
+# token; whitespace and multi-byte symbols are skipped. All behaviors
+# verified against the compiled reference binary (reference_ab.py).
 from atire_spark.kernels.tokenizer import _CJK as _CJK_RANGES
 from atire_spark.kernels.tokenizer import _CJK_RUN_RE
 
-_NEXI_TOKEN_RE = re.compile(
-    rf"[{_CJK_RANGES}]|(?:(?![{_CJK_RANGES}])[^\W\d_])+|\d+|\S", re.UNICODE
-)
-# with a segmenter the scan takes whole CJK runs (ONFLY, parser.c:27-29)
-_NEXI_TOKEN_RUN_RE = re.compile(
-    rf"[{_CJK_RANGES}]+|(?:(?![{_CJK_RANGES}])[^\W\d_])+|\d+|\S", re.UNICODE
-)
+_CJK_CHAR_RE = re.compile(rf"[{_CJK_RANGES}]")
+
+
+def _is_cjk_char(c: str) -> bool:
+    return _CJK_CHAR_RE.match(c) is not None
+
+
+_NAME_CONT = frozenset("._:-'")
+
+
+def _nexi_lex(text: str, cjk_runs: bool = False) -> list[str]:
+    """Tokenize a NEXI query exactly as get_next_token does.
+
+    ``cjk_runs=True`` keeps CJK runs whole for a query-time segmenter
+    plugin (the reference's segmentation=FALSE path, ispart
+    nexi.c:125-141); the default emits single CJK chars like the
+    unsegmented index side.
+    """
+    toks: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        # skip whitespace and multi-byte non-letter/-digit/-CJK symbols
+        # (get_next_token's skip loop: single-byte non-space chars all
+        # START a token, nexi.c:222-235)
+        if c.isspace() or (
+            ord(c) > 127
+            and not (c.isalpha() or c.isdigit())
+            and not _is_cjk_char(c)
+        ):
+            i += 1
+            continue
+        start = i
+        if _is_cjk_char(c):
+            i += 1
+            if cjk_runs:
+                while i < n and _is_cjk_char(text[i]):
+                    i += 1
+        elif c in ".(|)":
+            i += 1
+        elif c == "-":
+            i += 1
+            if i < n and text[i].isdigit():  # negative numbers
+                while i < n and text[i].isdigit():
+                    i += 1
+        elif c == "/":
+            i += 2 if text[i : i + 2] == "//" else 1
+        elif c.isalpha() or c in "_:":
+            # XML name: NameChar continuation + '-' and apostrophes
+            i += 1
+            while i < n and not _is_cjk_char(text[i]) and (
+                text[i].isalpha() or text[i].isdigit() or text[i] in _NAME_CONT
+            ):
+                i += 1
+        elif c.isdigit():
+            i += 1
+            while i < n and text[i].isdigit() and not _is_cjk_char(text[i]):
+                i += 1
+        else:
+            i += 1  # every other single-byte char is a one-char token
+        toks.append(text[start:i])
+    return toks
 
 
 @_dataclass
@@ -368,57 +430,139 @@ class NEXITerm:
     rsv_weight: float = 1.0  # POSTSCALAR (feedback sets KL scores)
 
 
-def parse_nexi(text: str, cjk_segmenter=None) -> list[NEXITerm]:
-    """NEXI CO parse (reference nexi.c:437-505 ``read_CO``):
+def _fold_term(tok: str) -> str:
+    """Query-term case normalization (atire_api.c:610-675
+    ``string_pair_to_term`` with case_fold): a term whose characters
+    are ALL uppercase is a tag name for the bag-of-tags approach and
+    is kept verbatim (our untagged indexes hold no tag terms, so it
+    matches nothing — same observable as the reference on a corpus
+    whose only tags have df==N); anything else lowercases whole.
+    Digits are not uppercase, so ``TERM00003`` folds to ``term00003``
+    (and then misses the vocabulary, which holds the document
+    tokenizer's split ``term``/``00003``) — verified against the
+    binary in reference_ab.py."""
+    if tok and all(c.isupper() for c in tok):
+        return tok
+    return tok.lower()
 
-    - ``+``/``-`` single-char tokens set the sign of the NEXT term
-      (nexi.c:453-465); the sign is *recorded* but ranked search
-      scores the bare term — atire_api.c:909 exposes get_sign() for
-      subclasses and the TaaT loop never reads it;
-    - a double-quote starts a phrase (nexi.c:410-431 ``read_phrase``);
-      with no positions in the index a phrase degrades to its bag of
-      terms;
-    - any other punctuation token sets ``more = FALSE``
-      (nexi.c:470-479): the CO scan STOPS — "hash, join" parses to
-      just "hash", faithfully;
-    - terms are lowercased words / raw digit runs (the document
-      tokenizer's normalization), NEXI_term weights default to 1
-      (nexi.c:64 get_NEXI_term).
+
+def _is_phraseless_term(tok: str) -> bool:
+    """read_phraseless_term acceptance (nexi.c:385-407): XML
+    name-start, letter, number, or '-'-prefixed (len>1) tokens."""
+    c = tok[0]
+    return c.isalpha() or c.isdigit() or c in "_:" or (c == "-" and len(tok) > 1)
+
+
+def _read_phrase(toks: list[str], i: int) -> tuple[str, int, bool]:
+    """read_phrase (nexi.c:410-431): consume phraseless terms after the
+    opening quote; the next token must be the closing quote or the
+    query dies with ERROR_INVALID_PHRASE. The phrase becomes ONE term
+    spanning open quote to close quote — it contains '"' so it can
+    never match the vocabulary and contributes nothing to ranked
+    scoring (verified: ``sat "dog"`` scores only ``sat``)."""
+    j = i + 1
+    inner: list[str] = []
+    while j < len(toks) and _is_phraseless_term(toks[j]):
+        inner.append(toks[j])
+        j += 1
+    if j >= len(toks) or toks[j] != '"':
+        return "", j, False
+    return '"' + " ".join(inner) + '"', j + 1, True
+
+
+def parse_nexi_co(
+    text: str, cjk_segmenter=None
+) -> tuple[list["NEXITerm"], str]:
+    """NEXI CO parse (reference nexi.c:437-505 ``read_CO`` +
+    NEXI_ant.c:12-35 ``parse``). Returns (terms, error_code); a query
+    whose error_code is not ERROR_NONE is NEVER RUN by the reference
+    (atire_api.c checks get_error() before searching), so callers must
+    produce zero rows for it.
+
+    Binary-verified semantics (reference_ab.py probes):
+
+    - ``+``/``-`` single-char tokens sign the NEXT term (nexi.c:
+      453-465); the sign is recorded but ranked search scores the bare
+      term (``+cat dog`` ranks like ``cat dog``); a sign with no valid
+      following term is ERROR_MISSING_TERM (query killed: ``sat -`` →
+      0 hits);
+    - a phrase is one inert verbatim term (see :func:`_read_phrase`);
+      an unclosed quote is ERROR_INVALID_PHRASE (``sat "dog`` → 0);
+    - any other punctuation token sets more=FALSE and the LEFTOVER
+      token makes the whole query ERROR_PREMATURE_END_OF_QUERY
+      (NEXI_ant.c:27-28): ``sat, dog`` → 0 hits, not "sat" alone;
+    - terms fold per :func:`_fold_term`; NEXI weights default 1
+      (nexi.c:36-74 get_NEXI_term).
     """
+    toks = _nexi_lex(text or "", cjk_runs=cjk_segmenter is not None)
     out: list[NEXITerm] = []
-    sign = 0
-    in_phrase = False
-    rex = _NEXI_TOKEN_RE if cjk_segmenter is None else _NEXI_TOKEN_RUN_RE
-    for tok in rex.findall(text or ""):
-        first = tok[0]
-        if first.isalpha() or first.isdigit():
-            if cjk_segmenter is not None and _CJK_RUN_RE.match(tok):
-                # query-time plugin segmentation — same dictionary as
-                # the index side, like the reference loading the same
-                # plugin in the search engine
-                for w in cjk_segmenter(tok):
-                    out.append(NEXITerm(term=w, sign=sign))
-                    sign = 0
+    i, n = 0, len(toks)
+
+    def emit(tok: str, sign: int) -> None:
+        if cjk_segmenter is not None and _CJK_RUN_RE.match(tok):
+            # query-time plugin segmentation — same dictionary as the
+            # index side (the reference loads the same plugin)
+            for w in cjk_segmenter(tok):
+                out.append(NEXITerm(term=_fold_term(w), sign=sign))
+                sign = 0
+        else:
+            out.append(NEXITerm(term=_fold_term(tok), sign=sign))
+
+    while i < n:
+        tok = toks[i]
+        if len(tok) == 1:
+            if tok == '"':
+                phrase, j, ok = _read_phrase(toks, i)
+                if not ok:
+                    return out, "ERROR_INVALID_PHRASE"
+                out.append(NEXITerm(term=_fold_term(phrase), sign=0))
+                i = j
                 continue
-            out.append(NEXITerm(term=tok.lower(), sign=sign))
-            sign = 0
+            if tok in "+-":
+                sign = 1 if tok == "+" else -1
+                if i + 1 < n:
+                    nxt = toks[i + 1]
+                    if nxt == '"':
+                        phrase, j, ok = _read_phrase(toks, i + 1)
+                        if not ok:
+                            return out, "ERROR_INVALID_PHRASE"
+                        out.append(NEXITerm(term=_fold_term(phrase), sign=sign))
+                        i = j
+                        continue
+                    if _is_phraseless_term(nxt) or _is_cjk_char(nxt[0]):
+                        emit(nxt, sign)
+                        i += 2
+                        continue
+                # read_term failed: ERROR_MISSING_TERM, query killed
+                return out, "ERROR_MISSING_TERM"
+            if not (tok.isalpha() or tok.isdigit()):
+                break  # more = FALSE (nexi.c:470-479)
+            emit(tok, 0)
+            i += 1
             continue
-        if tok == '"':
-            # opening quote begins a phrase scan; closing quote ends it
-            in_phrase = not in_phrase
-            sign = 0
+        # multi-char token: a term iff it starts with a letter/digit/
+        # CJK char or is a '-'-number (nexi.c:481-488); name-start
+        # punctuation ('_'/':' starts) and '~'-terms STOP the scan
+        c = tok[0]
+        if c.isalpha() or c.isdigit() or _is_cjk_char(c) or c == "-":
+            emit(tok, 0)
+            i += 1
             continue
-        if not in_phrase and tok == "+":
-            sign = 1
-            continue
-        if not in_phrase and tok == "-":
-            sign = -1
-            continue
-        break  # non-term token: more = FALSE (nexi.c:470-479)
-    return out
+        break  # more = FALSE
+    if i < n:
+        # unconsumed trailing token → the reference refuses the query
+        return out, "ERROR_PREMATURE_END_OF_QUERY"
+    return out, "ERROR_NONE"
 
 
-_CAS_TOKEN_RE = re.compile(r"//|[A-Za-z_:][A-Za-z0-9_:]*|[0-9]+|\S")
+def parse_nexi(text: str, cjk_segmenter=None) -> list[NEXITerm]:
+    """NEXI CO parse; an errored query yields NO terms — the reference
+    never runs it (NEXI_ant.c:27-28 + atire_api.c error gate), so the
+    observable is zero result rows. Use :func:`parse_nexi_co` to see
+    the error code."""
+    terms, err = parse_nexi_co(text, cjk_segmenter)
+    return terms if err == "ERROR_NONE" else []
+
 
 NEXI_ERROR_NONE = "ERROR_NONE"
 
@@ -466,40 +610,52 @@ class _CASParser:
         return "".join(parts)
 
     def read_co(self) -> None:
-        """read_CO on the token cursor (nexi.c:437-505): signs set the
-        next term's sign (recorded; ranked search scores bare terms),
-        phrases degrade to their term bags, any other punctuation
-        stops the scan with the token left at the stopper."""
+        """read_CO on the token cursor — the SAME routine the CO path
+        uses (nexi.c:437-505): signs set the next term's sign
+        (recorded; ranked search scores bare terms), a phrase becomes
+        ONE inert verbatim term (see :func:`_read_phrase`), any other
+        punctuation stops the scan with the token left at the
+        stopper."""
         while True:
             t = self.token
             if t == "":
                 return
             if t == '"':
+                inner: list[str] = []
                 nt = self.next()
-                while nt and (nt[0].isalpha() or nt[0].isdigit()):
-                    self.terms.append(NEXITerm(term=nt.lower(), sign=0))
+                while nt and _is_phraseless_term(nt):
+                    inner.append(nt)
                     nt = self.next()
                 if self.token != '"':
                     self.err("ERROR_INVALID_PHRASE")
                     return
+                self.terms.append(
+                    NEXITerm(
+                        term=_fold_term('"' + " ".join(inner) + '"'), sign=0
+                    )
+                )
                 self.next()
                 continue
             if t in ("+", "-"):
                 sign = 1 if t == "+" else -1
                 nt = self.next()
-                if nt and (nt[0].isalpha() or nt[0].isdigit()):
-                    self.terms.append(NEXITerm(term=nt.lower(), sign=sign))
+                if nt and (_is_phraseless_term(nt) or _is_cjk_char(nt[0])):
+                    self.terms.append(NEXITerm(term=_fold_term(nt), sign=sign))
                 else:
                     # reference: parse_error then the bad token is
                     # still appended and the scan continues
                     # (nexi.c:455-465,481)
                     self.err("ERROR_MISSING_TERM")
                     if nt:
-                        self.terms.append(NEXITerm(term=nt.lower(), sign=sign))
+                        self.terms.append(
+                            NEXITerm(term=_fold_term(nt), sign=sign)
+                        )
                 self.next()
                 continue
-            if t[0].isalpha() or t[0].isdigit():
-                self.terms.append(NEXITerm(term=t.lower(), sign=0))
+            if t[0].isalpha() or t[0].isdigit() or _is_cjk_char(t[0]) or (
+                t[0] == "-" and len(t) > 1
+            ):
+                self.terms.append(NEXITerm(term=_fold_term(t), sign=0))
                 self.next()
                 continue
             return
@@ -526,7 +682,7 @@ class _CASParser:
         while self.token and self.token[0] in "<>=":
             self.next()
         if self.token:
-            self.terms.append(NEXITerm(term=self.token.lower(), sign=0))
+            self.terms.append(NEXITerm(term=_fold_term(self.token), sign=0))
 
     def parse_cas(self) -> None:
         while True:
@@ -560,8 +716,9 @@ def parse_nexi_cas(text: str) -> tuple[list[NEXITerm], str]:
     ranked (non-focused) retrieval does. Returns (terms, error_code);
     error_code != ERROR_NONE means the reference would refuse to run
     the query (atire_api.c:1229-1230). The CO/CAS dispatch on a
-    leading "//" mirrors NEXI_ant.c:22-25."""
-    toks = _CAS_TOKEN_RE.findall(text or "")
+    leading "//" mirrors NEXI_ant.c:22-25. Tokens come from the same
+    :func:`_nexi_lex` the CO path uses (get_next_token is shared)."""
+    toks = _nexi_lex(text or "")
     p = _CASParser(toks)
     if not toks:
         return [], NEXI_ERROR_NONE
@@ -574,14 +731,22 @@ def parse_query(
 ) -> list[tuple[str, int]]:
     """Query string → [(term, multiplicity)] via the NEXI CO scan.
 
-    Phrases degrade to bags (no positions in the index) and a repeated
-    term is scored once per occurrence — bagging with multiplicity
-    adds the identical contribution the reference adds processing each
-    chain entry separately. Signs are parsed (not silently eaten) but
-    do not change ranked scoring, like the reference.
+    An errored parse (premature end / invalid phrase / missing term)
+    yields NO terms — the reference refuses to run such queries. A
+    phrase is one inert verbatim term (contains '"', never matches the
+    vocabulary). A repeated term is scored once per occurrence —
+    bagging with multiplicity adds the identical contribution the
+    reference adds processing each chain entry separately
+    (binary-verified: ``a a`` doubles rsv). Signs are parsed but do
+    not change ranked scoring, like the reference.
 
     ``stemmer`` applies the query-side stemming gate
-    (search_engine.c:775-779) to each token before bagging.
+    (search_engine.c:775-779) to each token before bagging — but only
+    to terms whose FIRST character is an ASCII lowercase letter:
+    "we don't stem (or expand) numbers and tag names"
+    (atire_api.c:861,913 ``!ANT_islower(*token_buffer)``), so digit
+    terms, all-uppercase tag terms, '-'-numbers, and inert phrase
+    terms pass through verbatim.
     """
     terms = (t.term for t in parse_nexi(text, cjk_segmenter))
     if stemmer is None:
@@ -1610,7 +1775,10 @@ class SearchEngine:
                     parsed[qid] = []
                     continue
                 bag = Counter(
-                    query_stem(t.term, self.stemmer) for t in terms
+                    # query_stem applies the reference's islower gate
+                    # (atire_api.c:913 — no stemming of numbers/tags)
+                    query_stem(t.term, self.stemmer)
+                    for t in terms
                 )
                 parsed[qid] = [(t, w, 1.0) for t, w in bag.items()]
             else:

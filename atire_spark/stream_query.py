@@ -53,6 +53,7 @@ from pyspark.sql.types import (
 
 from atire_spark.kernels.bm25 import ACCUM_MOD, BM25_B, BM25_K1
 from atire_spark.kernels.tokenizer import tokenize, tokenize_batch
+from atire_spark.query import parse_query
 
 MATCH_SCHEMA = StructType(
     [
@@ -83,7 +84,9 @@ def frozen_stats_from_index(
             "supported (stats record ~stemmer="
             f"{srow0['stemmer']!r}); freeze stats from an unstemmed index"
         )
-    vocab = sorted({t for _, q in standing for t in tokenize(q)})
+    vocab = sorted(
+        {t for _, q in standing for t, _ in parse_query(q)}
+    )
     srow = idx.stats.select("documents", "mean_doc_len").collect()[0]
     dfs = {
         r["term"]: int(r["df"])
@@ -101,14 +104,12 @@ def frozen_stats_from_index(
 
 def _parse_standing(standing: list[tuple[int, str]]) -> list[tuple[int, dict]]:
     """(query_id, text) → (query_id, {term: multiplicity}) with the
-    engine's tokenizer (repeated query terms score repeatedly,
-    group_contrib weight semantics)."""
+    engine's NEXI CO parse (repeated query terms score repeatedly,
+    group_contrib weight semantics; errored queries parse to an empty
+    bag and can never alert, like the reference refusing them)."""
     out = []
     for qid, text in standing:
-        bag: dict[str, int] = {}
-        for t in tokenize(text):
-            bag[t] = bag.get(t, 0) + 1
-        out.append((int(qid), bag))
+        out.append((int(qid), dict(parse_query(text))))
     return out
 
 

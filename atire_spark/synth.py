@@ -166,23 +166,29 @@ def make_queries(seed: int = SEED) -> pd.DataFrame:
     single rare term, single stop-term, mixed rare+common, absent term,
     digits, uppercase input, multi-term."""
     rng = np.random.default_rng(seed + 1)
+    # vocabulary words are reached via their NUMBER half: the NEXI
+    # query lexer keeps ``termNNNNN`` whole (one XML-name token — a
+    # vocab miss, since the index splits word+number), while the bare
+    # zero-padded number co-occurs 1:1 with its word and the ``term``
+    # word itself has df==N → idf 0 (skipped). Identical scores,
+    # reference-reachable queries.
     queries: list[str] = [
-        "term09874",  # single rare term
+        "09874",  # single rare term
         "alpha",  # single stop-term
-        "term00001 term08712",  # common + rare
+        "00001 08712",  # common + rare
         "zzznotaterm",  # absent from corpus
         "12345",  # digits
-        "TERM00002",  # uppercase input → lowercased
+        "Alpha",  # mixed-case input → case-folded (string_pair_to_term)
         "omegaterm",  # adversarial skew term
         "alpha bravo charlie",  # all stop-terms
-        "term00001 term00002 term00003 term00004 term00005",
+        "00001 00002 00003 00004 00005",
         "end",  # punctuation-split token
         "capterm",  # tf saturates at 255 in the capped turn
-        "capterm term00001",
+        "capterm 00001",
     ]
     while len(queries) < 30:
         n = int(rng.integers(1, 6))
-        terms = [f"term{int(rng.integers(0, VOCAB_SIZE)):05d}" for _ in range(n)]
+        terms = [f"{int(rng.integers(0, VOCAB_SIZE)):05d}" for _ in range(n)]
         queries.append(" ".join(terms))
     return pd.DataFrame(
         {"query_id": np.arange(1, len(queries) + 1), "query": queries}

@@ -38,7 +38,7 @@ import time
 
 N_CHUNKS = 8
 N_TERM_CHUNKS = 8
-QUERIES = [(1, "term00001 term08712"), (2, "alpha bravo"), (3, "omegaterm")]
+QUERIES = [(1, "00001 08712"), (2, "alpha bravo"), (3, "omegaterm")]
 
 
 def _spark(cpus: int):

@@ -100,10 +100,10 @@ def worker(cpus: int, n_convs: int, mode: str) -> None:
             )
 
             standing = [
-                (1, "term09874"), (2, "alpha"), (3, "term00001 term08712"),
+                (1, "09874"), (2, "alpha"), (3, "00001 08712"),
                 (4, "omegaterm"), (5, "alpha bravo charlie"),
-                (6, "term00001 term00002 term00003 term00004 term00005"),
-                (7, "zzznotaterm"), (8, "term00001 term00002"),
+                (6, "00001 00002 00003 00004 00005"),
+                (7, "zzznotaterm"), (8, "00001 00002"),
             ]
             idx = build_index(
                 spark, spark.createDataFrame(pdf.iloc[: len(pdf) // 8])

@@ -78,11 +78,19 @@ class TestOracleSearch:
         idx = OracleIndex.build(_tiny_corpus())
         assert len(idx.search("zzzmissing", k=5)) == 0
 
-    def test_uppercase_query_lowered(self):
+    def test_case_folding_follows_reference(self):
+        """Binary-verified (reference_ab setup): a mixed-case term
+        lowercases whole ('Dog'/'DoG' → 'dog'), but an ALL-uppercase
+        term is a tag-name lookup kept verbatim
+        (atire_api.c string_pair_to_term) — on an untagged corpus it
+        matches nothing ('ALPHA' → <numhits>0</numhits> from the
+        compiled reference vs 1677 for 'alpha'/'Alpha'/'AlPhA')."""
         idx = OracleIndex.build(_tiny_corpus())
-        assert list(idx.search("DOG", k=5)["docid"]) == list(
-            idx.search("dog", k=5)["docid"]
-        )
+        want = list(idx.search("dog", k=5)["docid"])
+        assert want  # the corpus really contains the term
+        assert list(idx.search("Dog", k=5)["docid"]) == want
+        assert list(idx.search("DoG", k=5)["docid"]) == want
+        assert len(idx.search("DOG", k=5)) == 0
 
 
 class TestSynth:

@@ -3,8 +3,9 @@
 The golden tests pin a fixed reference query set; this module widens
 coverage with a deterministic pseudo-random sweep over the query-string
 space — in-vocabulary terms, morphological mutations, out-of-vocabulary
-junk, case noise, duplicate terms, NEXI signs and quoted phrases (both
-degrade to term bags in ranked retrieval, per the reference) — and
+junk, case noise, duplicate terms, NEXI signs (recorded, no ranked
+effect) and quoted phrases (one inert verbatim term, per the
+binary-verified reference semantics) — and
 asserts the Spark engine's (docid, rsv_fixed) lists stay identical to
 the oracle on every one. One `search_batch` job scores the whole sweep,
 so the suite cost is a single Spark action plus the numpy oracle loop.
@@ -66,7 +67,7 @@ def _fuzz_queries(vocab: list[str]) -> list[tuple[int, str]]:
         i = 0
         while i < len(terms):
             r = rng.random()
-            if r < 0.12 and i + 1 < len(terms):  # quoted phrase → bag
+            if r < 0.12 and i + 1 < len(terms):  # quoted phrase → one inert term
                 text_parts.append(f'"{terms[i]} {terms[i + 1]}"')
                 i += 2
                 continue

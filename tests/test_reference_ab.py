@@ -1,0 +1,66 @@
+"""A/B rank identity against the COMPILED reference ATIRE binary.
+
+Every other correctness test pins the engine to oracles that *model*
+the reference semantics (numpy fixed-point TaaT, DuckDB SQL).  This
+test removes the model from the loop entirely: the actual reference
+engine (built out-of-tree from /root/reference, see reference_ab.py)
+and our Spark engine index byte-identical corpora and must produce the
+same FULL ranking for every A/B query — each document's fixed-point
+BM25 score equal, equal-score tie groups compared as sets (tie ORDER
+is engine-internal on both sides: the reference breaks ties by its
+lexicographically-sorted doclist accumulator address,
+search_engine_accumulator.h:44-49; we break by numeric docid).
+
+Skips cleanly when no prebuilt reference binary exists (the test never
+compiles C++ — run ``python reference_ab.py identity`` once to build
+and get the full 14-query report at the larger scale).
+"""
+
+import os
+
+import pytest
+
+import reference_ab as ab
+
+_BIN_DIR = os.path.join(ab.ATIRE_BUILD_DIR, "bin")
+_HAVE_REF = all(
+    os.access(os.path.join(_BIN_DIR, exe), os.X_OK)
+    for exe in ("index", "atire")
+)
+
+
+@pytest.mark.skipif(
+    not _HAVE_REF,
+    reason="no prebuilt reference ATIRE binary (run reference_ab.py once)",
+)
+def test_full_ranking_identity_vs_reference_binary(spark):
+    import shutil
+    import tempfile
+
+    from atire_spark.build import build_index
+    from atire_spark.query import SearchEngine
+    from atire_spark.synth import make_transcripts
+
+    work = tempfile.mkdtemp(prefix="atire_ab_test_")
+    pdf, trec = ab.prepare_corpus(make_transcripts(400))
+    trec_path = os.path.join(work, "corpus.xml")
+    with open(trec_path, "w") as fh:
+        fh.write(trec)
+    index_path = os.path.join(work, "index.aspt")
+    ab.run_reference_build(_BIN_DIR, trec_path, index_path, work)
+    k_full = len(pdf)
+    ref_hits, _ = ab.run_reference_queries(
+        _BIN_DIR, index_path, ab.AB_QUERIES, k_full, work
+    )
+
+    engine = SearchEngine(spark, build_index(spark, spark.createDataFrame(pdf)))
+    rows = engine.search_batch(ab.AB_QUERIES, k=k_full).collect()
+    ours = {qid: [] for qid, _ in ab.AB_QUERIES}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        ours[r["query_id"]].append((int(r["docid"]), int(r["rsv_fixed"])))
+
+    assert len(ref_hits) == len(ab.AB_QUERIES)
+    for (qid, qtext), ref in zip(ab.AB_QUERIES, ref_hits):
+        assert ab._score_groups(ref) == ab._score_groups(ours[qid]), qtext
+
+    shutil.rmtree(work, ignore_errors=True)

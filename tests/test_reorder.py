@@ -12,7 +12,7 @@ from atire_spark.query import SearchEngine
 from atire_spark.reorder import order_from_doclist, reorder_index
 from atire_spark.synth import make_transcripts
 
-BATCH = [(1, "alpha"), (2, "term00001 term00002"), (3, "alpha bravo")]
+BATCH = [(1, "alpha"), (2, "00001 00002"), (3, "alpha bravo")]
 
 
 @pytest.fixture(scope="module")

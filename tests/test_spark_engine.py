@@ -139,15 +139,15 @@ class TestRankIdentity:
         tdf = spark.createDataFrame(small_pdf)
         idx = build_index(spark, tdf, block_bits=20, blocks_per_seg=4096)
         eng = SearchEngine(spark, idx, cache=False)
-        got = eng.search_batch([(1, "alpha bravo term00001")], k=20).toPandas()
-        want = small_oracle.search("alpha bravo term00001", k=20)
+        got = eng.search_batch([(1, "alpha bravo 00001")], k=20).toPandas()
+        want = small_oracle.search("alpha bravo 00001", k=20)
         assert list(got["docid"]) == list(want["docid"])
         assert list(got["rsv_fixed"]) == list(want["rsv_fixed"])
 
     def test_grouped_equals_exploded_path(self, small_engine, small_oracle):
         """The seg_group-partitioned scale scorer and the exploded
         per-posting fallback must agree with each other and the oracle."""
-        batch = [(1, "alpha term00001"), (2, "omegaterm"), (3, "capterm term00001")]
+        batch = [(1, "alpha 00001"), (2, "omegaterm"), (3, "capterm 00001")]
         a = small_engine.search_batch(batch, k=15, grouped=True).toPandas()
         bdf = small_engine.search_batch(batch, k=15, grouped=False).toPandas()
         pd.testing.assert_frame_equal(a, bdf)
@@ -225,10 +225,10 @@ class TestQuantized:
 
     QUERIES = [
         (1, "alpha"),
-        (2, "term00001 term00002"),
-        (3, "omegaterm term00003"),
-        (4, "capterm term00001 alpha"),
-        (5, "alpha bravo charlie term00042"),
+        (2, "00001 00002"),
+        (3, "omegaterm 00003"),
+        (4, "capterm 00001 alpha"),
+        (5, "alpha bravo charlie 00042"),
         (6, "zzznotaterm"),
     ]
 
@@ -311,7 +311,7 @@ class TestQuantized:
     def test_qaat_on_unquantized_resets_termination(self, small_engine):
         # reference atire_api.c:1854-1857: early termination silently
         # reset to none on an unquantized index → exact results
-        batch = [(1, "alpha term00001")]
+        batch = [(1, "alpha 00001")]
         a = small_engine.search_batch(batch, k=10).toPandas()
         b = small_engine.search_qaat(batch, k=10, early_termination="diff").toPandas()
         pd.testing.assert_frame_equal(
@@ -426,7 +426,7 @@ class TestQaatVariants:
     def test_variants_run_and_report_stats(self, qv_engine):
         for et in ("diff_smallest", "diff_largest"):
             res, stats = qv_engine.search_qaat(
-                [(1, "alpha"), (2, "term00001 term00002")], k=5,
+                [(1, "alpha"), (2, "00001 00002")], k=5,
                 early_termination=et, return_stats=True,
             )
             assert res.count() > 0
@@ -510,10 +510,10 @@ class TestBlockMaxWand:
 
     BATCH = [
         (1, "alpha"),
-        (2, "term00001 term00002"),
-        (3, "term00001 term00002 term00003 alpha"),
+        (2, "00001 00002"),
+        (3, "00001 00002 00003 alpha"),
         (4, "zzznotaterm"),
-        (5, "term00007 zzznotaterm"),
+        (5, "00007 zzznotaterm"),
     ]
 
     @pytest.mark.parametrize("k", [1, 5, 20])
@@ -565,7 +565,7 @@ class TestInterpolatedFeedback:
         peng = SearchEngine(
             spark, build_index(spark, spark.createDataFrame(pdf), puurula=True)
         )
-        qs = [(1, "alpha term00001"), (2, "zzzmissing")]
+        qs = [(1, "alpha 00001"), (2, "zzzmissing")]
         fb = peng.search_feedback_interpolated(
             qs, k=10, feedback_documents=5
         ).toPandas()
@@ -604,8 +604,10 @@ class TestNexiCas:
             "ERROR_NONE",
         ),
         (
+            # a phrase is ONE inert verbatim term (binary-verified:
+            # quoted phrases contribute nothing to ranked scoring)
             '//sec[about(., "hash join") and about(., window)]',
-            [("hash", 0), ("join", 0), ("window", 0)],
+            [('"hash join"', 0), ("window", 0)],
             "ERROR_NONE",
         ),
         ("//article[.//size > 5]", [("5", 0)], "ERROR_NONE"),
@@ -630,8 +632,8 @@ class TestNexiCas:
         assert set(res.query_id) == {1}
 
     def test_co_dispatch_matches_plain_search(self, small_engine):
-        a = small_engine.search_cas([(1, "alpha term00001")], k=10).toPandas()
-        b = small_engine.search_batch([(1, "alpha term00001")], k=10).toPandas()
+        a = small_engine.search_cas([(1, "alpha 00001")], k=10).toPandas()
+        b = small_engine.search_batch([(1, "alpha 00001")], k=10).toPandas()
         pd.testing.assert_frame_equal(a, b)
 
 
