@@ -71,22 +71,32 @@ ATIRE_BUILD_DIR = os.environ.get("ATIRE_BUILD_DIR", "/tmp/atire_build")
 REFERENCE_SRC = os.environ.get("ATIRE_REFERENCE_SRC", "/root/reference")
 
 # query set: the bench queries plus parity stressors (repeated term,
-# mixed case, absent term, many terms, tf-capped term)
+# mixed case, absent term, many terms, tf-capped term).  Vocabulary
+# words are reached through their NUMBER halves: NEXI's query lexer
+# keeps ``term09874`` whole (one XML-name token — a vocabulary miss on
+# BOTH engines, since the index side splits word+number), so reachable
+# queries use the bare zero-padded numbers; the ``term`` word half has
+# df==N → idf 0 → contributes nothing even when queried.  A few
+# deliberate whole-word queries stay in to pin the miss/fold behavior.
 AB_QUERIES: list[tuple[int, str]] = [
-    (1, "term09874"),
+    (1, "09874"),
     (2, "alpha"),
-    (3, "term00001 term08712"),
+    (3, "00001 08712"),
     (4, "omegaterm"),
     (5, "alpha bravo charlie"),
-    (6, "term00001 term00002 term00003 term00004 term00005"),
+    (6, "00001 00002 00003 00004 00005"),
     (7, "zzznotaterm"),
-    (8, "term00001 term00002"),
-    (9, "term00001 term00001"),  # repeated query term (query_frequency)
-    (10, "TERM00003"),  # query-side lowercasing
+    (8, "00001 00002"),
+    (9, "00001 00001"),  # repeated query term (query_frequency: 2× rsv)
+    (10, "Alpha"),  # mixed case folds whole (string_pair_to_term)
     (11, "capterm"),  # tf saturation at 255
     (12, "end"),  # punctuation-stripped token
-    (13, "term00042 term31415 term00007 alpha delta echo"),
-    (14, "term00100"),
+    (13, "00042 31415 00007 alpha delta echo"),
+    (14, "term00100"),  # whole-word = ONE XML-name token = vocab miss
+    (15, "ALPHA"),  # all-uppercase = verbatim tag lookup = 0 hits
+    (16, 'alpha "bravo charlie"'),  # phrase inert → only alpha scores
+    (17, "+omegaterm -alpha"),  # signs recorded, bare-term scoring
+    (18, "alpha, bravo"),  # stopper + leftover → query refused
 ]
 
 
