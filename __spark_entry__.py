@@ -457,7 +457,7 @@ scored AS (
 ),
 acc AS (
   SELECT query_id, docid,
-         CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed,
+         CAST(((((sum(contrib)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed,
          CAST(sum(is_hit) AS BIGINT) AS term_hits
   FROM scored
   WHERE is_hit = 1 OR contrib <> 0
@@ -750,7 +750,7 @@ scored AS (
 ),
 acc AS (
   SELECT query_id, shard, docid,
-         CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+         CAST(((((sum(contrib)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed
   FROM scored
   WHERE is_hit = 1 OR contrib <> 0
   GROUP BY query_id, shard, docid
@@ -907,7 +907,7 @@ scored AS (
 ),
 acc AS (
   SELECT query_id, docid,
-         CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+         CAST(((((sum(contrib)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed
   FROM scored
   WHERE is_hit = 1 OR contrib <> 0
   GROUP BY query_id, docid
@@ -1048,7 +1048,7 @@ scored0 AS (
   CROSS JOIN stats s
 ),
 acc0 AS (
-  SELECT query_id, docid, CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  SELECT query_id, docid, CAST(((((sum(contrib)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed
   FROM scored0
   WHERE is_hit = 1 OR contrib <> 0
   GROUP BY query_id, docid
@@ -1097,7 +1097,7 @@ scored AS (
 ),
 acc AS (
   SELECT query_id, docid,
-         CAST(((sum(contrib) % 65536) + 65536) % 65536 AS BIGINT) AS rsv_fixed
+         CAST(((((sum(contrib)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed
   FROM scored
   WHERE is_hit = 1 OR contrib <> 0
   GROUP BY query_id, docid
@@ -1163,7 +1163,7 @@ scored0 AS (
   CROSS JOIN stats s
 ),
 acc0 AS (
-  SELECT query_id, docid, CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  SELECT query_id, docid, CAST(((((sum(contrib)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed
   FROM scored0
   WHERE is_hit = 1 OR contrib <> 0
   GROUP BY query_id, docid
@@ -1225,7 +1225,7 @@ scored AS (
 ),
 acc AS (
   SELECT query_id, docid,
-         CAST(((sum(contrib) % 65536) + 65536) % 65536 AS BIGINT) AS rsv_fixed
+         CAST(((((sum(contrib)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed
   FROM scored
   WHERE is_hit = 1 OR contrib <> 0
   GROUP BY query_id, docid
@@ -1316,10 +1316,10 @@ scored1 AS (
 ),
 acc1 AS (
   SELECT query_id, docid,
-         CAST(((sum(CASE WHEN rn = 1 THEN unit_p + (weight - 1) * unit
-                         ELSE weight * unit END) % 65536) + 65536) % 65536
+         CAST(((((sum(CASE WHEN rn = 1 THEN unit_p + (weight - 1) * unit ELSE weight * unit END)) + 32768) % 65536 + 65536) % 65536) - 32768
               AS BIGINT) AS rsv_fixed
   FROM scored1 GROUP BY query_id, docid
+  HAVING max(CASE WHEN rn = 1 THEN (CASE WHEN unit_p <> 0 OR (weight > 1 AND unit <> 0) THEN 1 ELSE 0 END) ELSE (CASE WHEN unit <> 0 THEN 1 ELSE 0 END) END) = 1
 ),
 ranked1 AS (
   SELECT query_id, docid, rsv_fixed,
@@ -1419,9 +1419,9 @@ scored2 AS (
 ),
 acc2 AS (
   SELECT query_id, docid,
-         CAST(((sum(CASE WHEN rn = 1 THEN unit_p ELSE unit END) % 65536)
-               + 65536) % 65536 AS BIGINT) AS rsv_fixed
+         CAST(((((sum(CASE WHEN rn = 1 THEN unit_p ELSE unit END)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed
   FROM scored2 GROUP BY query_id, docid
+  HAVING max(CASE WHEN rn = 1 THEN (CASE WHEN unit_p <> 0 THEN 1 ELSE 0 END) ELSE (CASE WHEN unit <> 0 THEN 1 ELSE 0 END) END) = 1
 ),
 ranked2 AS (
   SELECT query_id,
@@ -1466,7 +1466,7 @@ scored AS (
   CROSS JOIN stats s
 ),
 acc AS (
-  SELECT query_id, docid, CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  SELECT query_id, docid, CAST(((((sum(contrib)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed
   FROM scored
   WHERE is_hit = 1 OR contrib <> 0
   GROUP BY query_id, docid
@@ -1523,7 +1523,7 @@ scored0 AS (
   CROSS JOIN stats s
 ),
 acc0 AS (
-  SELECT query_id, docid, CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  SELECT query_id, docid, CAST(((((sum(contrib)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed
   FROM scored0
   WHERE is_hit = 1 OR contrib <> 0
   GROUP BY query_id, docid
@@ -1575,7 +1575,7 @@ rescored AS (
 ),
 racc AS (
   SELECT query_id, minidoc, docid,
-         CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+         CAST(((((sum(contrib)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed
   FROM rescored
   WHERE is_hit = 1 OR contrib <> 0
   GROUP BY query_id, minidoc, docid
@@ -1867,7 +1867,7 @@ scored0 AS (
   CROSS JOIN stats s
 ),
 acc0 AS (
-  SELECT query_id, docid, CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  SELECT query_id, docid, CAST(((((sum(contrib)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed
   FROM scored0
   WHERE is_hit = 1 OR contrib <> 0
   GROUP BY query_id, docid
@@ -2003,7 +2003,7 @@ scored AS (
   CROSS JOIN stats s
 ),
 acc AS (
-  SELECT query_id, docid, CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  SELECT query_id, docid, CAST(((((sum(contrib)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed
   FROM scored
   WHERE is_hit = 1 OR contrib <> 0
   GROUP BY query_id, docid
@@ -2179,7 +2179,7 @@ scored AS (
   CROSS JOIN stats s
 ),
 acc AS (
-  SELECT query_id, docid, CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  SELECT query_id, docid, CAST(((((sum(contrib)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed
   FROM scored
   WHERE is_hit = 1 OR contrib <> 0
   GROUP BY query_id, docid
@@ -2263,7 +2263,7 @@ scored AS (
   CROSS JOIN stats s
 ),
 acc AS (
-  SELECT query_id, docid, CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  SELECT query_id, docid, CAST(((((sum(contrib)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed
   FROM scored
   WHERE is_hit = 1 OR contrib <> 0
   GROUP BY query_id, docid
@@ -2465,7 +2465,7 @@ scored AS (
 ),
 acc AS (
   SELECT query_id, docid,
-         CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+         CAST(((((sum(contrib)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed
   FROM scored
   WHERE is_hit = 1 OR contrib <> 0
   GROUP BY query_id, docid
@@ -2525,8 +2525,12 @@ scored AS (
 ),
 acc AS (
   SELECT query_id, docid,
-         CAST((({agg}(contrib) % 65536) + 65536) % 65536 AS BIGINT) AS rsv_fixed
+         CAST(((({agg}(contrib) + 32768) % 65536 + 65536) % 65536) - 32768
+              AS BIGINT) AS rsv_fixed
   FROM scored GROUP BY query_id, docid
+  -- candidate-entry rule (search_engine_result.h add_rsv): a doc with
+  -- every contribution zero never transitions 0 -> nonzero
+  HAVING max(CASE WHEN contrib <> 0 THEN 1 ELSE 0 END) = 1
 ),
 ranked AS (
   SELECT query_id,
@@ -2616,7 +2620,7 @@ def _boolean_sql(k: int) -> str:
         blocks.append(
             f"""cand{qid} AS (
   SELECT docid,
-         CAST(coalesce(sum(m * c), 0) % 65536 AS BIGINT) AS rsv_fixed,
+         CAST(((((coalesce(sum(m * c), 0)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed,
          {flags}
   FROM contrib JOIN (VALUES {values}) AS lm{qid}(term, m) USING (term)
   GROUP BY docid
@@ -2916,10 +2920,10 @@ scored AS (
 ),
 acc AS (
   SELECT query_id, docid,
-         CAST(((sum(CASE WHEN rn = 1 THEN unit_p + (weight - 1) * unit
-                         ELSE weight * unit END) % 65536) + 65536) % 65536
+         CAST(((((sum(CASE WHEN rn = 1 THEN unit_p + (weight - 1) * unit ELSE weight * unit END)) + 32768) % 65536 + 65536) % 65536) - 32768
               AS BIGINT) AS rsv_fixed
   FROM scored GROUP BY query_id, docid
+  HAVING max(CASE WHEN rn = 1 THEN (CASE WHEN unit_p <> 0 OR (weight > 1 AND unit <> 0) THEN 1 ELSE 0 END) ELSE (CASE WHEN unit <> 0 THEN 1 ELSE 0 END) END) = 1
 ),
 ranked AS (
   SELECT query_id,
@@ -3006,10 +3010,10 @@ scored AS (
 ),
 acc AS (
   SELECT query_id, docid,
-         CAST(((sum(CASE WHEN rn = 1 THEN unit_p + (weight - 1) * unit
-                         ELSE weight * unit END) % 65536) + 65536) % 65536
+         CAST(((((sum(CASE WHEN rn = 1 THEN unit_p + (weight - 1) * unit ELSE weight * unit END)) + 32768) % 65536 + 65536) % 65536) - 32768
               AS BIGINT) AS rsv_fixed
   FROM scored GROUP BY query_id, docid
+  HAVING max(CASE WHEN rn = 1 THEN (CASE WHEN unit_p <> 0 OR (weight > 1 AND unit <> 0) THEN 1 ELSE 0 END) ELSE (CASE WHEN unit <> 0 THEN 1 ELSE 0 END) END) = 1
 ),
 ranked AS (
   SELECT query_id,
@@ -4577,7 +4581,7 @@ scored AS (
 ),
 acc AS (
   SELECT query_id, docid,
-         CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+         CAST(((((sum(contrib)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed
   FROM scored GROUP BY query_id, docid
 ),
 ranked AS (
@@ -4703,7 +4707,7 @@ scored AS (
 ),
 acc AS (
   SELECT query_id, docid,
-         CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+         CAST(((((sum(contrib)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed
   FROM scored GROUP BY query_id, docid
 ),
 ranked AS (
@@ -5042,7 +5046,9 @@ WHERE NOT (cf = 1
             TOP_K,
             extra_where="WHERE t.tf < d.doc_len",
         ),
-        # DLH13, Terrier form (ranking_function_dlh13.c:94-96)
+        # DLH13, Terrier form (ranking_function_dlh13.c:94-98) — the
+        # reference adds a flat +10.0 AFTER the formula
+        # (``score += 10.0``, binary-verified via reference_ab.py)
         "dlh13_topk": _ranker_sql(
             "CAST(q.weight AS BIGINT) * (1 + CAST(trunc(("
             " 1.0 * (CAST(t.tf AS DOUBLE)"
@@ -5052,6 +5058,7 @@ WHERE NOT (cf = 1
             "          * (1.0 - CAST(t.tf AS DOUBLE) / CAST(d.doc_len AS DOUBLE)))"
             "          / ln(2.0)))"
             " / (CAST(t.tf AS DOUBLE) + 0.5)"
+            " + 10.0"
             ") * 100.0) AS BIGINT))",
             TOP_K,
             extra_where="WHERE t.tf < d.doc_len",
@@ -5180,7 +5187,7 @@ WHERE NOT (cf = 1
         "bm25_quantized_topk": _quantized_sql(),
         # exact-mode QaaT is rank-identical to TaaT over the quantized
         # index — same oracle certifies the quantum-ordered traversal
-        "qaat_exact_topk": _quantized_sql(),
+        "qaat_exact_topk": _quantized_sql(qaat=True),
         "topk_materialized": f"""
 WITH {_CORPUS_CTE},
 q(query_id, term, weight) AS (
@@ -5203,7 +5210,7 @@ scored AS (
   WHERE ts.df <> s.n_docs AND q.query_id <= 3
 ),
 acc AS (
-  SELECT query_id, docid, CAST(sum(contrib) % 65536 AS BIGINT) AS rsv_fixed
+  SELECT query_id, docid, CAST(((((sum(contrib)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed
   FROM scored GROUP BY query_id, docid
 ),
 ranked AS (
@@ -5248,7 +5255,10 @@ WHERE r.rank <= {TOP_K}
     reg["blockmax_topk"] = _suite_sql(
         [
             ("qaat_exact", parts["qaat_exact_topk"]),
-            ("wand", parts["qaat_exact_topk"]),
+            # WAND scores through the TaaT impact path (raw impact
+            # sums); only the quantum path carries the 1+100·impact
+            # add_rsv(double) scale
+            ("wand", _quantized_sql()),
         ],
         "mode",
     )
@@ -5446,10 +5456,10 @@ scored AS (
 ),
 acc AS (
   SELECT query_id, docid,
-         CAST(((sum(CASE WHEN rn = 1 THEN unit_p + (weight - 1) * unit
-                         ELSE weight * unit END) % 65536) + 65536) % 65536
+         CAST(((((sum(CASE WHEN rn = 1 THEN unit_p + (weight - 1) * unit ELSE weight * unit END)) + 32768) % 65536 + 65536) % 65536) - 32768
               AS BIGINT) AS rsv_fixed
   FROM scored GROUP BY query_id, docid
+  HAVING max(CASE WHEN rn = 1 THEN (CASE WHEN unit_p <> 0 OR (weight > 1 AND unit <> 0) THEN 1 ELSE 0 END) ELSE (CASE WHEN unit <> 0 THEN 1 ELSE 0 END) END) = 1
 ),
 ranked AS (
   SELECT query_id,
@@ -5465,11 +5475,17 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def _quantized_sql(auto_bits: bool = False) -> str:
+def _quantized_sql(auto_bits: bool = False, qaat: bool = False) -> str:
     """Quantized-index BM25 oracle; ``auto_bits`` switches the scale
     from the fixed 8-bit 254.0 to the reference's automatic formula
     (memory_index.c:1553-1556, truncating C cast): bits =
-    trunc(5.4 + 5.4e-4*sqrt(N)), scale = 2^bits - 2."""
+    trunc(5.4 + 5.4e-4*sqrt(N)), scale = 2^bits - 2.
+
+    ``qaat=True`` models the reference's quantum path, which routes
+    each impact through add_rsv(double) — quantum_parameters.tf is a
+    double — adding ``1 + 100*impact`` per hit where the TaaT impact
+    ranker adds the raw impact (binary-verified, see
+    SearchEngine.search_qaat)."""
     scale = (
         "(pow(2.0, trunc(5.4 + 5.4e-4 * sqrt(CAST(s2.n_docs AS DOUBLE))))"
         " - 2.0)"
@@ -5477,15 +5493,25 @@ def _quantized_sql(auto_bits: bool = False) -> str:
         else "254.0"
     )
     stats_join = "CROSS JOIN stats s2" if auto_bits else ""
+    hit_expr = (
+        "sum(q.weight * (1 + 100 * i.impact))"
+        if qaat
+        else "sum(i.impact * q.weight)"
+    )
     return f"""
 WITH {_CORPUS_CTE},
 scored_all AS (
+  -- the quantizer's prior uses len+1 / mean+1: the index-side ranker
+  -- reads the memory index's RAW length array, which stores length+1
+  -- (search subtracts it back) — binary-verified, see
+  -- atire_spark/kernels/quantize.raw_rsv
   SELECT t.term, t.docid,
          ln(CAST(s.n_docs AS DOUBLE) / CAST(ts.df AS DOUBLE))
            * ((CAST(t.tf AS DOUBLE) * (0.9 + 1.0))
               / (CAST(t.tf AS DOUBLE)
                  + CAST(CAST(0.9 * ((1.0 - 0.4)
-                     + 0.4 * (CAST(d.doc_len AS DOUBLE) / s.mean_len))
+                     + 0.4 * ((CAST(d.doc_len AS DOUBLE) + 1.0)
+                              / (s.mean_len + 1.0)))
                    AS REAL) AS DOUBLE))) AS rsv
   FROM tf t
   JOIN termstats ts USING (term)
@@ -5504,7 +5530,7 @@ q(query_id, term, weight) AS (
 ),
 acc AS (
   SELECT CAST(q.query_id AS BIGINT) AS query_id, i.docid,
-         CAST(sum(i.impact * q.weight) % 65536 AS BIGINT) AS rsv_fixed
+         CAST((((({hit_expr}) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed
   FROM q JOIN impacts i USING (term)
   GROUP BY q.query_id, i.docid
 ),

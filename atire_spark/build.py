@@ -667,10 +667,17 @@ def quantized_segments_from_stage1(
 
     def quantizer(tfs: np.ndarray, lens: np.ndarray, dfs: np.ndarray) -> np.ndarray:
         # the quantizer's rank() per posting (ranking_function_bm25.c:
-        # 194-209): float32 prior, idf kept even at 0, then trunc-scale
+        # 194-209): float32 prior, idf kept even at 0, then trunc-scale.
+        # len+1 / mean+1: the index-side ranker reads the memory
+        # index's RAW length array, which stores length+1 (the search
+        # side subtracts the 1 back) — see kernels/quantize.raw_rsv
         tf_d = tfs.astype(np.float64)
         prior = (
-            k1 * ((1.0 - b) + b * (lens.astype(np.float64) / mean_doc_len))
+            k1
+            * (
+                (1.0 - b)
+                + b * ((lens.astype(np.float64) + 1.0) / (mean_doc_len + 1.0))
+            )
         ).astype(np.float32)
         idf = np.log(np.float64(n_docs) / dfs.astype(np.float64))
         rsv = idf * ((tf_d * (k1 + 1.0)) / (tf_d + prior.astype(np.float64)))

@@ -45,10 +45,25 @@ def raw_rsv(
 ) -> np.ndarray:
     """The quantizer's per-posting raw BM25 score
     (ranking_function_bm25.c:194-209): float32 prior, idf kept even at
-    0, everything else double."""
+    0, everything else double.
+
+    INDEX-TIME LENGTH OFF-BY-ONE (binary-verified on a 6-doc corpus
+    where every impact was enumerated): the memory index stores each
+    document length as ``length + 1`` (the +1 keeps the value nonzero
+    for compression; the SEARCH side subtracts it back, cf. the
+    ``decompress_buffer[current] - 1`` reads), but the quantization
+    ranker is constructed over the RAW in-memory array
+    (memory_index.c:1558 get_indexing_ranker(…, document_lengths, …))
+    — so the quantizer's prior uses ``len+1`` per doc and a mean of
+    ``(collection_len + N) / N = mean + 1``. ``doc_lens`` /
+    ``mean_doc_len`` here are the true (search-side) values; the +1 is
+    applied internally.
+    """
     tf_d = np.asarray(tfs, dtype=np.float64)
-    lens = np.asarray(doc_lens, dtype=np.float64)
-    prior = (k1 * ((1.0 - b) + b * (lens / mean_doc_len))).astype(np.float32)
+    lens = np.asarray(doc_lens, dtype=np.float64) + 1.0
+    prior = (
+        k1 * ((1.0 - b) + b * (lens / (mean_doc_len + 1.0)))
+    ).astype(np.float32)
     idf = float(np.log(np.float64(n_docs) / np.float64(df)))
     return idf * ((tf_d * (k1 + 1.0)) / (tf_d + prior.astype(np.float64)))
 

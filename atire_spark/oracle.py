@@ -12,7 +12,7 @@ architecture at miniature scale:
 - BM25 k1=0.9 b=0.4, idf = ln(N/df) with df==N contributing nothing
   (ranking_function_bm25.c:91-92), float32 doc-length prior
   (ranking_function_bm25.c:27-31);
-- fixed-point uint16 accumulators, +1 per hit
+- fixed-point SIGNED-short accumulators (GNUmakefile.defns:94), +1 per hit
   (search_engine_accumulator.h:76);
 - final order rsv desc, tie → larger docid first
   (search_engine_accumulator.h:36-42).
@@ -45,6 +45,8 @@ def _query_terms(query: str) -> list[str]:
 K1 = 0.9
 B = 0.4
 TF_CAP = 255
+from atire_spark.kernels.bm25 import accum_value  # signed short view
+
 ACCUM_MOD = 1 << 16
 
 
@@ -147,7 +149,7 @@ class OracleIndex:
         cand = np.flatnonzero(mask)
         if cand.size == 0:
             return empty
-        rsv_fixed = acc[cand] % ACCUM_MOD
+        rsv_fixed = accum_value(acc[cand])
         order = np.lexsort((-cand, -rsv_fixed))[: min(k, cand.size)]
         return pd.DataFrame(
             {
@@ -162,13 +164,21 @@ class OracleIndex:
         """Quantized (-Q) postings: every posting's raw BM25 rsv
         (idf kept even at 0 — the quantizer does not skip df==N terms,
         ranking_function.c:495-526), global min/max, then
-        ``trunc(((rsv-min)/(max-min)) * ((1<<bits)-2) + 1)``."""
+        ``trunc(((rsv-min)/(max-min)) * ((1<<bits)-2) + 1)``.
+
+        The quantizer's prior uses len+1 / mean+1 — the index-side
+        ranker reads the memory index's RAW length array, which stores
+        length+1 (search subtracts it back); binary-verified, see
+        kernels/quantize.raw_rsv."""
+        from atire_spark.kernels.bm25 import doc_priors
+
+        qpriors = doc_priors(self.doc_lens + 1, self.mean_doc_len + 1.0)
         rsvs: dict[str, np.ndarray] = {}
         qmin, qmax = np.inf, -np.inf
         for term, (docids, tfs) in self.postings.items():
             idf = float(np.log(np.float64(self.n_docs) / np.float64(docids.size)))
             tf_d = tfs.astype(np.float64)
-            prior = self.priors[docids].astype(np.float64)
+            prior = qpriors[docids].astype(np.float64)
             rsv = idf * ((tf_d * (K1 + 1.0)) / (tf_d + prior))
             rsvs[term] = rsv
             qmin = min(qmin, float(rsv.min()))
@@ -208,7 +218,7 @@ class OracleIndex:
             return pd.DataFrame(columns=["rank", "docid", "rsv_fixed"]).astype(
                 {"rank": np.int32, "docid": np.int64, "rsv_fixed": np.int64}
             )
-        rsv_fixed = acc[cand] % ACCUM_MOD
+        rsv_fixed = accum_value(acc[cand])
         order = np.lexsort((-cand, -rsv_fixed))[: min(k, cand.size)]
         return pd.DataFrame(
             {
@@ -246,7 +256,7 @@ class OracleIndex:
             return pd.DataFrame(columns=["rank", "docid", "rsv_fixed"]).astype(
                 {"rank": np.int32, "docid": np.int64, "rsv_fixed": np.int64}
             )
-        rsv_fixed = acc[cand] % ACCUM_MOD
+        rsv_fixed = accum_value(acc[cand])
         # rsv desc, then docid desc
         order = np.lexsort((-cand, -rsv_fixed))[: min(k, cand.size)]
         out = pd.DataFrame(
@@ -338,7 +348,7 @@ class OracleIndex:
             return pd.DataFrame(columns=["rank", "docid", "rsv_fixed"]).astype(
                 {"rank": np.int32, "docid": np.int64, "rsv_fixed": np.int64}
             )
-        rsv_fixed = acc[cand] % ACCUM_MOD
+        rsv_fixed = accum_value(acc[cand])
         order = np.lexsort((-cand, -rsv_fixed))[: min(k, cand.size)]
         return pd.DataFrame(
             {
@@ -402,7 +412,7 @@ class OracleIndex:
             return pd.DataFrame(columns=["rank", "docid", "rsv_fixed"]).astype(
                 {"rank": np.int32, "docid": np.int64, "rsv_fixed": np.int64}
             )
-        rsv_fixed = acc[cand] % ACCUM_MOD
+        rsv_fixed = accum_value(acc[cand])
         order = np.lexsort((-cand, -rsv_fixed))[: min(k, cand.size)]
         return pd.DataFrame(
             {

@@ -35,7 +35,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from atire_spark.build import IndexTables
-from atire_spark.kernels.bm25 import ACCUM_MOD, BM25_B, BM25_K1
+from atire_spark.kernels.bm25 import (
+    ACCUM_HALF,
+    ACCUM_MOD,
+    BM25_B,
+    BM25_K1,
+    accum_value,
+    accum_value_col,
+)
 from atire_spark.kernels.impact import decode_group, decode_segment
 from atire_spark.kernels.tokenizer import tokenize
 from atire_spark.kernels.vbyte import vbyte_decode
@@ -327,7 +334,11 @@ def _segment_contrib(
                 norm = (1.0 - f) * (1.0 - f) / (tf_d + 1.0)
                 rsv = 1.0 * norm * core
             else:
-                rsv = 1.0 * core / (tf_d + 0.5)
+                # dlh13 adds a flat +10.0 AFTER the formula
+                # (ranking_function_dlh13.c:46 ``score += 10.0``) —
+                # binary-verified; it shifts cross-doc ranking when
+                # docs match different numbers of query terms
+                rsv = 1.0 * core / (tf_d + 0.5) + 10.0
         return "float", docids[ok], rsv[ok]
     if idf == 0.0:
         # conjunctive bm25 with a universal term: required hit, 0 score
@@ -337,6 +348,68 @@ def _segment_contrib(
     ).astype(np.float32)
     rsv = idf * ((tf_d * (k1 + 1.0)) / (tf_d + priors.astype(np.float64)))
     return "float", docids, rsv
+
+
+def _zero_rsv_rework(acc, first_mask: np.ndarray) -> None:
+    """Exact ``is_zero_rsv`` emulation for the prior-carrying LM
+    rankers (lmds / lmp / lmptfidf).
+
+    The vectorized fold assumes the doc-length prior fires exactly once
+    — on the doc's first occurrence (lmds.c:110-115 checks the
+    ACCUMULATOR, not a first-hit flag). When a contribution truncates
+    to zero the accumulator stays at zero, so the prior REFIRES on the
+    next occurrence; and an interior prefix wrapping to exactly zero
+    refires it too. Detect the (rare) groups the fold cannot represent
+    and replay them occurrence-by-occurrence, patching ``contrib`` and
+    ``nz`` in place so the downstream group-sum stays unchanged.
+
+    ``acc`` must be sorted by (query_id, docid, term-order) and carry
+    int64 columns contrib (folded, adj applied), nz, unit, unit_p,
+    weight; ``first_mask`` marks each group's first row.
+    """
+    from atire_spark.kernels.bm25 import ACCUM_MOD as _MOD
+
+    n = len(acc)
+    if n == 0:
+        return
+    c = acc["contrib"].to_numpy()
+    unit = acc["unit"].to_numpy()
+    unit_p = acc["unit_p"].to_numpy()
+    weight = acc["weight"].to_numpy()
+    # prefix sum BEFORE each row, restarting per group
+    cs = np.cumsum(c)
+    grp_id = np.cumsum(first_mask) - 1  # 0-based group index per row
+    first_idx = np.flatnonzero(first_mask)
+    base = (cs[first_idx] - c[first_idx])[grp_id]
+    prefix_before = cs - c - base
+    flagged_rows = (
+        (unit % _MOD == 0)
+        | (unit_p % _MOD == 0)
+        | ((prefix_before % _MOD == 0) & ~first_mask)
+    )
+    if not flagged_rows.any():
+        return
+    bad_groups = np.unique(grp_id[flagged_rows])
+    # group row ranges
+    starts = first_idx
+    ends = np.append(first_idx[1:], n)
+    contrib_col = acc.columns.get_loc("contrib")
+    nz_col = acc.columns.get_loc("nz")
+    for g in bad_groups:
+        lo, hi = int(starts[g]), int(ends[g])
+        acc16 = 0
+        nz = 0
+        for i in range(lo, hi):
+            for _ in range(int(weight[i])):
+                occ = unit_p[i] if acc16 == 0 else unit[i]
+                if occ % _MOD != 0:
+                    nz = 1
+                acc16 = int((acc16 + occ) % _MOD)
+        # collapse the group's rework into its first row
+        acc.iloc[lo:hi, contrib_col] = 0
+        acc.iloc[lo, contrib_col] = acc16
+        acc.iloc[lo:hi, nz_col] = 0
+        acc.iloc[lo, nz_col] = nz
 
 
 from dataclasses import dataclass as _dataclass
@@ -1028,6 +1101,7 @@ class SearchEngine:
                 out_doc: list[np.ndarray] = []
                 out_contrib: list[np.ndarray] = []
                 out_hits: list[np.ndarray] = []
+                out_nz: list[np.ndarray] = []
                 for row in pdf.itertuples(index=False):
                     dec = _segment_contrib(
                         row, ranker, conjunctive, quantized, n_docs, mean_len,
@@ -1039,6 +1113,7 @@ class SearchEngine:
                         docids, contrib = _per_query_contrib(dec, nq[qid], post)
                         out_qid.append(np.full(docids.size, qid, dtype=np.int64))
                         out_doc.append(docids)
+                        out_nz.append((contrib != 0).astype(np.int64))
                         out_contrib.append(contrib * weight)
                         out_hits.append(np.ones(docids.size, dtype=np.int64))
                 if out_qid:
@@ -1048,12 +1123,14 @@ class SearchEngine:
                             "docid": np.concatenate(out_doc),
                             "contrib": np.concatenate(out_contrib),
                             "term_hits": np.concatenate(out_hits),
+                            "nz": np.concatenate(out_nz),
                         }
                     )
 
         scored = hits.mapInPandas(
             score_fn,
-            schema="query_id long, docid long, contrib long, term_hits long",
+            schema="query_id long, docid long, contrib long, term_hits long,"
+            " nz long",
         )
         contrib_agg = (
             F.max("contrib")
@@ -1061,10 +1138,16 @@ class SearchEngine:
             else F.sum("contrib")
         )
         accum = scored.groupBy("query_id", "docid").agg(
-            # pmod: LM scores can go negative; uint16 wrap is mod 2^16
-            F.pmod(contrib_agg, F.lit(ACCUM_MOD)).alias("rsv_fixed"),
+            # signed 16-bit accumulator value (LM scores can go
+            # negative; the reference's short accumulator orders them
+            # below zero, GNUmakefile.defns:94)
+            accum_value_col(contrib_agg).alias("rsv_fixed"),
             F.sum("term_hits").alias("term_hits"),
+            F.max("nz").alias("nz"),
         )
+        if not conjunctive:
+            # candidate-entry rule: some contribution must be nonzero
+            accum = accum.filter(F.col("nz") > 0)
         if conjunctive:
             # allterms: drop docs matching fewer than all distinct terms
             # (search_engine.c:1491-1511). A distinct term yields at most
@@ -1328,8 +1411,14 @@ class SearchEngine:
 
         # lmptfidf transforms each occurrence's query_frequency to
         # ln(1 + 1/|Q|)·ln(N/df) and the query length becomes the sum
-        # of the transformed values (atire_api.c:942-951); absent
-        # terms are skipped (their df is undefined in the reference)
+        # of the transformed values (atire_api.c:942-951). A term
+        # ABSENT from the vocabulary has df set to 0 by the failed
+        # lookup (search_engine.c:786-793), so its transform is
+        # ln(N/0) = +inf and the whole query length becomes +inf —
+        # every first-hit prior contribution then degenerates to
+        # 1 + (short)(trunc(-inf)) = 1 on x86 (cvttsd2si → INT_MIN,
+        # low 16 bits 0). Binary-verified via reference_ab variants
+        # (queries with an absent term / inert phrase term).
         qf: dict[tuple[int, str], float] = {}
         qlen: dict[int, float] = dict(nq)
         if is_idf:
@@ -1340,6 +1429,8 @@ class SearchEngine:
             qlen = {qid: 0.0 for qid in nq}
             for term, subs in qmap.items():
                 if term not in dfs:
+                    for qid, _w, _p in subs:
+                        qlen[qid] = math.inf
                     continue
                 lnN_df = math.log(float(n_docs) / float(dfs[term]))
                 for qid, weight, _post in subs:
@@ -1368,6 +1459,8 @@ class SearchEngine:
             else:
                 a_ddl = np.stack(right["ddl"].to_numpy())[order][:, g_idx]
             qids, docs, contribs, adjs, cfs, terms_ = [], [], [], [], [], []
+            nzs, nz_rest = [], []
+            units, unit_ps, weights_ = [], [], []
             for row in left.itertuples(index=False):
                 docids, impacts, lens = decode_segment(
                     np.asarray(row.impacts),
@@ -1431,9 +1524,27 @@ class SearchEngine:
                         rsv = base_k  # query_occurences = 1 per node
                     unit = 1 + (rsv * 100.0).astype(np.int64)
                     rsv_p = rsv + qlen[qid] * prior_k
-                    unit_p = 1 + (rsv_p * 100.0).astype(np.int64)
+                    # C-cast semantics for the infinite-qlen case
+                    # (absent query term): cvttsd2si(-inf) saturates
+                    # to INT_MIN whose low 16 bits are ZERO, so the
+                    # first-hit contribution degenerates to exactly 1
+                    rp = rsv_p * 100.0
+                    tr = np.zeros(rp.shape, dtype=np.int64)
+                    fin = np.isfinite(rp)
+                    tr[fin] = rp[fin].astype(np.int64)
+                    unit_p = 1 + tr
                     contribs.append(unit_p + (weight - 1) * unit)
                     adjs.append(unit - unit_p)
+                    # candidate-entry rule, resolved post-sort like adj
+                    nzs.append(
+                        (
+                            (unit_p != 0) | ((weight > 1) & (unit != 0))
+                        ).astype(np.int64)
+                    )
+                    nz_rest.append((unit != 0).astype(np.int64))
+                    units.append(unit)
+                    unit_ps.append(unit_p)
+                    weights_.append(np.full(d_k.size, weight, np.int64))
                     qids.append(np.full(d_k.size, qid, dtype=np.int64))
                     docs.append(d_k)
                     cfs.append(
@@ -1450,6 +1561,11 @@ class SearchEngine:
                     "adj": np.concatenate(adjs),
                     "cf": np.concatenate(cfs),
                     "term": np.concatenate(terms_),
+                    "nz": np.concatenate(nzs),
+                    "nz_rest": np.concatenate(nz_rest),
+                    "unit": np.concatenate(units),
+                    "unit_p": np.concatenate(unit_ps),
+                    "weight": np.concatenate(weights_),
                 }
             )
             acc = acc.sort_values(
@@ -1458,12 +1574,15 @@ class SearchEngine:
             first = acc.groupby(["query_id", "docid"], sort=False).cumcount().eq(0)
             acc.loc[first, "adj"] = 0
             acc["contrib"] = acc["contrib"] + acc["adj"]
+            acc.loc[~first, "nz"] = acc.loc[~first, "nz_rest"]
+            _zero_rsv_rework(acc, first.to_numpy())
             agg = (
                 acc.groupby(["query_id", "docid"], sort=False)
-                .agg(rsv_fixed=("contrib", "sum"))
+                .agg(rsv_fixed=("contrib", "sum"), nz=("nz", "max"))
                 .reset_index()
             )
-            agg["rsv_fixed"] = agg["rsv_fixed"] % ACCUM_MOD
+            agg["rsv_fixed"] = accum_value(agg["rsv_fixed"])
+            agg = agg[agg["nz"] > 0]
             outs = []
             for _, g_ in agg.groupby("query_id", sort=False):
                 if len(g_) > k:
@@ -1626,6 +1745,11 @@ class SearchEngine:
             docs: list[np.ndarray] = []
             contribs: list[np.ndarray] = []
             hit_flags: list[np.ndarray] = []
+            nzs: list[np.ndarray] = []  # per-occurrence nonzero flags
+            nz_rest: list[np.ndarray] = []  # lmds: flags if NOT first
+            units: list[np.ndarray] = []  # lmds: is_zero_rsv rework
+            unit_ps: list[np.ndarray] = []
+            weights_: list[np.ndarray] = []
             lmds = ranker == "lmds"
             adjs: list[np.ndarray] = []  # lmds first-hit prior adjustment
             cfs: list[np.ndarray] = []  # lmds term order: cf asc, term asc
@@ -1673,10 +1797,32 @@ class SearchEngine:
                             terms_.append(
                                 np.full(docids.size, row.term, dtype=object)
                             )
+                            # candidate-entry rule per OCCURRENCE:
+                            # resolved after the first-term sort —
+                            # the FIRST term's occurrences are
+                            # (unit_p, unit×(w−1)), later terms' are
+                            # (unit×w)
+                            nzs.append(
+                                (
+                                    (unit_p != 0)
+                                    | ((weight > 1) & (unit != 0))
+                                ).astype(np.int64)
+                            )
+                            nz_rest.append((unit != 0).astype(np.int64))
+                            units.append(unit)
+                            unit_ps.append(unit_p)
+                            weights_.append(
+                                np.full(docids.size, weight, np.int64)
+                            )
                         else:
                             docids, contrib = _per_query_contrib(
                                 dec, nq[qid], post
                             )
+                            # add_rsv transitions a doc into the
+                            # candidate list only when the contribution
+                            # is nonzero (search_engine_result.h) —
+                            # per-occurrence, so test before the fold
+                            nzs.append((contrib != 0).astype(np.int64))
                             if ranker in ("docid_asc", "docid_desc"):
                                 # set_rsv semantics: positional value,
                                 # no query-weight multiplication
@@ -1694,6 +1840,7 @@ class SearchEngine:
                     "docid": np.concatenate(docs),
                     "contrib": np.concatenate(contribs),
                     "hit": np.concatenate(hit_flags),
+                    "nz": np.concatenate(nzs),
                 }
             )
             if lmds:
@@ -1704,6 +1851,10 @@ class SearchEngine:
                 acc["adj"] = np.concatenate(adjs)
                 acc["cf"] = np.concatenate(cfs)
                 acc["term"] = np.concatenate(terms_)
+                acc["nz_rest"] = np.concatenate(nz_rest)
+                acc["unit"] = np.concatenate(units)
+                acc["unit_p"] = np.concatenate(unit_ps)
+                acc["weight"] = np.concatenate(weights_)
                 acc = acc.sort_values(
                     ["query_id", "docid", "cf", "term"], kind="stable"
                 ).reset_index(drop=True)
@@ -1714,6 +1865,11 @@ class SearchEngine:
                 )
                 acc.loc[first, "adj"] = 0
                 acc["contrib"] = acc["contrib"] + acc["adj"]
+                # only the first term's occurrences include the prior
+                acc.loc[~first, "nz"] = acc.loc[~first, "nz_rest"]
+                # exact is_zero_rsv replay for groups the fold cannot
+                # represent (zero contributions / zero-wrapped prefixes)
+                _zero_rsv_rework(acc, first.to_numpy())
             # docid rankers use the reference's set_rsv (overwrite)
             # semantics: identical per-term values, MAX == the value
             contrib_agg = (
@@ -1721,13 +1877,21 @@ class SearchEngine:
             )
             agg = (
                 acc.groupby(["query_id", "docid"], sort=False)
-                .agg(rsv_fixed=("contrib", contrib_agg), th=("hit", "sum"))
+                .agg(
+                    rsv_fixed=("contrib", contrib_agg),
+                    th=("hit", "sum"),
+                    nz=("nz", "max"),
+                )
                 .reset_index()
             )
-            agg["rsv_fixed"] = agg["rsv_fixed"] % ACCUM_MOD
+            agg["rsv_fixed"] = accum_value(agg["rsv_fixed"])
             if conjunctive:
                 need = agg["query_id"].map(n_terms_per_q)
                 agg = agg[agg["th"] >= need]
+            else:
+                # a doc whose every contribution truncated to zero
+                # never transitioned 0→nonzero: not a candidate
+                agg = agg[agg["nz"] > 0]
             outs = []
             for _, g in agg.groupby("query_id", sort=False):
                 if len(g) > k:
@@ -1875,7 +2039,7 @@ class SearchEngine:
                     presence.append(np.isin(cand_ids, leaf_docs))
                 mask = eval_tree(tree, presence)
                 ids = cand_ids[mask]
-                vals = per_doc.to_numpy()[mask] % ACCUM_MOD
+                vals = accum_value(per_doc.to_numpy()[mask])
                 if ids.size > k:
                     order = np.lexsort((-ids, -vals))[:k]
                     ids, vals = ids[order], vals[order]
@@ -2039,7 +2203,7 @@ class SearchEngine:
                         and n_touched >= k  # heap_is_full (result.h:137)
                         and max_remaining > 0
                     ):
-                        vals = acc[touched] % ACCUM_MOD  # wrapped uint16 view
+                        vals = accum_value(acc[touched])  # signed short view
                         topv = np.partition(vals, vals.size - k)[vals.size - k :]
                         topv.sort()
                         # base gate: diff between (k-1)th and kth
@@ -2080,7 +2244,15 @@ class SearchEngine:
                     )
                     idxs = np.cumsum(deltas.astype(np.int64)) - 1 - lo
                     if quantized:
-                        acc[idxs] += impact * e["w"]
+                        # the quantum path routes the impact through
+                        # add_rsv(double) — quantum_parameters.tf is a
+                        # double (ranking_function_quantum_parameters.h:
+                        # 18, ranking_function_impact.c:28) — so each
+                        # hit adds 1 + 100·impact, UNLIKE the TaaT
+                        # impact path's raw add_rsv(long). Binary-
+                        # verified: QaaT rsv 13601 = 1 + 100·136 where
+                        # TaaT reports 136
+                        acc[idxs] += (1 + impact * 100) * e["w"]
                     else:
                         lens_g = e["lens"][s : s + c].astype(np.float64)
                         priors = (k1 * ((1.0 - b) + b * (lens_g / mean_len))).astype(
@@ -2105,7 +2277,7 @@ class SearchEngine:
                         max_remaining += nxt
                         heapq.heappush(heap, (-nxt, i))
                 ids = np.flatnonzero(touched) + lo
-                vals = acc[touched] % ACCUM_MOD
+                vals = accum_value(acc[touched])
                 if ids.size > k:
                     order = np.lexsort((-ids, -vals))[:k]
                     ids, vals = ids[order], vals[order]
@@ -2261,9 +2433,10 @@ class SearchEngine:
                 if g > theta.get(qid, 0):
                     theta[qid] = g
         # wrap-soundness guard: the θ₀/Σmax arithmetic assumes the
-        # uint16 accumulator never wraps. If a query's maximum possible
-        # pre-wrap score Σ weight·max_impact reaches ACCUM_MOD, wrapped
-        # scores are no longer monotone in the bounds — disable pruning
+        # SIGNED 16-bit accumulator never leaves the positive range. If
+        # a query's maximum possible pre-wrap score Σ weight·max_impact
+        # reaches 2^15 (ACCUM_HALF), scores can go negative and are no
+        # longer monotone in the bounds — disable pruning
         # for THAT query (θ₀ = 0 ⇒ every segment decodes ⇒ identical to
         # the grouped path, wrap included), keeping rank identity
         # unconditional rather than docstring-conditional.
@@ -2271,7 +2444,7 @@ class SearchEngine:
         for qid, term, weight in qterms:
             qbound[qid] = qbound.get(qid, 0) + weight * maxg.get(term, 0)
         for qid, bound in qbound.items():
-            if bound >= ACCUM_MOD:
+            if bound >= ACCUM_HALF:
                 theta[qid] = 0
 
         # ---- phase 2: segment pivot test, then exact scoring
@@ -2350,7 +2523,7 @@ class SearchEngine:
                 .sum()
                 .reset_index(name="rsv_fixed")
             )
-            agg["rsv_fixed"] = agg["rsv_fixed"] % ACCUM_MOD
+            agg["rsv_fixed"] = accum_value(agg["rsv_fixed"])
             outs = []
             for _, g in agg.groupby("query_id", sort=False):
                 if len(g) > k:
@@ -2837,7 +3010,7 @@ class SearchEngine:
                 "synonym conflation needs raw term frequencies; the "
                 "index is quantized (atire_api.c:477)"
             )
-        from atire_spark.kernels.bm25 import ACCUM_MOD, BM25_B, BM25_K1
+        from atire_spark.kernels.bm25 import BM25_B, BM25_K1
         from atire_spark.kernels.stem import query_stem
 
         # member term -> [(qid, gid, copies)]; group -> query weight
@@ -2947,7 +3120,7 @@ class SearchEngine:
             "query_id", "docid", contrib
         )
         accum = scored.groupBy("query_id", "docid").agg(
-            F.pmod(F.sum("contrib"), F.lit(ACCUM_MOD)).alias("rsv_fixed")
+            accum_value_col(F.sum("contrib")).alias("rsv_fixed")
         )
         return self._rank_topk(accum, k)
 
@@ -3094,7 +3267,7 @@ class SearchEngine:
             )
         if similarity not in (None, "threshold", "weighted"):
             raise ValueError(f"unknown similarity mode {similarity!r}")
-        from atire_spark.kernels.bm25 import ACCUM_MOD, BM25_B, BM25_K1
+        from atire_spark.kernels.bm25 import BM25_B, BM25_K1
         from atire_spark.kernels.termsim import (
             reference_posting_order,
             term_similarity,
@@ -3274,7 +3447,7 @@ class SearchEngine:
             "query_id", "docid", contrib
         )
         accum = scored.groupBy("query_id", "docid").agg(
-            F.pmod(F.sum("contrib"), F.lit(ACCUM_MOD)).alias("rsv_fixed")
+            accum_value_col(F.sum("contrib")).alias("rsv_fixed")
         )
         return self._rank_topk(accum, k)
 
@@ -3367,7 +3540,7 @@ class SearchEngine:
             cand = np.flatnonzero(touched)
             if cand.size == 0:
                 continue
-            vals = acc[cand] % ACCUM_MOD
+            vals = accum_value(acc[cand])
             order = np.lexsort((-cand, -vals))[: min(k, cand.size)]
             for rnk, idx in enumerate(cand[order], start=1):
                 out.append(

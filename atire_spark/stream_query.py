@@ -11,7 +11,8 @@ watched topic). Three operators:
 - :func:`standing_query_matches` — stateless per-turn BM25 scoring of
   every arriving turn against a broadcast standing-query set, with the
   engine's exact fixed-point arithmetic (kernels/bm25.py: float32
-  length prior, ``1 + trunc(100·rsv)`` per term, uint16 wrap) against
+  length prior, ``1 + trunc(100·rsv)`` per term, signed-short wrap)
+  against
   FROZEN collection statistics. Map-only (``mapInPandas``), no state,
   no shuffle — safe in append mode and embarrassingly parallel at any
   input rate. Freezing stats is the reference's own semantics: a
@@ -51,7 +52,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from atire_spark.kernels.bm25 import ACCUM_MOD, BM25_B, BM25_K1
+from atire_spark.kernels.bm25 import BM25_B, BM25_K1, accum_value
 from atire_spark.kernels.tokenizer import tokenize, tokenize_batch
 from atire_spark.query import parse_query
 
@@ -190,7 +191,7 @@ def standing_query_matches(
                 .agg(rsv_fixed=("contrib", "sum"), n_match_terms=("term", "size"))
                 .reset_index()
             )
-            agg["rsv_fixed"] = agg["rsv_fixed"].to_numpy(np.int64) % ACCUM_MOD
+            agg["rsv_fixed"] = accum_value(agg["rsv_fixed"].to_numpy(np.int64))
             agg = agg[agg["rsv_fixed"] > threshold]
             if agg.empty:
                 continue

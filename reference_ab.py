@@ -100,13 +100,23 @@ AB_QUERIES: list[tuple[int, str]] = [
 ]
 
 
-def ensure_reference_built() -> str | None:
+def ensure_reference_built(single_threaded: bool = False) -> str | None:
     """Return the reference bin dir, building it out-of-tree if needed.
+
+    ``single_threaded=True`` builds a SEPARATE tree with
+    ``USE_PARALLEL_INDEXING := 0``: the stock build indexes with 8
+    worker threads whose completion order assigns internal docids, so
+    nearby documents land in a nondeterministically-permuted order
+    (observed: doclist ``..., t0002729, t0002731, t0002732, t0002730,
+    t0002733, ...``) — rank-identity A/B needs the deterministic
+    file-order docid assignment, while throughput measurement wants
+    the stock parallel build.
 
     Returns None (with a stderr note) when neither a built tree nor the
     reference sources exist — callers skip gracefully.
     """
-    bin_dir = os.path.join(ATIRE_BUILD_DIR, "bin")
+    build_dir = ATIRE_BUILD_DIR + ("_st" if single_threaded else "")
+    bin_dir = os.path.join(build_dir, "bin")
     if all(
         os.access(os.path.join(bin_dir, exe), os.X_OK)
         for exe in ("index", "atire")
@@ -115,22 +125,26 @@ def ensure_reference_built() -> str | None:
     if not os.path.isdir(REFERENCE_SRC):
         print("reference_ab: no built ATIRE and no source tree; skipping", file=sys.stderr)
         return None
-    if not os.path.isdir(ATIRE_BUILD_DIR):
-        shutil.copytree(REFERENCE_SRC, ATIRE_BUILD_DIR)
-    defns = os.path.join(ATIRE_BUILD_DIR, "GNUmakefile.defns")
+    if not os.path.isdir(build_dir):
+        shutil.copytree(REFERENCE_SRC, build_dir)
+    defns = os.path.join(build_dir, "GNUmakefile.defns")
     with open(defns) as fh:
         text = fh.read()
     patched = text.replace(
         "override CFLAGS += -x c++ -std=c++11 -Wall  \\",
         "override CFLAGS += -x c++ -std=gnu++11 -fpermissive -w \\",
     )
+    if single_threaded:
+        patched = patched.replace(
+            "USE_PARALLEL_INDEXING := 1", "USE_PARALLEL_INDEXING := 0"
+        )
     if patched != text:
         with open(defns, "w") as fh:
             fh.write(patched)
     os.makedirs(bin_dir, exist_ok=True)
     rc = subprocess.run(
         ["make", "-j", str(min(24, os.cpu_count() or 8))],
-        cwd=ATIRE_BUILD_DIR,
+        cwd=build_dir,
         stdout=subprocess.DEVNULL,
         stderr=subprocess.DEVNULL,
     ).returncode
@@ -156,19 +170,26 @@ def prepare_corpus(transcripts):
     df = df[keep].reset_index(drop=True)
     docids = df.index.to_numpy()
     orig_text = list(df["text"])
-    df = df.assign(text=["t%d %s" % (d, t) for d, t in zip(docids, orig_text)])
+    # ZERO-PADDED docnames: fixed-width names keep numeric and
+    # lexicographic order identical so nothing downstream can depend
+    # on the name format. docid alignment itself comes from the
+    # single-threaded reference build (file-order internal ids); the
+    # stock 8-thread indexer permutes nearby docids nondeterministically
+    df = df.assign(
+        text=["t%07d %s" % (d, t) for d, t in zip(docids, orig_text)]
+    )
     parts = [
-        "<DOC>\n<DOCNO>t%d</DOCNO>\n%s\n</DOC>\n" % (d, t)
+        "<DOC>\n<DOCNO>t%07d</DOCNO>\n%s\n</DOC>\n" % (d, t)
         for d, t in zip(docids, orig_text)
     ]
     return df, "".join(parts)
 
 
 # docid comes from the <name> (our DOCNO, "t{docid}"), NOT from <id>:
-# the reference's internal id is the document's rank in the
-# LEXICOGRAPHICALLY sorted doclist ("t13351" lands at id 13345 on the
-# small corpus), so <id> never aligns with file order past the first
-# few thousand docs
+# the reference's internal id is indexing-COMPLETION order — under the
+# stock 8-thread indexer that permutes nearby documents ("t13351"
+# observed at id 13345), and even the single-threaded build's ids are
+# an internal detail; the DOCNO is the stable cross-engine key
 _HIT_RE = re.compile(
     r"<hit><rank>(\d+)</rank><id>\d+</id><name>t(\d+)</name><rsv>([-\d.]+)</rsv></hit>"
 )
@@ -177,13 +198,39 @@ _TIME_RE = re.compile(r"<time>(\d+)</time>")
 
 
 def run_reference_queries(
-    bin_dir: str, index_path: str, queries: list[tuple[int, str]], k: int, cwd: str
+    bin_dir: str,
+    index_path: str,
+    queries: list[tuple[int, str]],
+    k: int,
+    cwd: str,
+    extra_flags: list[str] | None = None,
+    l: int | None = None,
 ):
     """Feed queries over stdin to one interactive atire process; parse
-    per-query ordered (docid, rsv_int) hit lists and <time> millis."""
+    per-query ordered (docid, rsv_int) hit lists and <time> millis.
+    ``extra_flags`` select ranker / stemmer / QaaT / feedback modes.
+
+    ``-k`` (the top_k accuracy point) is always pinned to the list
+    length: the reference's Bentley-McIlroy ``top_k_sort`` only
+    guarantees accurate (rsv desc, docid desc) order for the first
+    top_k entries — beyond it, equal-rsv runs keep partition-swap
+    artifacts (observed: 2778 before 2779 mid-list without ``-k``).
+
+    ``l`` overrides the printed-list length: full-ranking callers pass
+    headroom above the corpus size because duplicate transition
+    entries (see below) inflate numhits past the document count."""
     qtext = "".join(q + "\n" for _, q in queries)
+    ll = l if l is not None else k
     proc = subprocess.run(
-        [os.path.join(bin_dir, "atire"), "-nologo", "-findex", index_path, "-l%d" % k],
+        [
+            os.path.join(bin_dir, "atire"),
+            "-nologo",
+            "-findex",
+            index_path,
+            "-l%d" % ll,
+            "-k%d" % ll,
+        ]
+        + (extra_flags or []),
         input=qtext.encode(),
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
@@ -192,25 +239,47 @@ def run_reference_queries(
     blocks = _BLOCK_RE.findall(proc.stdout.decode("utf-8", "replace"))
     hits, times_ms = [], []
     for block in blocks:
-        hits.append(
-            [(int(d), int(round(float(r)))) for _, d, r in _HIT_RE.findall(block)]
-        )
+        parsed = [
+            (int(d), int(round(float(r)))) for _, d, r in _HIT_RE.findall(block)
+        ]
+        # the reference appends a doc to accumulator_pointers once per
+        # 0→nonzero transition (search_engine_result.h add_rsv); with
+        # negative LM contributions a doc can cross zero and transition
+        # AGAIN, so its final (docid, rsv) appears TWICE in the output
+        # (observed: 60 duplicate hits on an lmd 5-term query).
+        # Collapse the duplicates — an engine emitting one row per doc
+        # is the correct observable; the duplicate is a reference
+        # artifact of its candidate-list bookkeeping.
+        seen: set[int] = set()
+        dedup = []
+        for d, r in parsed:
+            if d not in seen:
+                seen.add(d)
+                dedup.append((d, r))
+        hits.append(dedup)
         m = _TIME_RE.search(block)
         times_ms.append(int(m.group(1)) if m else None)
     return hits, times_ms
 
 
-def run_reference_build(bin_dir: str, trec_path: str, index_path: str, cwd: str) -> float:
+def run_reference_build(
+    bin_dir: str,
+    trec_path: str,
+    index_path: str,
+    cwd: str,
+    extra_flags: list[str] | None = None,
+) -> float:
+    """ALL flags must precede the input filename: the reference's
+    param parser stops at the first positional argument and silently
+    treats everything after it as more input files — a trailing
+    ``-findex``/``-Q``/``-t`` is ignored and the index lands at the
+    default ``index.aspt`` (verified empirically; atire/index.c:162
+    param parse)."""
     t0 = time.perf_counter()
     subprocess.run(
-        [
-            os.path.join(bin_dir, "index"),
-            "-nologo",
-            "-rtrec",
-            trec_path,
-            "-findex",
-            index_path,
-        ],
+        [os.path.join(bin_dir, "index"), "-nologo"]
+        + (extra_flags or [])
+        + ["-rtrec", "-findex", index_path, trec_path],
         check=True,
         stdout=subprocess.DEVNULL,
         stderr=subprocess.DEVNULL,
@@ -241,13 +310,97 @@ def _score_groups(hits: list[tuple[int, int]]) -> list[tuple[int, frozenset]]:
     return [(r, frozenset(s)) for r, s in groups]
 
 
+def _diff_rankings(
+    queries: list[tuple[int, str]],
+    ref_hits: list[list[tuple[int, int]]],
+    ours: dict[int, list[tuple[int, int]]],
+    boundary_tolerant: bool = False,
+) -> list[dict]:
+    """Per-query ranking comparison; returns mismatch summaries.
+
+    Default: STRICT list equality — with zero-padded docnames the two
+    engines share docid assignment, signed-short scores, AND tie-break
+    (rsv desc, docid desc), so full rankings must be identical element
+    by element. ``boundary_tolerant=True`` relaxes to score-group
+    comparison with a tolerant final group — used only for the QaaT
+    early-termination heuristics, whose results legitimately depend on
+    quantum traversal order (global in the reference, per docid-range
+    partition here).
+    """
+    # a missing/short reference result set is a FAILURE, not a free
+    # pass — zip() would silently compare nothing (the failure mode
+    # when atire can't load the index and emits zero result blocks)
+    if len(ref_hits) != len(queries):
+        return [
+            {
+                "query": "*",
+                "error": "reference returned %d result blocks for %d queries"
+                % (len(ref_hits), len(queries)),
+            }
+        ]
+    mismatches = []
+    for (qid, qtext), ref in zip(queries, ref_hits):
+        mine = ours.get(qid, [])
+        if not boundary_tolerant:
+            if ref == mine:
+                continue  # strict element-by-element identity
+            rg_cmp = _score_groups(ref)
+            og_cmp = _score_groups(mine)
+        else:
+            ref_groups = _score_groups(ref)
+            our_groups = _score_groups(mine)
+            rg_cmp, og_cmp = ref_groups, our_groups
+            if ref_groups and our_groups:
+                rl, ol = ref_groups[-1], our_groups[-1]
+                if rl[0] == ol[0] and len(rl[1]) == len(ol[1]):
+                    rg_cmp = ref_groups[:-1]
+                    og_cmp = our_groups[:-1]
+            if rg_cmp == og_cmp:
+                continue
+        if True:
+            bad = next(
+                (
+                    {
+                        "rsv_ref": rg[0] if rg else None,
+                        "rsv_ours": og[0] if og else None,
+                        "only_ref": sorted(rg[1] - og[1])[:5] if rg and og else [],
+                        "only_ours": sorted(og[1] - rg[1])[:5] if rg and og else [],
+                    }
+                    for rg, og in zip(
+                        list(rg_cmp) + [None], list(og_cmp) + [None]
+                    )
+                    if rg != og
+                ),
+                None,
+            )
+            mismatches.append(
+                {
+                    "query": qtext,
+                    "n_ref": len(ref),
+                    "n_ours": len(ours.get(qid, [])),
+                    "first_diff_group": bad,
+                }
+            )
+    return mismatches
+
+
+def _collect_ours(rows) -> dict[int, list[tuple[int, int]]]:
+    """Spark result rows → {query_id: rank-ordered (docid, rsv_fixed)}."""
+    ours: dict[int, list[tuple[int, int]]] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        ours.setdefault(int(r["query_id"]), []).append(
+            (int(r["docid"]), int(r["rsv_fixed"]))
+        )
+    return ours
+
+
 def identity(scale: str, cpus: int, k: int = 10) -> dict:
     from atire_spark.build import build_index
     from atire_spark.query import SearchEngine
     from atire_spark.session import get_spark
     from atire_spark.synth import make_transcripts
 
-    bin_dir = ensure_reference_built()
+    bin_dir = ensure_reference_built(single_threaded=True)
     if bin_dir is None:
         return {"skipped": True}
 
@@ -261,7 +414,9 @@ def identity(scale: str, cpus: int, k: int = 10) -> dict:
     # FULL rankings (k = corpus size): every matching document's score
     # is compared, not just a top-k window
     k_full = len(pdf)
-    ref_hits, _ = run_reference_queries(bin_dir, index_path, AB_QUERIES, k_full, work)
+    ref_hits, _ = run_reference_queries(
+        bin_dir, index_path, AB_QUERIES, k_full, work, l=4 * k_full
+    )
 
     spark = get_spark(cpus=cpus, app="reference_ab")
     sdf = spark.createDataFrame(pdf)
@@ -271,34 +426,7 @@ def identity(scale: str, cpus: int, k: int = 10) -> dict:
     for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
         ours[r["query_id"]].append((int(r["docid"]), int(r["rsv_fixed"])))
 
-    mismatches = []
-    for (qid, qtext), ref in zip(AB_QUERIES, ref_hits):
-        ref_groups = _score_groups(ref)
-        our_groups = _score_groups(ours[qid])
-        if ref_groups != our_groups:
-            bad = next(
-                (
-                    {
-                        "rsv_ref": rg[0] if rg else None,
-                        "rsv_ours": og[0] if og else None,
-                        "only_ref": sorted(rg[1] - og[1])[:5] if rg and og else [],
-                        "only_ours": sorted(og[1] - rg[1])[:5] if rg and og else [],
-                    }
-                    for rg, og in zip(
-                        list(ref_groups) + [None], list(our_groups) + [None]
-                    )
-                    if rg != og
-                ),
-                None,
-            )
-            mismatches.append(
-                {
-                    "query": qtext,
-                    "n_ref": len(ref),
-                    "n_ours": len(ours[qid]),
-                    "first_diff_group": bad,
-                }
-            )
+    mismatches = _diff_rankings(AB_QUERIES, ref_hits, ours)
     out = {
         "mode": "identity",
         "scale": scale,
@@ -360,20 +488,302 @@ def throughput(n_convs: int, repeats: int, k: int = 10) -> dict:
     return out
 
 
+# ----------------------------------------------------------------------
+# variants mode: binary-certify rankers / stemmers / quantization / QaaT
+# ----------------------------------------------------------------------
+# our ranker name → the reference's -R flag with OUR implemented
+# parameter defaults (all taken from the reference's own headers; the
+# kbtfidf pair is k=5, b=5−e so tf=1 scores exactly idf²,
+# ranking_function_kbtfidf.c:139)
+RANKER_FLAGS: dict[str, str] = {
+    "bm25": "BM25:0.9:0.4",
+    "bm25l": "BM25L:0.9:0.4:0.5",
+    "bm25plus": "BM25+:0.9:0.4:1",
+    "bm25t": "BM25T:0.2",
+    "bm25adpt": "BM25ADPT:0.3",
+    "tflodop": "TFlodop:0.1:0.1",
+    "lmd": "lmd:6750",
+    "lmds": "lmds:2500",
+    "lmjm": "lmjm:0.5",
+    "divergence": "divergence",
+    "bose": "be",
+    "dlh13": "DLH13",
+    "dph": "DPH",
+    "dfree": "DFRee",
+    "dfi": "DFI",
+    "dfiw": "DFIW",
+    "dfi_idf": "DFI_IDF",
+    "dfiw_idf": "DFIW_IDF",
+    "inner": "tfidf",
+    "kbtfidf": "kbtfidf:5:2.281718171540955",
+    "termcount": "termcount",
+    "docid_asc": "docid:1",
+    "docid_desc": "docid:0",
+}
+
+# the Pitman-Yor LM rankers need the Puurula length vectors baked into
+# the index: the reference builds one index per vector kind
+# (-Ilmp / -Ilmptfidf); our build(puurula=True) stores both families
+PUURULA_RANKERS: dict[str, tuple[str, str]] = {
+    "lmp": ("-Ilmp", "lmp:1000:0.5"),
+    # lmptfidf's powerlaw slot is (int)(g*1000) and must be <= 9
+    # (puurula_idf.c:45-48 exits on the help text's own 0.5 default);
+    # 0.005 is the largest-step value the C code accepts — the same g
+    # our engine implements (PUURULA_IDF_G)
+    "lmptfidf": ("-Ilmptfidf", "lmptfidf:1000:0.005"),
+}
+
+# our stemmer name → the reference's -t flag suffix (TERM EXPANSION)
+STEMMER_FLAGS: dict[str, str] = {
+    "porter": "p",
+    "s": "s",
+    "paice_husk": "h",
+    "krovetz": "k",
+    "otago": "o",
+    "otago_v2": "O",
+    "soundex": "S",
+    "double_metaphone": "D",
+    "snowball_armenian": "Xa",
+    "snowball_basque": "Xb",
+    "snowball_catalan": "Xc",
+    "snowball_danish": "XD",
+    "snowball_dutch": "Xd",
+    "snowball_kraaij_pohlmann": "Xk",
+    "snowball_porter": "XE",
+    "snowball_english": "Xe",
+    "snowball_lovins": "Xl",
+    "snowball_finnish": "XF",
+    "snowball_french": "Xf",
+    "snowball_german": "Xg",
+    "snowball_german2": "X2",
+    "snowball_hungarian": "Xh",
+    "snowball_italian": "Xi",
+    "snowball_norwegian": "Xn",
+    "snowball_portuguese": "Xp",
+    "snowball_romanian": "XR",
+    "snowball_russian": "Xr",
+    "snowball_spanish": "XS",
+    "snowball_swedish": "Xs",
+    "snowball_turkish": "Xt",
+}
+
+# QaaT early-termination: -Pq suffix → our search_qaat argument.
+# ":n" (no early termination) must be EXACT; the d/s/l heuristics are
+# results-changing and order-dependent (the reference prunes over one
+# global accumulator, we per disjoint docid range) so they are
+# reported informationally, not asserted.
+QAAT_MODES: list[tuple[str, str | None, bool]] = [
+    ("n", None, True),
+    ("d", "diff", False),
+    ("s", "diff_smallest", False),
+    ("l", "diff_largest", False),
+]
+
+
+def variants(
+    scale: str,
+    cpus: int,
+    stem_convs: int = 400,
+    only: str | None = None,
+) -> dict:
+    """Binary-certify engine variants against the reference CLI.
+
+    Hard-asserted (must match full-ranking score groups): every
+    search_batch ranker (-R...), allterms/conjunctive, every stemmer
+    slot (-t..., index+query side), the 8-bit quantized index, and
+    QaaT with no early termination. Reported informationally: the
+    QaaT d/s/l early-termination heuristics (results-changing by
+    design and traversal-order-dependent).
+    """
+    from atire_spark.build import build_index
+    from atire_spark.query import SearchEngine
+    from atire_spark.session import get_spark
+    from atire_spark.synth import make_transcripts
+
+    bin_dir = ensure_reference_built(single_threaded=True)
+    if bin_dir is None:
+        return {"skipped": True}
+
+    spark = get_spark(cpus=cpus, app="reference_ab_variants")
+    work = tempfile.mkdtemp(prefix="atire_ab_var_")
+    out: dict[str, dict] = {}
+    hard_fail = 0
+
+    def check(name: str, queries, ref_hits, rows, hard=True, boundary=False):
+        nonlocal hard_fail
+        mm = _diff_rankings(
+            queries, ref_hits, _collect_ours(rows), boundary_tolerant=boundary
+        )
+        out[name] = {"matched": len(queries) - len(mm), "queries": len(queries)}
+        if mm:
+            out[name]["mismatches"] = mm[:3]
+            out[name]["asserted"] = hard
+            if hard:
+                hard_fail += 1
+
+    if only in (None, "rankers", "quantized"):
+        pdf, trec = prepare_corpus(make_transcripts(scale))
+        trec_path = os.path.join(work, "corpus.xml")
+        with open(trec_path, "w") as fh:
+            fh.write(trec)
+        k_full = len(pdf)
+
+    # ---- rankers on the plain index ----------------------------------
+    if only in (None, "rankers"):
+        plain_idx = os.path.join(work, "plain.aspt")
+        run_reference_build(bin_dir, trec_path, plain_idx, work)
+        eng = SearchEngine(spark, build_index(spark, spark.createDataFrame(pdf)))
+        for name, flag in RANKER_FLAGS.items():
+            ref_hits, _ = run_reference_queries(
+                bin_dir, plain_idx, AB_QUERIES, k_full, work,
+                extra_flags=["-R" + flag], l=4 * k_full,
+            )
+            rows = eng.search_batch(AB_QUERIES, k=k_full, ranker=name).collect()
+            check(f"ranker:{name}", AB_QUERIES, ref_hits, rows)
+        # -Rallterms = the TERMCOUNT scorer + a post-filter dropping
+        # docs with rsv < terms_in_query (ranking_function_factory.c:
+        # 196-198 + search_engine.c boolean_results_list) — NOT an
+        # arbitrary-ranker conjunctive mode
+        ref_hits, _ = run_reference_queries(
+            bin_dir, plain_idx, AB_QUERIES, k_full, work,
+            extra_flags=["-Rallterms"], l=4 * k_full,
+        )
+        rows = eng.search_batch(
+            AB_QUERIES, k=k_full, ranker="termcount", conjunctive=True
+        ).collect()
+        check("ranker:allterms", AB_QUERIES, ref_hits, rows)
+        # Pitman-Yor LM rankers: per-kind reference index, one ours
+        peng = SearchEngine(
+            spark,
+            build_index(spark, spark.createDataFrame(pdf), puurula=True),
+        )
+        for name, (idx_flag, rflag) in PUURULA_RANKERS.items():
+            p_idx = os.path.join(work, f"puurula_{name}.aspt")
+            run_reference_build(
+                bin_dir, trec_path, p_idx, work, extra_flags=[idx_flag]
+            )
+            ref_hits, _ = run_reference_queries(
+                bin_dir, p_idx, AB_QUERIES, k_full, work,
+                extra_flags=["-R" + rflag], l=4 * k_full,
+            )
+            rows = peng.search_batch(AB_QUERIES, k=k_full, ranker=name).collect()
+            check(f"ranker:{name}", AB_QUERIES, ref_hits, rows)
+
+    # ---- quantized index + QaaT --------------------------------------
+    if only in (None, "quantized"):
+        q_idx = os.path.join(work, "quant.aspt")
+        run_reference_build(
+            bin_dir, trec_path, q_idx, work,
+            extra_flags=["-QBM25:0.9:0.4", "-q8"],
+        )
+        qeng = SearchEngine(
+            spark,
+            build_index(spark, spark.createDataFrame(pdf), quantize_bits=8),
+        )
+        ref_hits, _ = run_reference_queries(
+            bin_dir, q_idx, AB_QUERIES, k_full, work, l=4 * k_full
+        )
+        rows = qeng.search_batch(AB_QUERIES, k=k_full).collect()
+        check("quantized:taat", AB_QUERIES, ref_hits, rows)
+        for suffix, et, hard in QAAT_MODES:
+            kq = k_full if et is None else 10
+            ref_hits, _ = run_reference_queries(
+                bin_dir, q_idx, AB_QUERIES, kq, work,
+                extra_flags=["-Pq:" + suffix],
+            )
+            res = qeng.search_qaat(AB_QUERIES, k=kq, early_termination=et)
+            check(
+                f"qaat:{suffix}", AB_QUERIES, ref_hits, res.collect(),
+                hard=hard, boundary=et is not None,
+            )
+
+    # ---- stemmer slots (smaller corpus: one Spark build per stemmer) --
+    if only in (None, "stemmers"):
+        spdf, strec = prepare_corpus(make_transcripts(stem_convs))
+        strec_path = os.path.join(work, "stem_corpus.xml")
+        with open(strec_path, "w") as fh:
+            fh.write(strec)
+        sk_full = len(spdf)
+        s_sdf = spark.createDataFrame(spdf)
+        # q10 "Alpha" is EXCLUDED from the stemmer block: with a
+        # stemmer attached, a mixed-case query term takes the
+        # unstemmed branch on the RAW first char (atire_api.c:861
+        # tests term->start, not the folded buffer) but the pre-lookup
+        # loop skipped it (atire_api.c:912 tests the FOLDED buffer) —
+        # the reference then ranks UNINITIALIZED term_details
+        # (observed: 2621 garbage hits). A real engine cannot and
+        # should not reproduce an uninitialized-memory read.
+        stem_queries = [(q, t) for q, t in AB_QUERIES if t != "Alpha"]
+        # the phonetic slots are A/B'd separately below: on a
+        # phonetic-STEMMED index the reference's stemmed search
+        # re-stems the vocabulary's CODES (soundex('a410') == 'a000'
+        # ≠ 'a410') and returns ZERO hits for every ≥3-char lowercase
+        # query — stem-of-stem never matches. Their intended mode is
+        # search-time expansion over an unstemmed index.
+        for name, flag in STEMMER_FLAGS.items():
+            if name in ("soundex", "double_metaphone"):
+                continue
+            s_idx = os.path.join(work, f"stem_{name}.aspt")
+            run_reference_build(
+                bin_dir, strec_path, s_idx, work, extra_flags=["-t" + flag]
+            )
+            ref_hits, _ = run_reference_queries(
+                bin_dir, s_idx, stem_queries, sk_full, work,
+                extra_flags=["-t" + flag], l=4 * sk_full,
+            )
+            s_eng = SearchEngine(
+                spark, build_index(spark, s_sdf, stemmer=name)
+            )
+            rows = s_eng.search_batch(stem_queries, k=sk_full).collect()
+            check(f"stemmer:{name}", stem_queries, ref_hits, rows)
+        # search-time stemmer/phonetic EXPANSION over an unstemmed
+        # index (atire -t<f> without indexing -t): the reference's
+        # stem_into_internal_buffers class conflation == our
+        # search_stemmed_iterator
+        plain_s_idx = os.path.join(work, "stem_plain.aspt")
+        run_reference_build(bin_dir, strec_path, plain_s_idx, work)
+        iter_eng = SearchEngine(spark, build_index(spark, s_sdf))
+        for name in ("soundex", "double_metaphone", "porter", "s"):
+            ref_hits, _ = run_reference_queries(
+                bin_dir, plain_s_idx, stem_queries, sk_full, work,
+                extra_flags=["-t" + STEMMER_FLAGS[name]], l=4 * sk_full,
+            )
+            rows = iter_eng.search_stemmed_iterator(
+                stem_queries, stemmer=name, k=sk_full
+            ).collect()
+            check(f"stem_iterator:{name}", stem_queries, ref_hits, rows)
+
+    shutil.rmtree(work, ignore_errors=True)
+    n_ok = sum(1 for v in out.values() if "mismatches" not in v)
+    return {
+        "mode": "variants",
+        "variants": len(out),
+        "fully_matched": n_ok,
+        "hard_failures": hard_fail,
+        "detail": out,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("mode", choices=["identity", "throughput"])
+    ap.add_argument("mode", choices=["identity", "throughput", "variants"])
     ap.add_argument("--scale", default="small")
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--convs", type=int, default=20000)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--stem-convs", type=int, default=400)
+    ap.add_argument(
+        "--only", choices=["rankers", "quantized", "stemmers"], default=None
+    )
     args = ap.parse_args()
     if args.mode == "identity":
         out = identity(args.scale, args.cpus)
+    elif args.mode == "variants":
+        out = variants(args.scale, args.cpus, args.stem_convs, args.only)
     else:
         out = throughput(args.convs, args.repeats)
     print(json.dumps(out))
-    if out.get("mismatches"):
+    if out.get("mismatches") or out.get("hard_failures"):
         sys.exit(1)
 
 

@@ -5,11 +5,12 @@ the reference semantics (numpy fixed-point TaaT, DuckDB SQL).  This
 test removes the model from the loop entirely: the actual reference
 engine (built out-of-tree from /root/reference, see reference_ab.py)
 and our Spark engine index byte-identical corpora and must produce the
-same FULL ranking for every A/B query — each document's fixed-point
-BM25 score equal, equal-score tie groups compared as sets (tie ORDER
-is engine-internal on both sides: the reference breaks ties by its
-lexicographically-sorted doclist accumulator address,
-search_engine_accumulator.h:44-49; we break by numeric docid).
+same FULL ranking for every A/B query, compared STRICTLY element by
+element: the harness zero-pads docnames so the reference's internal
+docid (its lexicographic doclist rank) equals file order equals our
+docid — scores, tie-breaks (rsv desc, docid desc via the accumulator
+pointer compare, search_engine_accumulator.h:44-49), and boundary
+selection all align exactly.
 
 Skips cleanly when no prebuilt reference binary exists (the test never
 compiles C++ — run ``python reference_ab.py identity`` once to build
@@ -22,7 +23,10 @@ import pytest
 
 import reference_ab as ab
 
-_BIN_DIR = os.path.join(ab.ATIRE_BUILD_DIR, "bin")
+# the SINGLE-THREADED build: stock parallel indexing assigns internal
+# docids in thread-completion order, permuting nearby docs — identity
+# needs deterministic file-order ids (see ensure_reference_built)
+_BIN_DIR = os.path.join(ab.ATIRE_BUILD_DIR + "_st", "bin")
 _HAVE_REF = all(
     os.access(os.path.join(_BIN_DIR, exe), os.X_OK)
     for exe in ("index", "atire")
@@ -50,7 +54,7 @@ def test_full_ranking_identity_vs_reference_binary(spark):
     ab.run_reference_build(_BIN_DIR, trec_path, index_path, work)
     k_full = len(pdf)
     ref_hits, _ = ab.run_reference_queries(
-        _BIN_DIR, index_path, ab.AB_QUERIES, k_full, work
+        _BIN_DIR, index_path, ab.AB_QUERIES, k_full, work, l=4 * k_full
     )
 
     engine = SearchEngine(spark, build_index(spark, spark.createDataFrame(pdf)))
@@ -61,6 +65,9 @@ def test_full_ranking_identity_vs_reference_binary(spark):
 
     assert len(ref_hits) == len(ab.AB_QUERIES)
     for (qid, qtext), ref in zip(ab.AB_QUERIES, ref_hits):
-        assert ab._score_groups(ref) == ab._score_groups(ours[qid]), qtext
+        # STRICT list identity: zero-padded docnames align the two
+        # engines' docid assignment, so scores, tie order, and member
+        # selection must agree element by element
+        assert ref == ours[qid], qtext
 
     shutil.rmtree(work, ignore_errors=True)
