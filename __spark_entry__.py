@@ -1285,7 +1285,7 @@ def _lmp_feedback_interpolated_sql(
     # memory-index side (local cf over the examined docs)
     tfpf = "greatest(g.tf0 - 0.5 * pow(g.tf0, 0.5), 0.0)"
     return f"""
-WITH {_CORPUS_CTE},
+WITH RECURSIVE {_CORPUS_CTE},
 qo(query_id, ord, term, weight) AS (
   VALUES {_query_values_ord_sql()}
 ),
@@ -1314,12 +1314,41 @@ scored1 AS (
   CROSS JOIN stats s
   JOIN qn ON qn.query_id = q.query_id
 ),
+occs_w1 AS (
+  -- exact is_zero_rsv replay: the prior fires on EVERY occurrence
+  -- that finds the accumulator at zero (lmds.c:110-115), and the
+  -- candidate-entry rule tracks 0->nonzero transitions per occurrence
+  SELECT query_id, docid, unit, unit_p,
+         row_number() OVER (
+           PARTITION BY query_id, docid ORDER BY rn, _o.occ
+         ) AS seq
+  FROM scored1, unnest(range(1, CAST(weight AS BIGINT) + 1)) AS _o(occ)
+),
+cnt_w1 AS (
+  SELECT query_id, docid, max(seq) AS n FROM occs_w1 GROUP BY 1, 2
+),
+walk_w1(query_id, docid, seq, acc16, nz) AS (
+  SELECT query_id, docid, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0 FROM cnt_w1
+  UNION ALL
+  SELECT w.query_id, w.docid, w.seq + 1,
+         ((w.acc16 + CASE WHEN w.acc16 = 0 THEN o.unit_p ELSE o.unit END)
+           % 65536 + 65536) % 65536,
+         CASE WHEN w.nz = 1
+                OR ((CASE WHEN w.acc16 = 0 THEN o.unit_p ELSE o.unit END)
+                    % 65536) <> 0
+              THEN 1 ELSE 0 END
+  FROM walk_w1 w
+  JOIN occs_w1 o
+    ON o.query_id = w.query_id AND o.docid = w.docid AND o.seq = w.seq + 1
+),
 acc1 AS (
-  SELECT query_id, docid,
-         CAST(((((sum(CASE WHEN rn = 1 THEN unit_p + (weight - 1) * unit ELSE weight * unit END)) + 32768) % 65536 + 65536) % 65536) - 32768
-              AS BIGINT) AS rsv_fixed
-  FROM scored1 GROUP BY query_id, docid
-  HAVING max(CASE WHEN rn = 1 THEN (CASE WHEN unit_p <> 0 OR (weight > 1 AND unit <> 0) THEN 1 ELSE 0 END) ELSE (CASE WHEN unit <> 0 THEN 1 ELSE 0 END) END) = 1
+  SELECT w.query_id AS query_id, w.docid AS docid,
+         CAST(CASE WHEN w.acc16 >= 32768 THEN w.acc16 - 65536
+                   ELSE w.acc16 END AS BIGINT) AS rsv_fixed
+  FROM walk_w1 w
+  JOIN cnt_w1 c
+    ON c.query_id = w.query_id AND c.docid = w.docid AND w.seq = c.n
+  WHERE w.nz = 1
 ),
 ranked1 AS (
   SELECT query_id, docid, rsv_fixed,
@@ -1417,11 +1446,41 @@ scored2 AS (
   JOIN pl ON pl.docid = t.docid
   CROSS JOIN stats s
 ),
+occs_w2 AS (
+  -- exact is_zero_rsv replay: the prior fires on EVERY occurrence
+  -- that finds the accumulator at zero (lmds.c:110-115), and the
+  -- candidate-entry rule tracks 0->nonzero transitions per occurrence
+  SELECT query_id, docid, unit, unit_p,
+         row_number() OVER (
+           PARTITION BY query_id, docid ORDER BY rn, _o.occ
+         ) AS seq
+  FROM scored2, unnest(range(1, CAST(1 AS BIGINT) + 1)) AS _o(occ)
+),
+cnt_w2 AS (
+  SELECT query_id, docid, max(seq) AS n FROM occs_w2 GROUP BY 1, 2
+),
+walk_w2(query_id, docid, seq, acc16, nz) AS (
+  SELECT query_id, docid, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0 FROM cnt_w2
+  UNION ALL
+  SELECT w.query_id, w.docid, w.seq + 1,
+         ((w.acc16 + CASE WHEN w.acc16 = 0 THEN o.unit_p ELSE o.unit END)
+           % 65536 + 65536) % 65536,
+         CASE WHEN w.nz = 1
+                OR ((CASE WHEN w.acc16 = 0 THEN o.unit_p ELSE o.unit END)
+                    % 65536) <> 0
+              THEN 1 ELSE 0 END
+  FROM walk_w2 w
+  JOIN occs_w2 o
+    ON o.query_id = w.query_id AND o.docid = w.docid AND o.seq = w.seq + 1
+),
 acc2 AS (
-  SELECT query_id, docid,
-         CAST(((((sum(CASE WHEN rn = 1 THEN unit_p ELSE unit END)) + 32768) % 65536 + 65536) % 65536) - 32768 AS BIGINT) AS rsv_fixed
-  FROM scored2 GROUP BY query_id, docid
-  HAVING max(CASE WHEN rn = 1 THEN (CASE WHEN unit_p <> 0 THEN 1 ELSE 0 END) ELSE (CASE WHEN unit <> 0 THEN 1 ELSE 0 END) END) = 1
+  SELECT w.query_id AS query_id, w.docid AS docid,
+         CAST(CASE WHEN w.acc16 >= 32768 THEN w.acc16 - 65536
+                   ELSE w.acc16 END AS BIGINT) AS rsv_fixed
+  FROM walk_w2 w
+  JOIN cnt_w2 c
+    ON c.query_id = w.query_id AND c.docid = w.docid AND w.seq = c.n
+  WHERE w.nz = 1
 ),
 ranked2 AS (
   SELECT query_id,
@@ -2890,7 +2949,7 @@ def _lmp_sql(k: int) -> str:
         " / (CAST(d.doc_len AS DOUBLE) + 1000.0))"
     )
     return f"""
-WITH {_CORPUS_CTE},
+WITH RECURSIVE {_CORPUS_CTE},
 q(query_id, term, weight) AS (
   VALUES {_query_values_sql()}
 ),
@@ -2918,12 +2977,41 @@ scored AS (
   CROSS JOIN stats s
   JOIN qn ON qn.query_id = q.query_id
 ),
+occs_w3 AS (
+  -- exact is_zero_rsv replay: the prior fires on EVERY occurrence
+  -- that finds the accumulator at zero (lmds.c:110-115), and the
+  -- candidate-entry rule tracks 0->nonzero transitions per occurrence
+  SELECT query_id, docid, unit, unit_p,
+         row_number() OVER (
+           PARTITION BY query_id, docid ORDER BY rn, _o.occ
+         ) AS seq
+  FROM scored, unnest(range(1, CAST(weight AS BIGINT) + 1)) AS _o(occ)
+),
+cnt_w3 AS (
+  SELECT query_id, docid, max(seq) AS n FROM occs_w3 GROUP BY 1, 2
+),
+walk_w3(query_id, docid, seq, acc16, nz) AS (
+  SELECT query_id, docid, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0 FROM cnt_w3
+  UNION ALL
+  SELECT w.query_id, w.docid, w.seq + 1,
+         ((w.acc16 + CASE WHEN w.acc16 = 0 THEN o.unit_p ELSE o.unit END)
+           % 65536 + 65536) % 65536,
+         CASE WHEN w.nz = 1
+                OR ((CASE WHEN w.acc16 = 0 THEN o.unit_p ELSE o.unit END)
+                    % 65536) <> 0
+              THEN 1 ELSE 0 END
+  FROM walk_w3 w
+  JOIN occs_w3 o
+    ON o.query_id = w.query_id AND o.docid = w.docid AND o.seq = w.seq + 1
+),
 acc AS (
-  SELECT query_id, docid,
-         CAST(((((sum(CASE WHEN rn = 1 THEN unit_p + (weight - 1) * unit ELSE weight * unit END)) + 32768) % 65536 + 65536) % 65536) - 32768
-              AS BIGINT) AS rsv_fixed
-  FROM scored GROUP BY query_id, docid
-  HAVING max(CASE WHEN rn = 1 THEN (CASE WHEN unit_p <> 0 OR (weight > 1 AND unit <> 0) THEN 1 ELSE 0 END) ELSE (CASE WHEN unit <> 0 THEN 1 ELSE 0 END) END) = 1
+  SELECT w.query_id AS query_id, w.docid AS docid,
+         CAST(CASE WHEN w.acc16 >= 32768 THEN w.acc16 - 65536
+                   ELSE w.acc16 END AS BIGINT) AS rsv_fixed
+  FROM walk_w3 w
+  JOIN cnt_w3 c
+    ON c.query_id = w.query_id AND c.docid = w.docid AND w.seq = c.n
+  WHERE w.nz = 1
 ),
 ranked AS (
   SELECT query_id,
@@ -2958,7 +3046,7 @@ def _lmptfidf_sql(k: int) -> str:
         " / ((CAST(tl.tlen AS DOUBLE) / 1000.0) + 1000.0))"
     )
     return f"""
-WITH {_CORPUS_CTE},
+WITH RECURSIVE {_CORPUS_CTE},
 q(query_id, term, weight) AS (
   VALUES {_query_values_sql()}
 ),
@@ -3008,12 +3096,41 @@ scored AS (
   CROSS JOIN ut
   WHERE {tfp} != 0.0
 ),
+occs_w4 AS (
+  -- exact is_zero_rsv replay: the prior fires on EVERY occurrence
+  -- that finds the accumulator at zero (lmds.c:110-115), and the
+  -- candidate-entry rule tracks 0->nonzero transitions per occurrence
+  SELECT query_id, docid, unit, unit_p,
+         row_number() OVER (
+           PARTITION BY query_id, docid ORDER BY rn, _o.occ
+         ) AS seq
+  FROM scored, unnest(range(1, CAST(weight AS BIGINT) + 1)) AS _o(occ)
+),
+cnt_w4 AS (
+  SELECT query_id, docid, max(seq) AS n FROM occs_w4 GROUP BY 1, 2
+),
+walk_w4(query_id, docid, seq, acc16, nz) AS (
+  SELECT query_id, docid, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0 FROM cnt_w4
+  UNION ALL
+  SELECT w.query_id, w.docid, w.seq + 1,
+         ((w.acc16 + CASE WHEN w.acc16 = 0 THEN o.unit_p ELSE o.unit END)
+           % 65536 + 65536) % 65536,
+         CASE WHEN w.nz = 1
+                OR ((CASE WHEN w.acc16 = 0 THEN o.unit_p ELSE o.unit END)
+                    % 65536) <> 0
+              THEN 1 ELSE 0 END
+  FROM walk_w4 w
+  JOIN occs_w4 o
+    ON o.query_id = w.query_id AND o.docid = w.docid AND o.seq = w.seq + 1
+),
 acc AS (
-  SELECT query_id, docid,
-         CAST(((((sum(CASE WHEN rn = 1 THEN unit_p + (weight - 1) * unit ELSE weight * unit END)) + 32768) % 65536 + 65536) % 65536) - 32768
-              AS BIGINT) AS rsv_fixed
-  FROM scored GROUP BY query_id, docid
-  HAVING max(CASE WHEN rn = 1 THEN (CASE WHEN unit_p <> 0 OR (weight > 1 AND unit <> 0) THEN 1 ELSE 0 END) ELSE (CASE WHEN unit <> 0 THEN 1 ELSE 0 END) END) = 1
+  SELECT w.query_id AS query_id, w.docid AS docid,
+         CAST(CASE WHEN w.acc16 >= 32768 THEN w.acc16 - 65536
+                   ELSE w.acc16 END AS BIGINT) AS rsv_fixed
+  FROM walk_w4 w
+  JOIN cnt_w4 c
+    ON c.query_id = w.query_id AND c.docid = w.docid AND w.seq = c.n
+  WHERE w.nz = 1
 ),
 ranked AS (
   SELECT query_id,
@@ -5434,7 +5551,7 @@ def _lmds_sql(k: int) -> str:
     )
     prior = "ln(2500.0 / (CAST(d.doc_len AS DOUBLE) + 2500.0))"
     return f"""
-WITH {_CORPUS_CTE},
+WITH RECURSIVE {_CORPUS_CTE},
 q(query_id, term, weight) AS (
   VALUES {_query_values_sql()}
 ),
@@ -5454,12 +5571,41 @@ scored AS (
   CROSS JOIN stats s
   JOIN qn ON qn.query_id = q.query_id
 ),
+occs_w5 AS (
+  -- exact is_zero_rsv replay: the prior fires on EVERY occurrence
+  -- that finds the accumulator at zero (lmds.c:110-115), and the
+  -- candidate-entry rule tracks 0->nonzero transitions per occurrence
+  SELECT query_id, docid, unit, unit_p,
+         row_number() OVER (
+           PARTITION BY query_id, docid ORDER BY rn, _o.occ
+         ) AS seq
+  FROM scored, unnest(range(1, CAST(weight AS BIGINT) + 1)) AS _o(occ)
+),
+cnt_w5 AS (
+  SELECT query_id, docid, max(seq) AS n FROM occs_w5 GROUP BY 1, 2
+),
+walk_w5(query_id, docid, seq, acc16, nz) AS (
+  SELECT query_id, docid, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0 FROM cnt_w5
+  UNION ALL
+  SELECT w.query_id, w.docid, w.seq + 1,
+         ((w.acc16 + CASE WHEN w.acc16 = 0 THEN o.unit_p ELSE o.unit END)
+           % 65536 + 65536) % 65536,
+         CASE WHEN w.nz = 1
+                OR ((CASE WHEN w.acc16 = 0 THEN o.unit_p ELSE o.unit END)
+                    % 65536) <> 0
+              THEN 1 ELSE 0 END
+  FROM walk_w5 w
+  JOIN occs_w5 o
+    ON o.query_id = w.query_id AND o.docid = w.docid AND o.seq = w.seq + 1
+),
 acc AS (
-  SELECT query_id, docid,
-         CAST(((((sum(CASE WHEN rn = 1 THEN unit_p + (weight - 1) * unit ELSE weight * unit END)) + 32768) % 65536 + 65536) % 65536) - 32768
-              AS BIGINT) AS rsv_fixed
-  FROM scored GROUP BY query_id, docid
-  HAVING max(CASE WHEN rn = 1 THEN (CASE WHEN unit_p <> 0 OR (weight > 1 AND unit <> 0) THEN 1 ELSE 0 END) ELSE (CASE WHEN unit <> 0 THEN 1 ELSE 0 END) END) = 1
+  SELECT w.query_id AS query_id, w.docid AS docid,
+         CAST(CASE WHEN w.acc16 >= 32768 THEN w.acc16 - 65536
+                   ELSE w.acc16 END AS BIGINT) AS rsv_fixed
+  FROM walk_w5 w
+  JOIN cnt_w5 c
+    ON c.query_id = w.query_id AND c.docid = w.docid AND w.seq = c.n
+  WHERE w.nz = 1
 ),
 ranked AS (
   SELECT query_id,

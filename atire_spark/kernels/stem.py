@@ -777,6 +777,39 @@ _STEM_FN = {
 }
 
 
+# The search-time stemmer iterator scans the vocabulary b-tree from
+# ``stem[:L]`` and stops at the first term not sharing that prefix,
+# where L is each ATIRE stem()'s RETURN VALUE — deliberately SHORTER
+# than the stem for most families so near-miss surface forms are
+# reachable (stemmer.c:14-48 get_next/first):
+#   porter returns 2 (stem_porter.c:293-297 "OK to return 2"),
+#   every snowball wrapper returns 2 (stem_snowball.c:25),
+#   otago_v2 returns SACROSANCT_CHARS=2 (stem_otago_v2.c:11,425),
+#   paice_husk returns 3 (stem_paice_husk.c), otago 3 (stem_otago.c:14),
+#   soundex/double_metaphone return 1 (phonetic_soundex.h:57,
+#   phonetic_double_metaphone.h:47 — the class is every term sharing
+#   the FIRST LETTER whose code matches),
+#   s-stripper and krovetz return the full stem length.
+# None = full stem.
+CLASS_PREFIX_LEN: dict[str, int | None] = {
+    "s": None,
+    "krovetz": None,
+    "porter": 2,
+    "paice_husk": 3,
+    "otago": 3,
+    "otago_v2": 2,
+    "soundex": 1,
+    "double_metaphone": 1,
+    **{name: 2 for name in _STEM_FN if name.startswith("snowball_")},
+}
+
+
+def class_prefix(stemmer: str, stem: str) -> str:
+    """The b-tree scan prefix for a stem class (see CLASS_PREFIX_LEN)."""
+    n = CLASS_PREFIX_LEN[stemmer]
+    return stem if n is None else stem[:n]
+
+
 def index_stem(term: str, stemmer: str) -> str:
     """Index-side gate (index_document.c:103-111): words longer than 3
     chars only; digit-run (NUMBER) tokens pass through."""

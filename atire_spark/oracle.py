@@ -230,9 +230,18 @@ class OracleIndex:
 
     # ------------------------------------------------------------------
     def search(self, query: str, k: int = 10) -> pd.DataFrame:
-        """BM25 top-k → DataFrame(rank, docid, rsv_fixed)."""
+        """BM25 top-k → DataFrame(rank, docid, rsv_fixed).
+
+        A stemmed index searches through the stem ITERATOR (class
+        conflation over the vocabulary), not a direct post-stem lookup
+        — atire_api.c:873, binary-verified; see
+        SearchEngine.search_batch."""
         from atire_spark.kernels.stem import query_stem
 
+        if self.stemmer is not None:
+            return self.search_stemmed_iterator(
+                query, stemmer=self.stemmer, k=k
+            )
         terms = [query_stem(t, self.stemmer) for t in _query_terms(query)]
         acc = np.zeros(self.n_docs, dtype=np.int64)
         touched = np.zeros(self.n_docs, dtype=bool)
@@ -297,10 +306,16 @@ class OracleIndex:
             use_iter = len(base) >= 3 and "a" <= base[0] <= "z"
             if use_iter:
                 st = fn(base)
+                # class prefix = stem[:L], L = the ATIRE stem() return
+                # value (CLASS_PREFIX_LEN) — shorter than the stem for
+                # most families, 1 char for the phonetic codes
+                from atire_spark.kernels.stem import class_prefix
+
+                pref = class_prefix(stemmer, st)
                 members = sorted(
                     t
                     for t in self.postings
-                    if t.startswith(st) and fn(t) == st
+                    if t.startswith(pref) and fn(t) == st
                 )
             else:
                 members = [base] if base in self.postings else []

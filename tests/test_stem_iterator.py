@@ -56,9 +56,12 @@ def test_stem_class_candidates(spark, iter_engine):
     assert classes["xyz"] == []
 
 
-def test_prefix_bound_excludes_nonprefixed_stem_mates(spark):
-    """'pony' stems to 'poni' under Porter but doesn't start with
-    'poni' — the btree walk never reaches it (the documented miss)."""
+def test_porter_class_prefix_is_two_chars(spark):
+    """ATIRE's porter stem() RETURNS 2 (stem_porter.c:293-297), so the
+    btree walk scans everything sharing the first TWO characters and
+    keeps same-stem terms: 'pony' (stem 'poni') IS in the 'ponies'
+    class even though it doesn't start with 'poni'. A same-stem term
+    outside the 2-char prefix would still be missed."""
     from atire_spark.build import build_index
     from atire_spark.query import SearchEngine
 
@@ -72,7 +75,7 @@ def test_prefix_bound_excludes_nonprefixed_stem_mates(spark):
     idx = build_index(spark, spark.createDataFrame(t))
     eng = SearchEngine(spark, idx)
     classes = eng.stem_class_candidates(["ponies"], "porter")
-    assert classes["ponies"] == ["ponies"]  # 'pony' missed, faithfully
+    assert classes["ponies"] == ["ponies", "pony"]
 
 
 @pytest.mark.parametrize(
@@ -148,14 +151,21 @@ def test_weighted_truncation_binds(spark, iter_engine):
     assert list(plain["rsv_fixed"]) != list(weighted["rsv_fixed"])
 
 
-def test_iterator_rejects_stemmed_and_quantized(spark):
+def test_iterator_rejects_mismatched_stemmer_and_quantized(spark):
+    """A stemmed index auto-runs the iterator with ITS stemmer
+    (search_engine.c:286-290); a different stemmer over a stemmed
+    vocabulary silently misses everything and is refused."""
     from atire_spark.build import build_index
     from atire_spark.query import SearchEngine
 
     tdf = spark.createDataFrame(ITER_TRANSCRIPTS)
     eng_s = SearchEngine(spark, build_index(spark, tdf, stemmer="s"))
-    with pytest.raises(ValueError, match="unstemmed"):
-        eng_s.search_stemmed_iterator([(1, "cat")], stemmer="s")
+    with pytest.raises(ValueError, match="same"):
+        eng_s.search_stemmed_iterator([(1, "cat")], stemmer="porter")
+    # matching stemmer is allowed — it IS the stemmed search path
+    assert eng_s.search_stemmed_iterator(
+        [(1, "cat")], stemmer="s"
+    ).count() >= 0
     eng_q = SearchEngine(spark, build_index(spark, tdf, quantize_bits=8))
     with pytest.raises(ValueError, match="quantized"):
         eng_q.search_stemmed_iterator([(1, "cat")], stemmer="s")
