@@ -621,7 +621,7 @@ def variants(
             if hard:
                 hard_fail += 1
 
-    if only in (None, "rankers", "quantized"):
+    if only in (None, "rankers", "quantized", "feedback"):
         pdf, trec = prepare_corpus(make_transcripts(scale))
         trec_path = os.path.join(work, "corpus.xml")
         with open(trec_path, "w") as fh:
@@ -696,6 +696,40 @@ def variants(
                 f"qaat:{suffix}", AB_QUERIES, ref_hits, res.collect(),
                 hard=hard, boundary=et is not None,
             )
+
+    # ---- blind relevance feedback (needs the -Cn document store) ------
+    if only in (None, "feedback"):
+        fb_idx = os.path.join(work, "fb.aspt")
+        run_reference_build(bin_dir, trec_path, fb_idx, work, extra_flags=["-Cn"])
+        fb_eng = SearchEngine(
+            spark, build_index(spark, spark.createDataFrame(pdf))
+        )
+        fb_doc = spark.createDataFrame(pdf)
+        ref_hits, _ = run_reference_queries(
+            bin_dir, fb_idx, AB_QUERIES, k_full, work,
+            extra_flags=["-Qr:17:5"], l=4 * k_full,
+        )
+        rows = fb_eng.search_feedback(
+            AB_QUERIES, fb_doc, k=k_full,
+            feedback_documents=17, feedback_terms=5,
+        ).collect()
+        check("feedback:blind_kl", AB_QUERIES, ref_hits, rows)
+        # BLIND_RM (-Qm) is a silent NO-OP in the compiled reference:
+        # its candidate lookup (relevance_feedback_blind_kl_rm.c:29
+        # get_term_node on the pseudo-doc index) never finds the
+        # original query terms, feedback_terms_in_query stays 0, and
+        # the rerun is skipped — verified directly (-Qm:17:0.5 output
+        # is byte-identical to the no-feedback baseline while -Qr
+        # visibly rescores). Assert THAT observable strictly; our
+        # search_feedback_rm implements the code's evident intent
+        # (posterior re-weighting) and is certified against the SQL
+        # oracle instead.
+        ref_rm, _ = run_reference_queries(
+            bin_dir, fb_idx, AB_QUERIES, k_full, work,
+            extra_flags=["-Qm:17:0.5"], l=4 * k_full,
+        )
+        rows = fb_eng.search_batch(AB_QUERIES, k=k_full).collect()
+        check("feedback:blind_rm_reference_noop", AB_QUERIES, ref_rm, rows)
 
     # ---- stemmer slots (smaller corpus: one Spark build per stemmer) --
     if only in (None, "stemmers"):
@@ -773,7 +807,9 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--stem-convs", type=int, default=400)
     ap.add_argument(
-        "--only", choices=["rankers", "quantized", "stemmers"], default=None
+        "--only",
+        choices=["rankers", "quantized", "stemmers", "feedback"],
+        default=None,
     )
     args = ap.parse_args()
     if args.mode == "identity":
