@@ -70,4 +70,21 @@ def test_full_ranking_identity_vs_reference_binary(spark):
         # selection must agree element by element
         assert ref == ours[qid], qtext
 
+    # variant spot-checks on the same index: a negative-scoring LM
+    # ranker (signed accumulator ordering + the 0->nonzero candidate
+    # rule live) and termcount
+    for name, flag in (("lmd", "lmd:6750"), ("termcount", "termcount")):
+        ref_hits, _ = ab.run_reference_queries(
+            _BIN_DIR, index_path, ab.AB_QUERIES, k_full, work,
+            extra_flags=["-R" + flag], l=4 * k_full,
+        )
+        rows = engine.search_batch(
+            ab.AB_QUERIES, k=k_full, ranker=name
+        ).collect()
+        got = {qid: [] for qid, _ in ab.AB_QUERIES}
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+            got[r["query_id"]].append((int(r["docid"]), int(r["rsv_fixed"])))
+        for (qid, qtext), ref in zip(ab.AB_QUERIES, ref_hits):
+            assert ref == got[qid], f"{name}: {qtext}"
+
     shutil.rmtree(work, ignore_errors=True)
