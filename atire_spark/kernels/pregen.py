@@ -27,19 +27,37 @@ compile-time knob in the reference (pregen_t.h:9-13, default unsigned
 LongType exactly.
 
 The arithmetic-coded variants (``base32arith`` etc.,
-pregen_writer_normal.c:181-238) need a corpus-trained character model
-(tools/arithmetic_encoding_model_gen.c) and are intentionally not
-implemented — their output is model-file-dependent, not closed-form.
+pregen_writer_normal.c:181-238) live in
+:mod:`atire_spark.kernels.arith` — the reference ships fixed
+(non-adaptive) character models, so the encode is closed-form too.
 
-Unicode: the reference decomposes + lowercases each codepoint with its
-generated tables (unicode.c); we apply Python ``str.lower`` per
-character and encode the UTF-8 bytes — exact on ASCII, the same
-documented approximation as the tokenizer.
+Unicode: the reference decomposes each codepoint into base form +
+combining marks, throws the marks away, and lowercases
+(unicode.c:198-257 ANT_UNICODE_normalize_lowercase_toutf8, tables
+generated from UnicodeData).  :func:`normalize_lowercase` reproduces
+that with ``unicodedata`` NFKD + combining-class filter — verified
+value-identical against the compiled reference's ``pregen_create``
+on a Unicode sweep (tests/test_pregen.py).
 """
 
 from __future__ import annotations
 
+import unicodedata
+
 CHAR_ENCODE_FAIL = 255
+
+
+def normalize_lowercase(ch: str) -> str:
+    """ANT_UNICODE_normalize_lowercase_toutf8 (unicode.c:213-257):
+    ASCII fast-path tolower; otherwise decompose, drop combining
+    marks, lowercase.  Codepoints with no decomposition pass through
+    unchanged (the reference writes the raw character)."""
+    if ch <= "\x7f":
+        return ch.lower()
+    dec = "".join(
+        c for c in unicodedata.normalize("NFKD", ch) if not unicodedata.combining(c)
+    )
+    return dec.lower() if dec else ch
 
 
 def _enc_8bit(b: int) -> int:
@@ -144,7 +162,7 @@ def encode_radix(field: str, scheme: str, bits: int = 64) -> int:
     for ch in field:
         if dest < 0:
             break
-        for b in ch.lower().encode("utf-8"):
+        for b in normalize_lowercase(ch).encode("utf-8"):
             if dest < 0:
                 break
             e = enc(b)

@@ -171,3 +171,272 @@ def F_concat_external(eng):
     return F.concat_ws(
         ":", F.col("conv_id"), F.col("turn_idx")
     ).alias("name")
+
+
+# ----------------------------------------------------------------------
+# arithmetic-coded packings (kernels/arith.py)
+# ----------------------------------------------------------------------
+ARITH_TYPES = (
+    "base32arith",
+    "base37arith",
+    "asciiprintablesarith",
+    "asciiprintablesarithbigram",
+)
+
+#: strings exercising the writer walk: case fold, space collapse,
+#: unencodable skip, buffer overflow, Unicode decomposition
+AB_STRINGS = [
+    "Hello World",
+    "the quick brown fox",
+    "  leading spaces",
+    "multiple   spaces   inside",
+    "punct!@# marks, kept? (printables)",
+    "MiXeD CaSe 123 numbers",
+    "a",
+    "",
+    "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz",
+    "the the the the the the the the",
+    "Ünïcödé çhårs überall",
+    "short",
+    "a b c d e f g h i j k l m n o p",
+    "supercalifragilisticexpialidocious and more text to overflow",
+    "0123456789 9876543210",
+    "~tilde `backtick {braces} |pipe",
+    "café résumé naïve Ångström",
+    "straße Łódź Česká",
+]
+
+
+class TestArithVectors:
+    def test_spot_values_cross_checked_vs_compiled_reference(self):
+        # pinned from a pregen_create A/B run (same strings, uint64)
+        from atire_spark.kernels.arith import encode_arith
+
+        assert encode_arith("Hello World", "base32arith", bits=64) == 8521175544503285760
+        assert encode_arith("Hello World", "base37arith", bits=64) == 8529686658437182048
+        assert (
+            encode_arith("Hello World", "asciiprintablesarith", bits=64)
+            == 9280824717906687168
+        )
+        assert (
+            encode_arith("Hello World", "asciiprintablesarithbigram", bits=64)
+            == 8836938819437615616
+        )
+
+    def test_63_bit_codes_fit_bigint(self):
+        from atire_spark.kernels.arith import encode_arith
+
+        for t in ARITH_TYPES:
+            for s in AB_STRINGS:
+                v = encode_arith(s, t, bits=63)
+                assert 1 <= v < (1 << 63)
+
+    def test_all_zero_code_becomes_one(self):
+        # the all-space / empty field hits the reference's zero bump
+        from atire_spark.kernels.arith import encode_arith
+
+        for t in ARITH_TYPES:
+            assert encode_arith("", t) == 1
+            assert encode_arith("    ", t) == 1
+
+    def test_space_collapse_and_case_fold_match_radix_walk(self):
+        from atire_spark.kernels.arith import encode_arith
+
+        for t in ARITH_TYPES:
+            assert encode_arith("a   b", t) == encode_arith("A b", t)
+            assert encode_arith("  hello", t) == encode_arith("hello", t)
+
+    def test_long_input_stops_at_full_buffer(self):
+        from atire_spark.kernels.arith import encode_arith
+
+        a = encode_arith("x" * 500, "base37arith")
+        b = encode_arith("x" * 5000, "base37arith")
+        assert a == b  # both overflowed at the same prefix
+
+    def test_model_validation(self):
+        from atire_spark.kernels.arith import MAX_FREQUENCY, ArithModel
+
+        with pytest.raises(ValueError):
+            ArithModel(3, [1, 0, 1])  # zero-mass symbol stalls the coder
+        with pytest.raises(ValueError):
+            ArithModel(2, [MAX_FREQUENCY, 1])  # cap exceeded
+        with pytest.raises(ValueError):
+            ArithModel(3, [1, 1])  # wrong arity
+
+    def test_unicode_normalize_decomposes_and_drops_marks(self):
+        # unicode.c:198-257: base form kept, combining marks dropped
+        from atire_spark.kernels.pregen import normalize_lowercase
+
+        assert normalize_lowercase("Ü") == "u"  # U-umlaut
+        assert normalize_lowercase("é") == "e"  # e-acute
+        assert normalize_lowercase("A") == "a"
+        assert normalize_lowercase("中") == "中"  # no decomposition
+
+
+_PREGEN_CREATE = "/tmp/atire_build_st/bin/pregen_create"
+
+
+@pytest.mark.skipif(
+    not __import__("os").access(_PREGEN_CREATE, 1),
+    reason="no compiled reference pregen_create (make pregen_create in the A/B tree)",
+)
+class TestArithVsReferenceBinary:
+    """Value-identity against the compiled reference's own pregen
+    writer, covering all four arith types AND the radix/normalize
+    walk (the Unicode vectors certify normalize_lowercase)."""
+
+    @pytest.fixture(scope="class")
+    def ref_scores(self, tmp_path_factory):
+        import os
+        import struct
+        import subprocess
+
+        work = tmp_path_factory.mktemp("pregen_ab")
+        doclist = work / "doclist.txt"
+        with open(doclist, "w") as fh:
+            for i, s in enumerate(AB_STRINGS):
+                fh.write(f"doc{i:04d} <title>{s}</title>\n")
+        types = list(ARITH_TYPES) + ["base32", "base37", "asciiprintables"]
+        out = {}
+        for t in types:
+            subprocess.run(
+                [_PREGEN_CREATE, str(doclist), "title", t],
+                cwd=work,
+                check=True,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            data = open(work / f"pregen.title.{t}", "rb").read()
+            n = len(AB_STRINGS)
+            out[t] = struct.unpack(f"<{n}Q", data[-20 - 8 * n : -20])
+        return out
+
+    @pytest.mark.parametrize("field_type", ARITH_TYPES)
+    def test_arith_value_identity(self, ref_scores, field_type):
+        from atire_spark.kernels.arith import encode_arith
+
+        ours = [encode_arith(s, field_type, bits=64) for s in AB_STRINGS]
+        assert ours == list(ref_scores[field_type])
+
+    @pytest.mark.parametrize("field_type", ["base32", "base37", "asciiprintables"])
+    def test_radix_value_identity_incl_unicode(self, ref_scores, field_type):
+        from atire_spark.kernels.pregen import encode_radix
+
+        ours = [encode_radix(s, field_type, bits=64) for s in AB_STRINGS]
+        assert ours == list(ref_scores[field_type])
+
+
+class TestArithModelTrainer:
+    def test_counts_to_freqs_floor_and_cap(self):
+        from atire_spark.kernels.arith import MAX_FREQUENCY, counts_to_freqs
+
+        f = counts_to_freqs({0: 5, 2: 1}, 3)
+        assert f == (6, 1, 2)  # count + the all-ones prior
+        # cap: halve with the reference's (f+1)/2 until it fits
+        f = counts_to_freqs({0: 40000}, 2)
+        assert sum(f) <= MAX_FREQUENCY and f[1] >= 1
+
+    def test_counts_to_freqs_bigram_caps_per_context(self):
+        from atire_spark.kernels.arith import MAX_FREQUENCY, counts_to_freqs
+
+        nsym = 3
+        f = counts_to_freqs({0 * nsym + 1: 50000, 2 * nsym + 0: 7}, nsym, bigram=True)
+        assert len(f) == (nsym + 1) * nsym
+        for c in range(nsym + 1):
+            assert sum(f[c * nsym : (c + 1) * nsym]) <= MAX_FREQUENCY
+        assert f[2 * nsym + 0] == 8
+
+    def test_trained_model_encodes_and_orders(self, spark):
+        from atire_spark.kernels.arith import ArithModel, encode_arith
+        from atire_spark.pregen import train_arith_model
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "docid": range(4),
+                    "name": ["aaa bbb", "abc", "  CAPS  ", "zzz"],
+                }
+            )
+        )
+        table = train_arith_model(docs, "name", "base37arith")
+        model = ArithModel(37, table)
+        codes = [
+            encode_arith(s, "base37arith", model=ArithModel(37, table))
+            for s in ["aaa", "abc", "zzz"]
+        ]
+        assert all(1 <= c < (1 << 63) for c in codes)
+        assert len(set(codes)) == 3
+
+    def test_trainer_matches_local_counts(self, spark):
+        from atire_spark.kernels.arith import counts_to_freqs, symbol_stream
+        from atire_spark.pregen import train_arith_model
+
+        names = ["Hello  World", "abc", "", "a  b"]
+        docs = spark.createDataFrame(
+            pd.DataFrame({"docid": range(len(names)), "name": names})
+        )
+        got = train_arith_model(docs, "name", "base37arith")
+        from collections import Counter
+
+        counts = Counter()
+        for s in names:
+            # the model-gen tool does NOT collapse spaces
+            counts.update(symbol_stream(s, "base37", collapse_spaces=False))
+        assert got == counts_to_freqs(counts, 37)
+
+    def test_trainer_bigram_context_resets_per_document(self, spark):
+        from atire_spark.kernels.arith import counts_to_freqs
+        from atire_spark.pregen import train_arith_model
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"docid": [0, 1], "name": ["ab", "ba"]})
+        )
+        got = train_arith_model(docs, "name", "asciiprintablesarithbigram")
+        # printable-ascii: 'a' -> 39, 'b' -> 40; ctx = sym+1, start ctx 0
+        nsym = 70
+        counts = {
+            0 * nsym + 39: 1,  # start -> a   (doc 0)
+            40 * nsym + 40: 1,  # a -> b
+            0 * nsym + 40: 1,  # start -> b   (doc 1: context reset)
+            41 * nsym + 39: 1,  # b -> a
+        }
+        assert got == counts_to_freqs(counts, nsym, bigram=True)
+
+
+class TestArithSpark:
+    def test_pregen_scores_arith_matches_kernel(self, spark):
+        from atire_spark.kernels.arith import encode_arith
+        from atire_spark.pregen import pregen_scores
+
+        names = ["alpha bravo", "Charlie", "  delta  ", ""]
+        docs = spark.createDataFrame(
+            pd.DataFrame({"docid": range(len(names)), "name": names})
+        )
+        for t in ARITH_TYPES:
+            got = {
+                r["docid"]: r["score"]
+                for r in pregen_scores(docs, "name", t).collect()
+            }
+            want = {i: encode_arith(s, t, bits=63) for i, s in enumerate(names)}
+            assert got == want
+
+    def test_pregen_scores_arith_with_trained_model(self, spark):
+        from atire_spark.kernels.arith import ArithModel, encode_arith
+        from atire_spark.pregen import pregen_scores, train_arith_model
+
+        names = ["alpha bravo", "charlie", "delta echo", "foxtrot"]
+        docs = spark.createDataFrame(
+            pd.DataFrame({"docid": range(len(names)), "name": names})
+        )
+        table = train_arith_model(docs, "name", "base32arith")
+        got = {
+            r["docid"]: r["score"]
+            for r in pregen_scores(
+                docs, "name", "base32arith", arith_model=table
+            ).collect()
+        }
+        want = {
+            i: encode_arith(s, "base32arith", model=ArithModel(32, table), bits=63)
+            for i, s in enumerate(names)
+        }
+        assert got == want
