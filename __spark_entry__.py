@@ -2854,6 +2854,172 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _q_pregen_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASE37_ARITHMETIC pregen writer (pregen_writer_normal.c:181-238
+    generate_arithmetic + the reference's shipped non-adaptive base37
+    model, arithmetic_model_tables.c:11-17): each doc scores the
+    arithmetic-coded 40-char prefix of its turn text; the oracle
+    replays the 16-bit-window coder bit-for-bit as a recursive CTE."""
+    from atire_spark.pregen import pregen_scores
+
+    eng = _engine(spark, sf_dir)
+    t = _transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.substring("text", 1, 40).alias("name")
+    )
+    docs = eng.index.docmap.join(t, ["conv_id", "turn_idx"]).select(
+        "docid", "name"
+    )
+    scores = pregen_scores(docs, "name", "base37arith")
+    return eng.search_pregen(TESTDATA_QUERIES, scores, k=TOP_K)
+
+
+def _pregen_arith_sql(k: int) -> str:
+    """BASE37_ARITHMETIC oracle: an independent replay of the
+    arithmetic coder (arithmetic_coding_encoder.h:50-120) as a
+    recursive CTE — phase 0 narrows [low, high) by the symbol's
+    cfreq slice, phase 1 runs one renormalization iteration (emit a
+    settled half bit + pending underflow bits, or shrink the middle),
+    padding with symbol 0 until the 63-bit buffer fills (done()); the
+    score is T_max - buffer with the zero bump.  The model VALUES are
+    the suffix-cumulative sums of the reference's shipped base37
+    table."""
+    from atire_spark.kernels.arith_tables import FREQ_BASE37
+
+    cfreq = [0] * 38
+    for i in range(36, -1, -1):
+        cfreq[i] = cfreq[i + 1] + FREQ_BASE37[i]
+    total = cfreq[0]
+    model_rows = ",\n    ".join(
+        f"({s}, {cfreq[s]}, {cfreq[s + 1]})" for s in range(37)
+    )
+    return f"""
+WITH RECURSIVE {_CORPUS_CTE},
+q(query_id, term, weight) AS (
+  VALUES {_query_values_sql()}
+),
+cand AS (
+  SELECT DISTINCT CAST(q.query_id AS BIGINT) AS query_id, t.docid
+  FROM q JOIN tf t USING (term)
+),
+model(sym, cf_hi, cf_lo) AS (VALUES
+    {model_rows}
+),
+nm AS (
+  SELECT d.docid, substr(c.text, 1, 40) AS nm
+  FROM (SELECT DISTINCT docid FROM cand) x
+  JOIN docmap d USING (docid) JOIN corpus c USING (doc_id)
+),
+chars AS (
+  SELECT docid, i AS pos, substr(lower(nm), CAST(i AS INTEGER), 1) AS ch
+  FROM (SELECT docid, nm, unnest(range(1, length(nm) + 1)) AS i FROM nm)
+),
+symraw AS (
+  SELECT docid, pos,
+         CASE WHEN ch = ' ' THEN 0
+              WHEN ch BETWEEN '0' AND '9' THEN ascii(ch) - 48 + 1
+              WHEN ch BETWEEN 'a' AND 'z' THEN ascii(ch) - 97 + 11
+         END AS sym,
+         CASE WHEN ch = ' ' THEN 1 ELSE 0 END AS is_space
+  FROM chars
+),
+sym2 AS (
+  SELECT docid, pos, sym, is_space,
+         lag(is_space, 1, 1) OVER (PARTITION BY docid ORDER BY pos)
+           AS prev_space
+  FROM (SELECT * FROM symraw WHERE sym IS NOT NULL)
+),
+syms AS (
+  SELECT docid,
+         row_number() OVER (PARTITION BY docid ORDER BY pos) - 1 AS idx,
+         sym
+  FROM sym2 WHERE NOT (is_space = 1 AND prev_space = 1)
+),
+enc AS (
+  SELECT docid, CAST(0 AS BIGINT) AS idx, 0 AS phase,
+         CAST(0 AS BIGINT) AS low, CAST(65535 AS BIGINT) AS high,
+         CAST(0 AS BIGINT) AS fbits,
+         CAST(0 AS HUGEINT) AS buffer, CAST(63 AS BIGINT) AS btg
+  FROM nm
+  UNION ALL
+  SELECT e.docid,
+         CASE WHEN e.phase = 0 THEN e.idx + 1 ELSE e.idx END AS idx,
+         CASE WHEN e.phase = 0 THEN 1
+              WHEN e.high < 32768 OR e.low >= 32768
+                   OR (e.low >= 16384 AND e.high < 49152) THEN 1
+              ELSE 0 END AS phase,
+         CASE WHEN e.phase = 0
+                THEN e.low + ((e.high - e.low + 1) * m.cf_lo) // {total}
+              WHEN e.high < 32768 THEN e.low * 2
+              WHEN e.low >= 32768 THEN (e.low - 32768) * 2
+              WHEN e.low >= 16384 AND e.high < 49152
+                THEN (e.low - 16384) * 2
+              ELSE e.low END AS low,
+         CASE WHEN e.phase = 0
+                THEN e.low + ((e.high - e.low + 1) * m.cf_hi) // {total} - 1
+              WHEN e.high < 32768 THEN e.high * 2 + 1
+              WHEN e.low >= 32768 THEN (e.high - 32768) * 2 + 1
+              WHEN e.low >= 16384 AND e.high < 49152
+                THEN (e.high - 16384) * 2 + 1
+              ELSE e.high END AS high,
+         CASE WHEN e.phase = 0 THEN e.fbits
+              WHEN e.high < 32768 OR e.low >= 32768 THEN 0
+              WHEN e.low >= 16384 AND e.high < 49152 THEN e.fbits + 1
+              ELSE e.fbits END AS fbits,
+         CASE WHEN e.phase = 1 AND e.high < 32768
+                THEN e.buffer
+                     * (CAST(1 AS HUGEINT)
+                        << CAST(least(e.fbits + 1, e.btg) AS INTEGER))
+                     + CASE WHEN least(e.fbits + 1, e.btg) >= 1
+                            THEN (CAST(1 AS HUGEINT)
+                                  << CAST(least(e.fbits + 1, e.btg) - 1
+                                          AS INTEGER)) - 1
+                            ELSE 0 END
+              WHEN e.phase = 1 AND e.low >= 32768
+                THEN e.buffer
+                     * (CAST(1 AS HUGEINT)
+                        << CAST(least(e.fbits + 1, e.btg) AS INTEGER))
+                     + CASE WHEN least(e.fbits + 1, e.btg) >= 1
+                            THEN CAST(1 AS HUGEINT)
+                                 << CAST(least(e.fbits + 1, e.btg) - 1
+                                         AS INTEGER)
+                            ELSE 0 END
+              ELSE e.buffer END AS buffer,
+         CASE WHEN e.phase = 1 AND (e.high < 32768 OR e.low >= 32768)
+                THEN e.btg - least(e.fbits + 1, e.btg)
+              ELSE e.btg END AS btg
+  FROM enc e
+  LEFT JOIN syms s ON s.docid = e.docid AND s.idx = e.idx
+  LEFT JOIN model m
+    ON m.sym = CASE WHEN e.phase = 0 THEN coalesce(s.sym, 0) END
+  WHERE NOT (e.phase = 0 AND e.btg = 0)
+),
+pg AS (
+  SELECT docid,
+         CASE WHEN raw = 0 THEN 1 ELSE raw END AS score
+  FROM (
+    SELECT docid,
+           CAST((CAST(1 AS HUGEINT) << 63) - 1 - buffer AS BIGINT) AS raw
+    FROM enc WHERE phase = 0 AND btg = 0
+  )
+),
+acc AS (
+  SELECT c.query_id, c.docid, CAST(pg.score AS BIGINT) AS rsv_fixed
+  FROM cand c JOIN pg ON pg.docid = c.docid
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rsv_fixed DESC, docid DESC
+         ) AS INTEGER) AS rank,
+         docid, rsv_fixed
+  FROM acc
+)
+SELECT query_id, rank, docid, rsv_fixed,
+       CAST(rsv_fixed AS DOUBLE) / 100.0 AS rsv
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_readable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readable ranker, reference defaults (mix=0, cutoff=hardest):
     matched docs ranked easiest-reading-first by Dale-Chall; the
@@ -4885,6 +5051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         [
             ("recent", _q_pregen_recent),
             ("strexact", _q_pregen_strexact),
+            ("arith", _q_pregen_arith),
         ],
         "field",
     )
@@ -5383,6 +5550,7 @@ WHERE r.rank <= {TOP_K}
         [
             ("recent", parts["pregen_recent_topk"]),
             ("strexact", _pregen_strexact_sql(TOP_K)),
+            ("arith", _pregen_arith_sql(TOP_K)),
         ],
         "field",
     )
