@@ -42,22 +42,9 @@ on a Unicode sweep (tests/test_pregen.py).
 
 from __future__ import annotations
 
-import unicodedata
+from atire_spark.kernels.unorm import normalize_lowercase  # noqa: F401 (re-export)
 
 CHAR_ENCODE_FAIL = 255
-
-
-def normalize_lowercase(ch: str) -> str:
-    """ANT_UNICODE_normalize_lowercase_toutf8 (unicode.c:213-257):
-    ASCII fast-path tolower; otherwise decompose, drop combining
-    marks, lowercase.  Codepoints with no decomposition pass through
-    unchanged (the reference writes the raw character)."""
-    if ch <= "\x7f":
-        return ch.lower()
-    dec = "".join(
-        c for c in unicodedata.normalize("NFKD", ch) if not unicodedata.combining(c)
-    )
-    return dec.lower() if dec else ch
 
 
 def _enc_8bit(b: int) -> int:

@@ -17,11 +17,15 @@ Reference rules (/root/reference/source/parser.c:62-365,
   (index_document.c:61,118), duplicates included, *before* the per-doc
   tf saturation at 255 (memory_index_hash_node.h:140-143).
 
-Parity note: on ASCII input the lowercase step is exact. For non-ASCII
-letters the reference applies its own Unicode decompose+lowercase tables
-(unicode.c); we use Python's str.lower(), which agrees on common
-codepoints but is not guaranteed identical on exotic ones. All fixtures
-are ASCII-dominant by construction.
+Normalization: WORD tokens are normalized character-by-character the
+reference's way — decompose, drop combining marks, lowercase
+(unicode.c:198-257 via :mod:`atire_spark.kernels.unorm`); NUMBER
+tokens and CJK characters are indexed raw (parser.c:209-216,251-283).
+The batch path keeps the pure-ASCII fast path (one vectorized
+``str.lower``) and routes only tokens containing non-ASCII letters
+through the per-character normalize — verified against the compiled
+reference's vocabulary on a Unicode corpus
+(tests/test_reference_ab.py).
 """
 
 from __future__ import annotations
@@ -30,6 +34,8 @@ import re
 
 import numpy as np
 import pandas as pd
+
+from atire_spark.kernels.unorm import normalize_word
 
 MAX_TERM_BYTES = 20 * 1024  # atire_api.h:21 MAX_TERM_LENGTH
 
@@ -131,8 +137,12 @@ def tokenize(
             out.extend(
                 _cjk_bigrams(tok) if cjk_bigrams else cjk_segmenter(tok)
             )
-        else:
+        elif tok.isascii():
             out.append(tok.lower())
+        elif _CJK_RUN_RE.match(tok):
+            out.append(tok)  # CJK is indexed raw (parser.c:251-283)
+        else:
+            out.append(normalize_word(tok))
     return out
 
 
@@ -181,7 +191,18 @@ def tokenize_batch(
         keep = np.ones(len(flat), dtype=bool)
         keep[suspect[too_long]] = False
         flat = flat[keep]
-    flat = flat.str.lower()
+    # ASCII fast path: one vectorized lower; only tokens carrying
+    # non-ASCII letters take the per-char reference normalize (CJK
+    # and digit runs are index-raw — the normalize leaves them be,
+    # and CJK-run expansion below sees the original characters)
+    nonascii = flat.str.contains(r"[^\x00-\x7f]", regex=True)
+    lowered = flat.str.lower()
+    if nonascii.any():
+        need = nonascii & ~flat.str.match(_CJK_RUN_RE)
+        if need.any():
+            lowered[need] = flat[need].map(normalize_word)
+        lowered[nonascii & ~need] = flat[nonascii & ~need]
+    flat = lowered
     if scan_runs and len(flat):
         is_run = flat.str.match(_CJK_RUN_RE) & (flat.str.len() > 1)
         if is_run.any():

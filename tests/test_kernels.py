@@ -76,7 +76,20 @@ class TestTokenizer:
         assert tokenize(at_cap) == [at_cap]
 
     def test_unicode(self):
-        assert tokenize("café Über") == ["café", "über"]
+        # reference normalize (unicode.c:213-257): decompose, drop
+        # combining marks, lowercase — not a plain str.lower
+        assert tokenize("café Über") == ["cafe", "uber"]
+        # no-decomposition letters pass through lowercased
+        assert tokenize("straße ŁÓDŹ") == ["straße", "łodz"]
+        # numbers are indexed raw; CJK chars raw (single-char default)
+        assert tokenize("123 中文") == ["123", "中", "文"]
+
+    def test_unicode_batch_matches_scalar(self):
+        texts = pd.Series(
+            ["Café Ünïcödé 123 中文 test", "straße ŁÓDŹ!", "ascii only", ""]
+        )
+        toks, _ = tokenize_batch(texts)
+        assert [tokenize(t) for t in texts] == list(toks)
 
     def test_batch_matches_scalar(self):
         texts = pd.Series(

@@ -88,3 +88,80 @@ def test_full_ranking_identity_vs_reference_binary(spark):
             assert ref == got[qid], f"{name}: {qtext}"
 
     shutil.rmtree(work, ignore_errors=True)
+
+
+@pytest.mark.skipif(
+    not _HAVE_REF,
+    reason="no prebuilt reference ATIRE binary (run reference_ab.py once)",
+)
+def test_unicode_normalize_identity_vs_reference_binary(spark):
+    """WORD-token normalization parity on a Unicode corpus: the
+    reference decomposes, drops combining marks and lowercases
+    (unicode.c:213-257); kernels/unorm.py must land the same
+    vocabulary, postings and scores.  Covers decomposable letters
+    (café/Über/Ångström), no-decomposition letters (straße, Ł — which
+    therefore do NOT match their ASCII-folded query), and df==N
+    degeneracy, full-ranking score-group identity."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from atire_spark.build import build_index
+    from atire_spark.query import SearchEngine
+
+    work = tempfile.mkdtemp(prefix="atire_uni_ab_")
+    words = [
+        "café", "Über", "naïve", "résumé", "straße", "Ångström", "ŁÓDŹ",
+        "çhårs", "plain", "words", "täst", "Ünïcödé", "ELYSÉE", "français",
+    ]
+    rows = []
+    for i in range(80):
+        text = (
+            " ".join(words[(i + j) % len(words)] for j in range(6))
+            + f" filler{i % 4}"
+        )
+        rows.append(
+            {
+                "conv_id": f"c{i // 8:05d}",
+                "turn_idx": i % 8,
+                "role": "user",
+                "text": text,
+                "tool": "",
+                "ts": pd.Timestamp("2025-01-01"),
+            }
+        )
+    pdf, trec = ab.prepare_corpus(pd.DataFrame(rows))
+    trec_path = os.path.join(work, "corpus.xml")
+    with open(trec_path, "w", encoding="utf-8") as fh:
+        fh.write(trec)
+    index_path = os.path.join(work, "index.aspt")
+    ab.run_reference_build(_BIN_DIR, trec_path, index_path, work)
+
+    queries = [
+        (1, "cafe"),
+        (2, "uber strasse"),
+        (3, "naive resume"),
+        (4, "angstrom elysee"),
+        (5, "lodz"),  # Ł never decomposes: 0 hits on BOTH engines
+        (6, "chars francais"),
+        (7, "tast unicode"),
+    ]
+    k = len(pdf)
+    ref_hits, _ = ab.run_reference_queries(
+        _BIN_DIR, index_path, queries, k, work, l=4 * k
+    )
+    eng = SearchEngine(spark, build_index(spark, spark.createDataFrame(pdf)))
+    res = eng.search_batch(queries, k=k).toPandas()
+
+    matched_any = False
+    for qid, qtext in queries:
+        ours = [
+            (int(r.docid), int(r.rsv_fixed))
+            for r in res[res.query_id == qid].sort_values("rank").itertuples()
+        ]
+        ref = ref_hits[qid - 1]
+        assert ab._score_groups(ours) == ab._score_groups(ref), (qid, qtext)
+        matched_any = matched_any or bool(ref)
+    assert matched_any  # the corpus really was reachable
+    assert not ref_hits[4], "Ł must not fold to plain l on either side"
