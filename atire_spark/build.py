@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from atire_spark.kernels.quantize import DEFAULT_QUANT_BITS, quantize_rsv, raw_rsv
-from atire_spark.kernels.tokenizer import tokenize_batch
+from atire_spark.kernels.tokenizer import tokenize_flat
 
 TF_CAP = 255  # memory_index_hash_node.h:140-143
 
@@ -124,26 +124,25 @@ def tokenize_stage(
         for pdf in batches:
             pdf = pdf.reset_index(drop=True)
             n = len(pdf)
-            toks, lens = tokenize_batch(
+            row_idx, flat, lens = tokenize_flat(
                 pdf["text"],
                 cjk_bigrams=cjk_bigrams,
                 cjk_segmenter=cjk_segmenter,
             )
-            flat = toks.explode().dropna()
-            if stops is not None and not flat.empty:
+            if stops is not None and flat.size:
                 # length already counted; drop stops from the posting
                 # stream only (vectorized membership on the batch)
-                flat = flat[~flat.isin(stops)]
+                keep = ~pd.Series(flat).isin(stops).to_numpy()
+                row_idx, flat = row_idx[keep], flat[keep]
             terms: list = [[] for _ in range(n)]
             tfs: list = [[] for _ in range(n)]
             occs: list = [[] for _ in range(n)]
-            if not flat.empty:
+            if flat.size:
                 # vectorized per-doc (term, tf) counting: factorize the
                 # token stream, count (row, term_code) pairs with one
                 # np.unique, split on row boundaries. The reference's
                 # per-doc hash (memory_index_one.c) without the hash.
-                row_idx = flat.index.to_numpy(dtype=np.int64)
-                codes, uniq = pd.factorize(flat.to_numpy())
+                codes, uniq = pd.factorize(flat)
                 if stemmer is not None:
                     from atire_spark.kernels.stem import stem_unique
 
@@ -579,11 +578,16 @@ def segments_from_stage1(
             yield out[[c.split(" ")[0] for c in POSTINGS_SCHEMA.split(", ")]]
 
     stage2 = keyed.mapInPandas(fn, schema=POSTINGS_SCHEMA).persist()
-    if registry is not None:
-        registry.append(stage2)
     term_stats = stage2.groupBy("term").agg(
         F.sum("seg_df").alias("df"), F.sum("seg_cf").alias("cf")
-    )
+    ).persist()
+    if registry is not None:
+        registry.append(stage2)
+        # cached separately: the stats row, the range-sampling pass
+        # and the join all re-read it — recomputing it from the fat
+        # stage2 cache re-deserializes the binary postings column
+        # every time (measured 2.4 s per pass at 455k segment rows)
+        registry.append(term_stats)
     postings = stage2.join(term_stats, "term")
     return postings, term_stats
 

@@ -6,7 +6,12 @@ reference-ATIRE behaviour it reproduces (file:line into /root/reference).
 """
 
 from atire_spark.kernels.vbyte import vbyte_encode, vbyte_decode
-from atire_spark.kernels.tokenizer import tokenize, tokenize_batch, MAX_TERM_BYTES
+from atire_spark.kernels.tokenizer import (
+    tokenize,
+    tokenize_batch,
+    tokenize_flat,
+    MAX_TERM_BYTES,
+)
 from atire_spark.kernels.impact import impact_order, decode_segment
 from atire_spark.kernels.bm25 import (
     BM25_K1,
@@ -20,6 +25,7 @@ __all__ = [
     "vbyte_decode",
     "tokenize",
     "tokenize_batch",
+    "tokenize_flat",
     "MAX_TERM_BYTES",
     "impact_order",
     "decode_segment",

@@ -146,74 +146,86 @@ def tokenize(
     return out
 
 
+# ASCII rows have no CJK and no Unicode digits/letters, so the token
+# grammar collapses to plain byte classes over the pre-lowered text —
+# one regex pass per row with zero per-token work (no lower, no
+# normalize, no byte-length check: a token cannot outgrow its row)
+_ASCII_TOKEN_RE = re.compile(r"[a-z]+|[0-9]+")
+
+
+def tokenize_flat(
+    texts: pd.Series, cjk_bigrams: bool = False, cjk_segmenter=None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch tokenization as a FLAT token stream.
+
+    Returns ``(row_idx, tokens, doc_len)``: ``tokens`` is the
+    concatenated per-row token stream (object ndarray), ``row_idx``
+    the POSITIONAL row (0..len-1) of each token, and ``doc_len`` the
+    per-row surviving token count (WORD+NUMBER, duplicates included).
+    The flat shape is what the indexer actually consumes (factorize +
+    per-doc counting); :func:`tokenize_batch` regroups it into lists
+    for callers that want row-aligned values.
+
+    Fast path: an ASCII row ≤ MAX_TERM_BYTES is lowercased ONCE as a
+    whole string and scanned with the byte-class regex — equivalent to
+    the full grammar because ASCII has no CJK, no non-ASCII digits,
+    and lowercasing cannot move an ASCII token boundary. Everything
+    else (non-ASCII, oversized, null) routes through the per-string
+    reference-parity :func:`tokenize`.
+    """
+    if cjk_bigrams and cjk_segmenter is not None:
+        raise ValueError("cjk_bigrams and cjk_segmenter are exclusive")
+    n = len(texts)
+    doc_len = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=object),
+            doc_len,
+        )
+    findall = _ASCII_TOKEN_RE.findall
+    per_row: list[list[str]] = [
+        findall(s.lower())
+        if (
+            isinstance(s, str)
+            and len(s) <= MAX_TERM_BYTES
+            and s.isascii()
+        )
+        else tokenize(
+            s if isinstance(s, str) else None,
+            cjk_bigrams=cjk_bigrams,
+            cjk_segmenter=cjk_segmenter,
+        )
+        for s in texts.to_numpy(dtype=object)
+    ]
+    counts = np.fromiter((len(t) for t in per_row), dtype=np.int64, count=n)
+    np.copyto(doc_len, counts)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    tokens = np.array(
+        [t for row in per_row for t in row], dtype=object
+    )
+    return row_idx, tokens, doc_len
+
+
 def tokenize_batch(
     texts: pd.Series, cjk_bigrams: bool = False, cjk_segmenter=None
 ) -> tuple[pd.Series, np.ndarray]:
-    """Vectorized batch tokenization.
+    """Vectorized batch tokenization (row-aligned view).
 
     Returns ``(tokens, doc_len)`` where ``tokens`` is a Series of
     list[str] aligned with ``texts`` and ``doc_len`` the per-row
-    surviving token count (WORD+NUMBER, duplicates included).
-
-    Implementation stays in pandas vectorized string ops: one
-    ``str.findall`` over the batch, an exploded ``str.lower`` pass, and
-    a length filter — no per-row Python beyond list regrouping.
-    ``cjk_bigrams`` switches CJK runs to the reference's
-    BIGRAM_SEGMENTATION; ``cjk_segmenter`` applies a plugin callable
-    to whole CJK runs instead (ONFLY_SEGMENTATION, parser.c:27-29) —
-    the two are exclusive (expansion only touches CJK-run tokens; the
-    downstream bag-of-words makes intra-doc order irrelevant).
+    surviving token count (WORD+NUMBER, duplicates included). Thin
+    regrouping over :func:`tokenize_flat` — the indexer consumes the
+    flat stream directly and never pays this regroup.
     """
     if not texts.index.is_unique:
         raise ValueError("tokenize_batch requires a unique index")
-    if cjk_bigrams and cjk_segmenter is not None:
-        raise ValueError("cjk_bigrams and cjk_segmenter are exclusive")
-    scan_runs = cjk_bigrams or cjk_segmenter is not None
-    raw = texts.fillna("").astype(str).str.findall(
-        _TOKEN_RUN_RE if scan_runs else _TOKEN_RE
+    row_idx, flat, doc_len = tokenize_flat(
+        texts, cjk_bigrams=cjk_bigrams, cjk_segmenter=cjk_segmenter
     )
-    flat = raw.explode().dropna()
-    if flat.empty:
-        return pd.Series([[] for _ in range(len(texts))], index=texts.index), np.zeros(
-            len(texts), dtype=np.int64
-        )
-    # cheap char-length prefilter; exact byte-length check only on the
-    # (vanishingly rare) long tail
-    char_len = flat.str.len().to_numpy()
-    # byte_len <= 4 * char_len, so anything above MAX/4 chars needs the
-    # exact utf-8 byte check
-    suspect = np.flatnonzero(char_len > MAX_TERM_BYTES // 4)
-    if suspect.size:
-        too_long = (
-            flat.iloc[suspect].str.encode("utf-8").str.len().to_numpy()
-            > MAX_TERM_BYTES
-        )
-        keep = np.ones(len(flat), dtype=bool)
-        keep[suspect[too_long]] = False
-        flat = flat[keep]
-    # ASCII fast path: one vectorized lower; only tokens carrying
-    # non-ASCII letters take the per-char reference normalize (CJK
-    # and digit runs are index-raw — the normalize leaves them be,
-    # and CJK-run expansion below sees the original characters)
-    nonascii = flat.str.contains(r"[^\x00-\x7f]", regex=True)
-    lowered = flat.str.lower()
-    if nonascii.any():
-        need = nonascii & ~flat.str.match(_CJK_RUN_RE)
-        if need.any():
-            lowered[need] = flat[need].map(normalize_word)
-        lowered[nonascii & ~need] = flat[nonascii & ~need]
-    flat = lowered
-    if scan_runs and len(flat):
-        is_run = flat.str.match(_CJK_RUN_RE) & (flat.str.len() > 1)
-        if is_run.any():
-            expand = _cjk_bigrams if cjk_bigrams else cjk_segmenter
-            expanded = flat[is_run].map(expand).explode()
-            flat = pd.concat([flat[~is_run], expanded])
-    grouped = flat.groupby(level=0).agg(list)
-    tokens = grouped.reindex(texts.index)
-    tokens = tokens.apply(lambda v: v if isinstance(v, list) else [])
-    doc_len = tokens.str.len().to_numpy(dtype=np.int64)
-    return tokens, doc_len
+    bounds = np.cumsum(doc_len)[:-1]
+    lists = [list(a) for a in np.split(flat, bounds)]
+    return pd.Series(lists, index=texts.index), doc_len
 
 
 def term_counts(tokens: list[str], tf_cap: int = 255) -> tuple[list[str], list[int]]:

@@ -53,7 +53,7 @@ from pyspark.sql.types import (
 )
 
 from atire_spark.kernels.bm25 import BM25_B, BM25_K1, accum_value
-from atire_spark.kernels.tokenizer import tokenize, tokenize_batch
+from atire_spark.kernels.tokenizer import tokenize_flat
 from atire_spark.query import parse_query
 
 MATCH_SCHEMA = StructType(
@@ -154,26 +154,45 @@ def standing_query_matches(
         columns=["query_id", "term", "weight", "idf"],
     )
 
+    standing_terms = frozenset(qt["term"])
+
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty or qt.empty:
                 continue
             pdf = pdf.reset_index(drop=True)
-            toks, doc_len = tokenize_batch(pdf["text"])
+            row_idx, flat, doc_len = tokenize_flat(pdf["text"])
+            if not flat.size:
+                continue
             lens = doc_len.astype(np.float64)
             # float32 prior, double-promoted in the division
             priors = (
                 BM25_K1 * (1.0 - BM25_B + BM25_B * (lens / mean_len))
             ).astype(np.float32)
-            # exploded (row, term) tf table — vectorized, no per-row loop
-            flat = toks.explode().dropna()
-            if flat.empty:
+            # (row, term) tf counting on integer keys, restricted to
+            # the standing vocabulary BEFORE the unique-count — the
+            # routing table has tens of terms, so the count runs over
+            # the tiny matched slice, not the whole token stream
+            codes, uniq = pd.factorize(flat)
+            uniq = np.asarray(uniq, dtype=object)
+            umask = np.fromiter(
+                (u in standing_terms for u in uniq), bool, len(uniq)
+            )
+            sel = umask[codes]
+            if not sel.any():
                 continue
-            tf = (
-                pd.DataFrame({"row": flat.index, "term": flat.to_numpy()})
-                .groupby(["row", "term"], sort=False)
-                .size()
-                .reset_index(name="tf")
+            nu = len(uniq)
+            key = row_idx[sel] * nu + codes[sel]
+            uk, occ = np.unique(key, return_counts=True)
+            # stored tf saturates like the index side
+            # (memory_index_hash_node.h:140-143) — the matcher scores
+            # what the batch engine would read off the postings
+            tf = pd.DataFrame(
+                {
+                    "row": uk // nu,
+                    "term": uniq[uk % nu],
+                    "tf": np.minimum(occ, 255).astype(np.int64),
+                }
             )
             hits = tf.merge(qt, on="term", how="inner")
             if hits.empty:
