@@ -117,6 +117,17 @@ def worker(cpus: int, n_convs: int, mode: str) -> None:
             standing_query_matches(tdf, standing, stats).count()
             build_sec = time.monotonic() - t0
         else:
+            # untimed warmup over a small slice: the first build in a
+            # fresh JVM pays whole-stage codegen JIT and Python-worker
+            # forking — a FIXED startup cost, not throughput. The
+            # shorter 4N leg would otherwise carry proportionally more
+            # of it, biasing the ratio; a deployed cluster is
+            # long-lived and runs warm (bench.py warms up for the same
+            # reason, and the nocoord_bench control warms identically)
+            warm = build_index(
+                spark, spark.createDataFrame(pdf.iloc[: len(pdf) // 8])
+            )
+            write_index(warm, f"{tmp}/warmidx")
             t0 = time.monotonic()
             tables = build_index(spark, tdf)
             write_index(tables, f"{tmp}/idx")
