@@ -32,7 +32,8 @@ import time
 
 
 def worker(cpu: int, n_convs: int) -> None:
-    os.sched_setaffinity(0, {cpu})
+    cores = int(os.environ.get("SPARK_GRAFT_SCALE_WORKER_CORES", "1"))
+    os.sched_setaffinity(0, set(range(cpu * cores, (cpu + 1) * cores)))
     # K co-resident JVMs must fit the box: the engine legs run ONE
     # driver at the default heap, so give each control worker 1/K of
     # comparable headroom rather than K full-size heaps (8 x 48g on a
@@ -42,7 +43,7 @@ def worker(cpu: int, n_convs: int) -> None:
     from atire_spark.session import get_spark
     from atire_spark.synth import make_transcripts_bench
 
-    spark = get_spark(cpus=1, app=f"nocoord{cpu}")
+    spark = get_spark(cpus=cores, app=f"nocoord{cpu}")
     pdf = make_transcripts_bench(n_convs)
     with tempfile.TemporaryDirectory() as tmp:
         spark.createDataFrame(pdf).repartition(32).write.parquet(
@@ -105,6 +106,9 @@ def main() -> None:
     print(json.dumps({
         "metric": "nocoord_hardware_floor",
         "k": k0,
+        "worker_cores": int(
+            os.environ.get("SPARK_GRAFT_SCALE_WORKER_CORES", "1")
+        ),
         "legs": out,
         "floor_efficiency": round(eff, 3),
     }))
