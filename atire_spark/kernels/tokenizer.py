@@ -223,6 +223,8 @@ def tokenize_batch(
     row_idx, flat, doc_len = tokenize_flat(
         texts, cjk_bigrams=cjk_bigrams, cjk_segmenter=cjk_segmenter
     )
+    if len(texts) == 0:
+        return pd.Series([], index=texts.index, dtype=object), doc_len
     bounds = np.cumsum(doc_len)[:-1]
     lists = [list(a) for a in np.split(flat, bounds)]
     return pd.Series(lists, index=texts.index), doc_len

@@ -100,6 +100,36 @@ class TestTokenizer:
         assert list(toks) == expected
         assert list(lens) == [len(e) for e in expected]
 
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", categories=("L", "N", "P", "Z", "S")
+                ),
+                max_size=80,
+            ),
+            max_size=20,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_flat_stream_matches_scalar_fuzz(self, texts):
+        # the ASCII whole-row fast path must be indistinguishable from
+        # the per-string reference-parity tokenize() on ANY input mix
+        from atire_spark.kernels.tokenizer import tokenize_flat
+
+        s = pd.Series(texts, dtype=object)
+        row_idx, flat, lens = tokenize_flat(s)
+        expected = [tokenize(t) for t in texts]
+        bounds = np.cumsum(lens)[:-1]
+        got = (
+            [list(a) for a in np.split(flat, bounds)] if len(texts) else []
+        )
+        assert got == expected
+        assert list(lens) == [len(e) for e in expected]
+        assert list(row_idx) == [
+            i for i, e in enumerate(expected) for _ in e
+        ]
+
     def test_term_counts_cap(self):
         toks = ["a"] * 300 + ["b"]
         terms, tfs = term_counts(toks)
