@@ -551,6 +551,7 @@ def segments_from_stage1(
     blocks_per_seg: int = 4096,
     registry: list | None = None,
     codec: str = "vbyte",
+    stage_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Term-partitioned merge: hash-shuffle the per-(term, block) array
     rows on (term, seg_group), then build every segment of a partition
@@ -558,9 +559,17 @@ def segments_from_stage1(
     per-group Python overhead of applyInPandas would dominate when the
     adaptive segmenting produces 10^5+ segments.
 
-    ``registry`` (if given) collects the persisted intermediate frames
-    so the caller can unpersist once the tables are materialized
-    (IndexTables.unpersist / write_index do this)."""
+    ``stage_dir`` (if given) stages the encoded segments to parquet
+    instead of a Spark cache. The segment rows carry arrays and a
+    binary postings column, which forces the in-memory cache into
+    row-based batches — every later projection (the df/cf stats agg,
+    the range-layout sampling pass) re-deserializes whole rows,
+    measured 2.5-3.9 s per pass at 455k segment rows, while the same
+    reads off parquet are column-pruned page scans (~0.3 s). The
+    staged file also extends the durable build checkpoint: encode
+    never re-runs. ``registry`` (if given) collects the persisted
+    intermediate frames so the caller can unpersist once the tables
+    are materialized (IndexTables.unpersist / write_index do this)."""
     from atire_spark.kernels.segment import build_segments_batch
 
     keyed = stage1.withColumn(
@@ -577,16 +586,22 @@ def segments_from_stage1(
         if out is not None:
             yield out[[c.split(" ")[0] for c in POSTINGS_SCHEMA.split(", ")]]
 
-    stage2 = keyed.mapInPandas(fn, schema=POSTINGS_SCHEMA).persist()
+    mapped = keyed.mapInPandas(fn, schema=POSTINGS_SCHEMA)
+    if stage_dir is not None:
+        path = f"{stage_dir}/segments"
+        mapped.write.mode("overwrite").parquet(path)
+        stage2 = stage1.sparkSession.read.parquet(path)
+    else:
+        stage2 = mapped.persist()
+        if registry is not None:
+            registry.append(stage2)
+    # the stats row, the range-sampling pass and the join all re-read
+    # term_stats — it is tiny (one row per term), so cache it in
+    # either mode
     term_stats = stage2.groupBy("term").agg(
         F.sum("seg_df").alias("df"), F.sum("seg_cf").alias("cf")
     ).persist()
     if registry is not None:
-        registry.append(stage2)
-        # cached separately: the stats row, the range-sampling pass
-        # and the join all re-read it — recomputing it from the fat
-        # stage2 cache re-deserializes the binary postings column
-        # every time (measured 2.4 s per pass at 455k segment rows)
         registry.append(term_stats)
     postings = stage2.join(term_stats, "term")
     return postings, term_stats
@@ -1006,7 +1021,11 @@ def build_index(
     )
     if quantize_bits is None:
         postings, term_stats = segments_from_stage1(
-            stage1, blocks_per_seg, registry=registry, codec=codec
+            stage1,
+            blocks_per_seg,
+            registry=registry,
+            codec=codec,
+            stage_dir=stage_dir,
         )
         pre_cull_ts = term_stats
         if keep is not None:
