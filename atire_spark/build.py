@@ -932,11 +932,12 @@ def build_index(
     corpus size and cluster parallelism (:func:`_adaptive_block_bits`);
     pass an explicit value to pin the layout (tests do).
 
-    ``stage_dir`` holds the sorted tokenized staging parquet (a
-    durable intermediate: tokenize + global sort never re-run; it
-    doubles as a coarse checkpoint). Defaults to a temp dir that must
-    outlive the returned lazy DataFrames — after :func:`write_index`
-    it can be deleted.
+    ``stage_dir`` holds the sorted tokenized staging parquet and the
+    encoded segment staging parquet (durable intermediates: tokenize,
+    the global sort and the segment encode never re-run; together a
+    coarse checkpoint). Defaults to a temp dir that must outlive the
+    returned lazy DataFrames — after :func:`write_index` it can be
+    deleted.
 
     ``quantize_bits`` switches on the reference's -Q mode (an int bit
     width, or ``"auto"`` for the reference's collection-size formula
