@@ -546,18 +546,21 @@ def build_postings(
     )
 
 
-def segments_from_stage1(
+def encode_segments(
     stage1: DataFrame,
     blocks_per_seg: int = 4096,
     registry: list | None = None,
     codec: str = "vbyte",
     stage_dir: str | None = None,
-) -> tuple[DataFrame, DataFrame]:
+) -> DataFrame:
     """Term-partitioned merge: hash-shuffle the per-(term, block) array
     rows on (term, seg_group), then build every segment of a partition
     in ONE vectorized Arrow pass (mapInPandas + pandas groupby) — the
     per-group Python overhead of applyInPandas would dominate when the
-    adaptive segmenting produces 10^5+ segments.
+    adaptive segmenting produces 10^5+ segments. Returns the bare
+    segment rows (no global df/cf columns — callers that rebuild
+    segments but derive df/cf elsewhere, like merge/reorder, stop
+    here and skip a useless agg + join).
 
     ``stage_dir`` (if given) stages the encoded segments to parquet
     instead of a Spark cache. The segment rows carry arrays and a
@@ -590,11 +593,28 @@ def segments_from_stage1(
     if stage_dir is not None:
         path = f"{stage_dir}/segments"
         mapped.write.mode("overwrite").parquet(path)
-        stage2 = stage1.sparkSession.read.parquet(path)
-    else:
-        stage2 = mapped.persist()
-        if registry is not None:
-            registry.append(stage2)
+        return stage1.sparkSession.read.parquet(path)
+    stage2 = mapped.persist()
+    if registry is not None:
+        registry.append(stage2)
+    return stage2
+
+
+def segments_from_stage1(
+    stage1: DataFrame,
+    blocks_per_seg: int = 4096,
+    registry: list | None = None,
+    codec: str = "vbyte",
+    stage_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`encode_segments` plus the global df/cf aggregation the
+    batch build bakes into every postings row (the reference's
+    dictionary cf/df fields travel with the postings here, so the
+    scorer reads them without a separate dictionary probe)."""
+    stage2 = encode_segments(
+        stage1, blocks_per_seg, registry=registry, codec=codec,
+        stage_dir=stage_dir,
+    )
     # the stats row, the range-sampling pass and the join all re-read
     # term_stats — it is tiny (one row per term), so cache it in
     # either mode

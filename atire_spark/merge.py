@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from atire_spark.build import (
     STAGE1_SCHEMA,
     IndexTables,
-    segments_from_stage1,
+    encode_segments,
 )
 from atire_spark.kernels.impact import decode_segment
 
@@ -54,6 +54,7 @@ def merge_indexes(
     b: IndexTables,
     block_bits: int = 20,
     blocks_per_seg: int = 16,
+    stage_dir: str | None = None,
 ) -> IndexTables:
     """Merge two independently built indexes; ``b``'s docids follow
     ``a``'s (docid offset = a.documents). ``block_bits`` /
@@ -62,7 +63,10 @@ def merge_indexes(
     with its own parameter block); the left side's segments are kept
     as-is — mixed geometries are safe because every path keys
     accumulation by docid and derives a group's docid span from the
-    segment rows themselves."""
+    segment rows themselves. ``stage_dir`` stages the re-encoded right
+    side to parquet (same trade as the batch build's segment staging:
+    column-pruned re-reads + a durable checkpoint instead of a
+    row-based executor cache)."""
     sa, sb = _stats_row(a), _stats_row(b)
     for name, row in (("left", sa), ("right", sb)):
         if int(row.get("quantized", 0) or 0):
@@ -139,8 +143,12 @@ def merge_indexes(
 
     stage1_b = b.postings.mapInPandas(reblock, schema=STAGE1_SCHEMA)
     registry: list = []
-    b_segs, _ = segments_from_stage1(
-        stage1_b, blocks_per_seg, registry=registry, codec=codec
+    # bare segment rows: global df/cf comes from the sides' ORIGINAL
+    # metadata below, so the batch build's df/cf agg + join over the
+    # rebuilt rows would be dead work here
+    b_segs = encode_segments(
+        stage1_b, blocks_per_seg, registry=registry, codec=codec,
+        stage_dir=stage_dir,
     )
 
     # canonical segment columns only: a checkpointed index carries an

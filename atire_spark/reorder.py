@@ -38,7 +38,7 @@ from atire_spark.build import (
     POSTINGS_SCHEMA,
     STAGE1_SCHEMA,
     IndexTables,
-    segments_from_stage1,
+    encode_segments,
 )
 from atire_spark.kernels.impact import decode_segment
 
@@ -216,7 +216,10 @@ def reorder_index(
 
     # ---- step 3: serialise + permutation-invariant global metadata --
     registry: list = []
-    segs, _ = segments_from_stage1(
+    # bare segment rows: df/cf is permutation-invariant and re-joined
+    # from the ORIGINAL index metadata below, so skip the batch
+    # build's df/cf agg over the rebuilt rows
+    segs = encode_segments(
         stage1, blocks_per_seg, registry=registry, codec=codec
     )
     term_stats = (

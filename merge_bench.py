@@ -82,11 +82,30 @@ def main() -> None:
             part_secs.append(round(time.monotonic() - t0, 1))
         out["part_build_sec"] = part_secs
 
+        # each fold level lands on disk before the next consumes it —
+        # exactly the reference recipe (atire_merge emits an on-disk
+        # index per invocation); a lazy fold would instead re-evaluate
+        # the lower merges once per consumer of the upper one
         t0 = time.monotonic()
         parts = [load_index(spark, f"{tmp}/part{i}") for i in range(n_parts)]
-        m01 = merge_indexes(spark, parts[0], parts[1])
-        m23 = merge_indexes(spark, parts[2], parts[3])
-        merged = merge_indexes(spark, m01, m23)
+        write_index(
+            merge_indexes(
+                spark, parts[0], parts[1], stage_dir=f"{tmp}/mstage01"
+            ),
+            f"{tmp}/m01",
+        )
+        write_index(
+            merge_indexes(
+                spark, parts[2], parts[3], stage_dir=f"{tmp}/mstage23"
+            ),
+            f"{tmp}/m23",
+        )
+        merged = merge_indexes(
+            spark,
+            load_index(spark, f"{tmp}/m01"),
+            load_index(spark, f"{tmp}/m23"),
+            stage_dir=f"{tmp}/mstage",
+        )
         write_index(merged, f"{tmp}/merged")
         out["merge_sec"] = round(time.monotonic() - t0, 1)
 
