@@ -145,12 +145,14 @@ def main() -> None:
             qaat_queries, k=10, early_termination=None
         ).toPandas()
         agree = 0
+        overlap = 0
         total_rows = 0
         for qid in {q for q, _ in qaat_queries}:
             a = list(pruned_pdf[pruned_pdf.query_id == qid].docid)
             b = list(exact_pdf[exact_pdf.query_id == qid].docid)
             total_rows += len(b)
             agree += sum(1 for x, y in zip(a, b) if x == y)
+            overlap += len(set(a) & set(b))
         qaat = {
             "processed_quantums": pstats["processed_quantums"],
             "total_quantums": pstats["total_quantums"],
@@ -159,7 +161,13 @@ def main() -> None:
                 * (1 - pstats["processed_quantums"] / max(pstats["total_quantums"], 1)),
                 1,
             ),
+            # positional agreement penalizes reorderings; set overlap
+            # separates "document missing from the top k" (the rule's
+            # real cost) from "same documents, shuffled ranks"
             "topk_agreement_pct": round(100.0 * agree / max(total_rows, 1), 1),
+            "topk_set_overlap_pct": round(
+                100.0 * overlap / max(total_rows, 1), 1
+            ),
         }
 
         # ---- QaaT pruning on a skewed-impact corpus ----------------------
