@@ -88,7 +88,10 @@ def merge_indexes(
 
     n_a = int(sa["documents"])
     n_b = int(sb["documents"])
-    coll = int(sa["collection_len"]) + int(sb["collection_len"])
+    # an all-empty side has documents == 0 and a NULL collection_len
+    # (sum over zero docmap rows) — a legal index in the split recipe
+    # (a part whose range matched nothing); coalesce, don't crash
+    coll = int(sa["collection_len"] or 0) + int(sb["collection_len"] or 0)
     n_docs = n_a + n_b
 
     docmap = a.docmap.unionByName(

@@ -106,3 +106,48 @@ def test_merged_cf_exact_past_tf_saturation(spark):
     }
     assert gm == go
     assert gm["capterm"] == (1, 300)  # cf uncapped, tf saturated in postings
+
+
+def test_fold_merge_random_uneven_parts_including_empty(spark):
+    """K-way fold-merge over seeded RANDOM uneven split points —
+    including a zero-document part (a real occurrence in the
+    reference's split recipe when a range of the collection is empty
+    or filtered out entirely) — must stay rank-identical to the
+    monolithic build."""
+    import numpy as np
+
+    pdf = make_transcripts(120)
+    convs = sorted(pdf["conv_id"].unique())
+    rng = np.random.default_rng(7)
+    mono = build_index(spark, spark.createDataFrame(pdf), block_bits=7)
+    eo = SearchEngine(spark, mono)
+    ro = eo.search_batch(BATCH, k=15).toPandas()
+    cols = ["query_id", "rank", "docid", "rsv_fixed"]
+
+    for trial in range(2):
+        # 3 cut points -> 4 parts; duplicating a cut makes one part
+        # EMPTY (cut[i] == cut[i+1] selects zero conversations)
+        cuts = sorted(rng.choice(len(convs), size=3, replace=False))
+        if trial == 1:
+            cuts[1] = cuts[0]  # force an empty part
+        edges = [0, *cuts, len(convs)]
+        parts = []
+        for lo, hi in zip(edges, edges[1:]):
+            keep = set(convs[lo:hi])
+            parts.append(pdf[pdf["conv_id"].isin(keep)])
+        schema = spark.createDataFrame(pdf).schema
+        merged = None
+        for p in parts:
+            t = build_index(
+                spark, spark.createDataFrame(p, schema=schema), block_bits=7
+            )
+            merged = (
+                t
+                if merged is None
+                else merge_indexes(spark, merged, t, block_bits=7, blocks_per_seg=2)
+            )
+        em = SearchEngine(spark, merged)
+        rm = em.search_batch(BATCH, k=15).toPandas()
+        assert rm[cols].values.tolist() == ro[cols].values.tolist(), (
+            f"trial {trial} cuts {cuts}"
+        )
