@@ -865,10 +865,13 @@ class SearchEngine:
         self.index = index
         row = index.stats.collect()[0].asDict()
         self.n_docs = int(row["documents"])
-        self.collection_len = int(row["collection_len"])
+        # an all-empty collection's stats row carries NULL sums/means
+        # (aggregates over zero docmap rows); searching such an index
+        # must return empty results, not crash at engine construction
+        self.collection_len = int(row["collection_len"] or 0)
         self.unique_terms = int(row.get("unique_terms", 0) or 0)  # ~uniqueterms
         self.codec = row.get("codec") or "vbyte"  # posting-stream codec
-        self.mean_doc_len = float(row["mean_doc_len"])
+        self.mean_doc_len = float(row["mean_doc_len"] or 0.0)
         self.quantized = bool(row.get("quantized", 0))
         self.quant_bits = int(row.get("quant_bits", 0) or 0)
         index_stemmer = row.get("stemmer") or None

@@ -422,6 +422,24 @@ class TestDegenerateCorpora:
         row = idx.stats.collect()[0]
         assert row["quant_min"] == 0.0 and row["quant_max"] == 0.0
 
+    def test_search_engine_over_empty_unquantized_index(self, spark):
+        """An all-empty unquantized index has NULL collection_len /
+        mean_doc_len in its stats row (sums over zero docmap rows);
+        the engine must construct and answer with zero rows."""
+        import pandas as pd
+
+        from atire_spark.build import build_index
+        from atire_spark.query import SearchEngine
+
+        tr = spark.createDataFrame(
+            pd.DataFrame(
+                {"conv_id": ["c0", "c0"], "turn_idx": [0, 1], "text": ["", "  "]}
+            )
+        )
+        eng = SearchEngine(spark, build_index(spark, tr))
+        assert eng.n_docs == 0 and eng.collection_len == 0
+        assert eng.search_one("alpha", k=10).count() == 0
+
 
 class TestQaatVariants:
     """QUANTUM_STOP_DIFF_SMALLEST / _LARGEST (atire_api.c:771-794):
