@@ -98,7 +98,9 @@ def frozen_stats_from_index(
     }
     return {
         "n_docs": int(srow["documents"]),
-        "mean_doc_len": float(srow["mean_doc_len"]),
+        # NULL over an all-empty snapshot (aggregate of zero docmap
+        # rows) — the matcher then scores nothing, it must not crash
+        "mean_doc_len": float(srow["mean_doc_len"] or 0.0),
         "df": dfs,
     }
 

@@ -85,7 +85,9 @@ def build_topsig(
         # 4096 default — are word-aligned too)
         raise ValueError(f"topsig width must be a positive multiple of 64, got {width}")
     coll_len = float(
-        index.stats.select("collection_len").collect()[0][0]
+        # NULL over an all-empty index (sum of zero docmap rows);
+        # no documents reach the signature kernel then, so 0 is inert
+        index.stats.select("collection_len").collect()[0][0] or 0.0
     )
     if index.tokenized is not None:
         toks = index.tokenized
@@ -242,7 +244,7 @@ def search_topsig(
             }
     if coll_len is None:
         coll_len = float(
-            index.stats.select("collection_len").collect()[0][0]
+            index.stats.select("collection_len").collect()[0][0] or 0.0
         )
     masks = _query_masks(queries, cfs, coll_len, width, density, stemmer)
     if not masks:
