@@ -688,3 +688,32 @@ class TestWandWrapGuard:
         want = eng.search_batch(q, k=5).toPandas()
         assert list(got.docid) == list(want.docid)
         assert list(got.rsv_fixed) == list(want.rsv_fixed)
+
+
+def test_null_text_turns_are_skipped_like_empty(spark):
+    """A NULL text cell (legal in a real transcripts table — e.g. a
+    tool turn with no content) must behave exactly like an empty turn:
+    no docid, no postings, no effect on the other rows of its Arrow
+    batch."""
+    import pandas as pd
+
+    from atire_spark.build import build_index
+    from atire_spark.query import SearchEngine
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c0", "c0", "c1"],
+            "turn_idx": [0, 1, 0],
+            "text": ["alpha bravo", None, "alpha charlie"],
+        }
+    )
+    eng = SearchEngine(spark, build_index(spark, spark.createDataFrame(pdf)))
+    assert eng.n_docs == 2  # the NULL turn got no docid
+    hits = {
+        (int(r["docid"]), int(r["rsv_fixed"]))
+        for r in eng.search_one("bravo", k=10).collect()
+    }
+    assert hits == {(0, 70)}
+    # df == N -> idf 0 -> skipped, the reference's
+    # ranking_function_bm25.c:91-92 rule (alpha is in both live docs)
+    assert eng.search_one("alpha", k=10).count() == 0
