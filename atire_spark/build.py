@@ -260,6 +260,11 @@ def _range_bounds(
         .sample(fraction=frac, seed=13)
         .collect()
     )
+    if any(r["conv_id"] is None or r["turn_idx"] is None for r in rows):
+        raise ValueError(
+            "transcripts key columns (conv_id, turn_idx) contain NULLs; "
+            "every turn needs a non-null key for stable docid assignment"
+        )
     keys = sorted((r["conv_id"], int(r["turn_idx"])) for r in rows)
     if not keys:
         return []
@@ -305,6 +310,16 @@ def _stage_sorted(
                 continue
             conv = pdf["conv_id"].to_numpy()
             turn = pdf["turn_idx"].to_numpy()
+            if pd.isna(conv).any() or pd.isna(turn).any():
+                # loud + actionable instead of a TypeError deep in the
+                # bucket comparison: a NULL key cannot participate in
+                # the stable (conv_id, turn_idx) ordering docids (and
+                # the per-turn text-equality invariant) derive from
+                raise ValueError(
+                    "transcripts key columns (conv_id, turn_idx) "
+                    "contain NULLs; every turn needs a non-null key "
+                    "for stable docid assignment"
+                )
             bucket = np.zeros(len(pdf), dtype=np.int32)
             for c, t in bkeys:
                 bucket += ((conv > c) | ((conv == c) & (turn >= t))).astype(

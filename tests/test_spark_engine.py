@@ -717,3 +717,29 @@ def test_null_text_turns_are_skipped_like_empty(spark):
     # df == N -> idf 0 -> skipped, the reference's
     # ranking_function_bm25.c:91-92 rule (alpha is in both live docs)
     assert eng.search_one("alpha", k=10).count() == 0
+
+
+def test_null_key_columns_rejected_with_actionable_error(spark):
+    """NULL conv_id / turn_idx cannot participate in the stable key
+    ordering docids derive from — the build must fail with a clear
+    message, not a TypeError deep inside a comparison kernel."""
+    import pandas as pd
+    import pytest
+
+    from atire_spark.build import build_index
+    from atire_spark.build import write_index
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c0", None, "c1"],
+            "turn_idx": [0, 0, 0],
+            "text": ["alpha bravo", "poison delta", "alpha charlie"],
+        }
+    )
+    with pytest.raises(Exception, match="non-null key"):
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            write_index(
+                build_index(spark, spark.createDataFrame(pdf)), f"{tmp}/idx"
+            )
