@@ -340,9 +340,33 @@ def _stage_sorted(
         # per-bucket running index; a hash partition may hold several
         # whole buckets and a bucket may span Arrow batches
         seen: dict[int, int] = {}
+        prev_key: tuple | None = None  # last (conv, turn) of prior batch
         for pdf in batches:
             pdf = pdf.reset_index(drop=True)
             b = pdf["pid"].to_numpy()
+            # duplicate-key detection is FREE here: rows are sorted by
+            # (pid, conv_id, turn_idx) and a key's bucket never splits,
+            # so any duplicate is adjacent (possibly across an Arrow
+            # batch boundary). A duplicated key would make docid
+            # assignment depend on shuffle arrival order — silently
+            # breaking the stable-ordering / resume invariant.
+            if len(pdf):
+                conv_k = pdf["conv_id"].to_numpy()
+                turn_k = pdf["turn_idx"].to_numpy()
+                dup = (conv_k[1:] == conv_k[:-1]) & (turn_k[1:] == turn_k[:-1])
+                first = (
+                    prev_key is not None
+                    and (conv_k[0], turn_k[0]) == prev_key
+                )
+                if first or dup.any():
+                    i = 0 if first else int(np.flatnonzero(dup)[0]) + 1
+                    raise ValueError(
+                        "duplicate transcripts key (conv_id="
+                        f"{conv_k[i]!r}, turn_idx={turn_k[i]!r}): "
+                        "(conv_id, turn_idx) must uniquely identify a "
+                        "turn for stable docid assignment"
+                    )
+                prev_key = (conv_k[-1], turn_k[-1])
             idx = np.zeros(len(pdf), dtype=np.int64)
             if len(pdf):
                 change = np.flatnonzero(np.diff(b)) + 1

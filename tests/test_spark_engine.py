@@ -743,3 +743,29 @@ def test_null_key_columns_rejected_with_actionable_error(spark):
             write_index(
                 build_index(spark, spark.createDataFrame(pdf)), f"{tmp}/idx"
             )
+
+
+def test_duplicate_key_rejected(spark):
+    """(conv_id, turn_idx) must be a key: a duplicate would make docid
+    assignment depend on shuffle arrival order, silently breaking the
+    stable-ordering / resume invariant. Detection rides the sorted
+    staging pass (duplicates are adjacent there), so it costs nothing."""
+    import tempfile
+
+    import pandas as pd
+    import pytest
+
+    from atire_spark.build import build_index, write_index
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c0", "c1", "c1"],
+            "turn_idx": [0, 3, 3],
+            "text": ["alpha", "bravo one", "bravo two"],
+        }
+    )
+    with pytest.raises(Exception, match="uniquely identify"):
+        with tempfile.TemporaryDirectory() as tmp:
+            write_index(
+                build_index(spark, spark.createDataFrame(pdf)), f"{tmp}/idx"
+            )
