@@ -440,6 +440,93 @@ def identity(scale: str, cpus: int, k: int = 10) -> dict:
     return out
 
 
+def fuzz(
+    scale: str, cpus: int, n_queries: int = 60, seed: int = 20260821
+) -> dict:
+    """Randomized differential identity vs the COMPILED reference:
+    seeded random bag queries sampled from the corpus's real token
+    population, full rankings compared element by element (same
+    machinery as ``identity``).
+
+    The sample pool mixes three populations on purpose:
+
+    - index tokens (the letter/digit runs the indexer produces) —
+      plain vocabulary hits;
+    - raw whitespace words of the corpus (e.g. ``term00042``,
+      ``t0000123`` docnames) — these exercise the QUERY lexer parity:
+      the reference's NEXI lexer keeps an alphanumeric word as ONE
+      XML-name token (a vocabulary miss), and our parse must agree;
+    - absent terms — must score nothing on both sides.
+    """
+    import numpy as np
+
+    from atire_spark.build import build_index
+    from atire_spark.kernels.tokenizer import tokenize
+    from atire_spark.query import SearchEngine
+    from atire_spark.session import get_spark
+    from atire_spark.synth import make_transcripts
+
+    bin_dir = ensure_reference_built(single_threaded=True)
+    if bin_dir is None:
+        return {"skipped": True}
+
+    work = tempfile.mkdtemp(prefix="atire_abf_")
+    pdf, trec = prepare_corpus(make_transcripts(scale))
+    trec_path = os.path.join(work, "corpus.xml")
+    with open(trec_path, "w") as fh:
+        fh.write(trec)
+    index_path = os.path.join(work, "index.aspt")
+    ref_build_s = run_reference_build(bin_dir, trec_path, index_path, work)
+
+    rng = np.random.default_rng(seed)
+    index_pool: list[str] = []
+    raw_pool: list[str] = []
+    for t in pdf["text"]:
+        index_pool.extend(tokenize(t))
+        raw_pool.extend(t.split())
+    index_pool = sorted(set(index_pool))
+    raw_pool = sorted(set(raw_pool))
+    queries: list[tuple[int, str]] = []
+    for qid in range(1, n_queries + 1):
+        n_terms = int(rng.integers(1, 7))
+        toks = []
+        for _ in range(n_terms):
+            r = rng.random()
+            if r < 0.70:
+                toks.append(index_pool[int(rng.integers(len(index_pool)))])
+            elif r < 0.90:
+                toks.append(raw_pool[int(rng.integers(len(raw_pool)))])
+            else:
+                toks.append(
+                    "qq" + "".join(rng.choice(list("abcdefgh"), size=6))
+                )
+        queries.append((qid, " ".join(toks)))
+
+    k_full = len(pdf)
+    ref_hits, _ = run_reference_queries(
+        bin_dir, index_path, queries, k_full, work, l=4 * k_full
+    )
+    spark = get_spark(cpus=cpus, app="reference_ab_fuzz")
+    engine = SearchEngine(spark, build_index(spark, spark.createDataFrame(pdf)))
+    rows = engine.search_batch(queries, k=k_full).collect()
+    ours: dict[int, list[tuple[int, int]]] = {qid: [] for qid, _ in queries}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        ours[r["query_id"]].append((int(r["docid"]), int(r["rsv_fixed"])))
+    mismatches = _diff_rankings(queries, ref_hits, ours)
+    out = {
+        "mode": "fuzz",
+        "scale": scale,
+        "docs": int(len(pdf)),
+        "seed": seed,
+        "queries": len(queries),
+        "matched": len(queries) - len(mismatches),
+        "mismatches": mismatches,
+        "reference_build_s": round(ref_build_s, 3),
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def throughput(n_convs: int, repeats: int, k: int = 10) -> dict:
     """Measured single-node reference numbers at bench scale.
 
@@ -800,12 +887,16 @@ def variants(
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("mode", choices=["identity", "throughput", "variants"])
+    ap.add_argument(
+        "mode", choices=["identity", "throughput", "variants", "fuzz"]
+    )
     ap.add_argument("--scale", default="small")
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--convs", type=int, default=20000)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--stem-convs", type=int, default=400)
+    ap.add_argument("--n-queries", type=int, default=60)
+    ap.add_argument("--seed", type=int, default=20260821)
     ap.add_argument(
         "--only",
         choices=["rankers", "quantized", "stemmers", "feedback"],
@@ -816,6 +907,8 @@ def main() -> None:
         out = identity(args.scale, args.cpus)
     elif args.mode == "variants":
         out = variants(args.scale, args.cpus, args.stem_convs, args.only)
+    elif args.mode == "fuzz":
+        out = fuzz(args.scale, args.cpus, args.n_queries, args.seed)
     else:
         out = throughput(args.convs, args.repeats)
     print(json.dumps(out))
