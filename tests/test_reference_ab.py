@@ -165,3 +165,17 @@ def test_unicode_normalize_identity_vs_reference_binary(spark):
         matched_any = matched_any or bool(ref)
     assert matched_any  # the corpus really was reachable
     assert not ref_hits[4], "Ł must not fold to plain l on either side"
+
+
+@pytest.mark.skipif(
+    not _HAVE_REF,
+    reason="no prebuilt reference ATIRE binary (run reference_ab.py once)",
+)
+def test_randomized_fuzz_identity_vs_reference_binary():
+    """Seeded random-query differential fuzz (reference_ab.fuzz) must
+    stay strict full-ranking identical — a fresh seed per test run
+    would be flaky-by-design, so the seed is pinned and distinct from
+    the recorded AB_REPORT runs."""
+    out = ab.fuzz("tiny", cpus=8, n_queries=15, seed=424242)
+    assert not out.get("skipped")
+    assert out["matched"] == out["queries"], out["mismatches"][:2]
