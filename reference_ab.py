@@ -441,7 +441,11 @@ def identity(scale: str, cpus: int, k: int = 10) -> dict:
 
 
 def fuzz(
-    scale: str, cpus: int, n_queries: int = 60, seed: int = 20260821
+    scale: str,
+    cpus: int,
+    n_queries: int = 60,
+    seed: int = 20260821,
+    ranker: str = "bm25",
 ) -> dict:
     """Randomized differential identity vs the COMPILED reference:
     seeded random bag queries sampled from the corpus's real token
@@ -504,11 +508,12 @@ def fuzz(
 
     k_full = len(pdf)
     ref_hits, _ = run_reference_queries(
-        bin_dir, index_path, queries, k_full, work, l=4 * k_full
+        bin_dir, index_path, queries, k_full, work, l=4 * k_full,
+        extra_flags=["-R" + RANKER_FLAGS[ranker]],
     )
     spark = get_spark(cpus=cpus, app="reference_ab_fuzz")
     engine = SearchEngine(spark, build_index(spark, spark.createDataFrame(pdf)))
-    rows = engine.search_batch(queries, k=k_full).collect()
+    rows = engine.search_batch(queries, k=k_full, ranker=ranker).collect()
     ours: dict[int, list[tuple[int, int]]] = {qid: [] for qid, _ in queries}
     for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
         ours[r["query_id"]].append((int(r["docid"]), int(r["rsv_fixed"])))
@@ -517,6 +522,7 @@ def fuzz(
         "mode": "fuzz",
         "scale": scale,
         "docs": int(len(pdf)),
+        "ranker": ranker,
         "seed": seed,
         "queries": len(queries),
         "matched": len(queries) - len(mismatches),
@@ -897,6 +903,7 @@ def main() -> None:
     ap.add_argument("--stem-convs", type=int, default=400)
     ap.add_argument("--n-queries", type=int, default=60)
     ap.add_argument("--seed", type=int, default=20260821)
+    ap.add_argument("--ranker", default="bm25", choices=sorted(RANKER_FLAGS))
     ap.add_argument(
         "--only",
         choices=["rankers", "quantized", "stemmers", "feedback"],
@@ -908,7 +915,9 @@ def main() -> None:
     elif args.mode == "variants":
         out = variants(args.scale, args.cpus, args.stem_convs, args.only)
     elif args.mode == "fuzz":
-        out = fuzz(args.scale, args.cpus, args.n_queries, args.seed)
+        out = fuzz(
+            args.scale, args.cpus, args.n_queries, args.seed, args.ranker
+        )
     else:
         out = throughput(args.convs, args.repeats)
     print(json.dumps(out))
