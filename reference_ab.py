@@ -446,6 +446,7 @@ def fuzz(
     n_queries: int = 60,
     seed: int = 20260821,
     ranker: str = "bm25",
+    stemmer: str | None = None,
 ) -> dict:
     """Randomized differential identity vs the COMPILED reference:
     seeded random bag queries sampled from the corpus's real token
@@ -480,7 +481,10 @@ def fuzz(
     with open(trec_path, "w") as fh:
         fh.write(trec)
     index_path = os.path.join(work, "index.aspt")
-    ref_build_s = run_reference_build(bin_dir, trec_path, index_path, work)
+    stem_flags = ["-t" + STEMMER_FLAGS[stemmer]] if stemmer else []
+    ref_build_s = run_reference_build(
+        bin_dir, trec_path, index_path, work, extra_flags=stem_flags
+    )
 
     rng = np.random.default_rng(seed)
     index_pool: list[str] = []
@@ -490,6 +494,14 @@ def fuzz(
         raw_pool.extend(t.split())
     index_pool = sorted(set(index_pool))
     raw_pool = sorted(set(raw_pool))
+    if stemmer:
+        # a mixed-case query term on a stemmed reference index takes
+        # the unstemmed branch on the RAW first char but skips the
+        # dictionary pre-lookup on the FOLDED buffer → the reference
+        # ranks uninitialized term_details (see the variants stemmer
+        # block) — keep the fuzz pool lowercase so we compare real
+        # behavior, not an uninitialized-memory read
+        raw_pool = [w for w in raw_pool if w == w.lower()]
     queries: list[tuple[int, str]] = []
     for qid in range(1, n_queries + 1):
         n_terms = int(rng.integers(1, 7))
@@ -509,10 +521,13 @@ def fuzz(
     k_full = len(pdf)
     ref_hits, _ = run_reference_queries(
         bin_dir, index_path, queries, k_full, work, l=4 * k_full,
-        extra_flags=["-R" + RANKER_FLAGS[ranker]],
+        extra_flags=["-R" + RANKER_FLAGS[ranker]] + stem_flags,
     )
     spark = get_spark(cpus=cpus, app="reference_ab_fuzz")
-    engine = SearchEngine(spark, build_index(spark, spark.createDataFrame(pdf)))
+    engine = SearchEngine(
+        spark,
+        build_index(spark, spark.createDataFrame(pdf), stemmer=stemmer),
+    )
     rows = engine.search_batch(queries, k=k_full, ranker=ranker).collect()
     ours: dict[int, list[tuple[int, int]]] = {qid: [] for qid, _ in queries}
     for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
@@ -523,6 +538,7 @@ def fuzz(
         "scale": scale,
         "docs": int(len(pdf)),
         "ranker": ranker,
+        "stemmer": stemmer,
         "seed": seed,
         "queries": len(queries),
         "matched": len(queries) - len(mismatches),
@@ -905,6 +921,9 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=20260821)
     ap.add_argument("--ranker", default="bm25", choices=sorted(RANKER_FLAGS))
     ap.add_argument(
+        "--stemmer", default=None, choices=sorted(STEMMER_FLAGS)
+    )
+    ap.add_argument(
         "--only",
         choices=["rankers", "quantized", "stemmers", "feedback"],
         default=None,
@@ -916,7 +935,8 @@ def main() -> None:
         out = variants(args.scale, args.cpus, args.stem_convs, args.only)
     elif args.mode == "fuzz":
         out = fuzz(
-            args.scale, args.cpus, args.n_queries, args.seed, args.ranker
+            args.scale, args.cpus, args.n_queries, args.seed, args.ranker,
+            args.stemmer,
         )
     else:
         out = throughput(args.convs, args.repeats)
