@@ -447,6 +447,8 @@ def fuzz(
     seed: int = 20260821,
     ranker: str = "bm25",
     stemmer: str | None = None,
+    quantized: bool = False,
+    conjunctive: bool = False,
 ) -> dict:
     """Randomized differential identity vs the COMPILED reference:
     seeded random bag queries sampled from the corpus's real token
@@ -481,9 +483,14 @@ def fuzz(
     with open(trec_path, "w") as fh:
         fh.write(trec)
     index_path = os.path.join(work, "index.aspt")
+    if quantized and (stemmer or ranker != "bm25" or conjunctive):
+        raise ValueError("quantized fuzz supports only the plain BM25 path")
     stem_flags = ["-t" + STEMMER_FLAGS[stemmer]] if stemmer else []
+    build_flags = list(stem_flags)
+    if quantized:
+        build_flags += ["-QBM25:0.9:0.4", "-q8"]
     ref_build_s = run_reference_build(
-        bin_dir, trec_path, index_path, work, extra_flags=stem_flags
+        bin_dir, trec_path, index_path, work, extra_flags=build_flags
     )
 
     rng = np.random.default_rng(seed)
@@ -519,16 +526,34 @@ def fuzz(
         queries.append((qid, " ".join(toks)))
 
     k_full = len(pdf)
+    if quantized:
+        # a -Q index's scores are baked in — no -R flag on either side
+        query_flags = []
+    elif conjunctive:
+        # -Rallterms = TERMCOUNT + drop docs with rsv < terms_in_query
+        query_flags = ["-Rallterms"] + stem_flags
+    else:
+        query_flags = ["-R" + RANKER_FLAGS[ranker]] + stem_flags
     ref_hits, _ = run_reference_queries(
         bin_dir, index_path, queries, k_full, work, l=4 * k_full,
-        extra_flags=["-R" + RANKER_FLAGS[ranker]] + stem_flags,
+        extra_flags=query_flags,
     )
     spark = get_spark(cpus=cpus, app="reference_ab_fuzz")
     engine = SearchEngine(
         spark,
-        build_index(spark, spark.createDataFrame(pdf), stemmer=stemmer),
+        build_index(
+            spark,
+            spark.createDataFrame(pdf),
+            stemmer=stemmer,
+            quantize_bits=8 if quantized else None,
+        ),
     )
-    rows = engine.search_batch(queries, k=k_full, ranker=ranker).collect()
+    rows = engine.search_batch(
+        queries,
+        k=k_full,
+        ranker="termcount" if conjunctive else ranker,
+        conjunctive=conjunctive,
+    ).collect()
     ours: dict[int, list[tuple[int, int]]] = {qid: [] for qid, _ in queries}
     for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
         ours[r["query_id"]].append((int(r["docid"]), int(r["rsv_fixed"])))
@@ -539,6 +564,8 @@ def fuzz(
         "docs": int(len(pdf)),
         "ranker": ranker,
         "stemmer": stemmer,
+        "quantized": quantized,
+        "conjunctive": conjunctive,
         "seed": seed,
         "queries": len(queries),
         "matched": len(queries) - len(mismatches),
@@ -923,6 +950,8 @@ def main() -> None:
     ap.add_argument(
         "--stemmer", default=None, choices=sorted(STEMMER_FLAGS)
     )
+    ap.add_argument("--quantized", action="store_true")
+    ap.add_argument("--conjunctive", action="store_true")
     ap.add_argument(
         "--only",
         choices=["rankers", "quantized", "stemmers", "feedback"],
@@ -936,7 +965,7 @@ def main() -> None:
     elif args.mode == "fuzz":
         out = fuzz(
             args.scale, args.cpus, args.n_queries, args.seed, args.ranker,
-            args.stemmer,
+            args.stemmer, args.quantized, args.conjunctive,
         )
     else:
         out = throughput(args.convs, args.repeats)
