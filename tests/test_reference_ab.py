@@ -179,3 +179,16 @@ def test_randomized_fuzz_identity_vs_reference_binary():
     out = ab.fuzz("tiny", cpus=8, n_queries=15, seed=424242)
     assert not out.get("skipped")
     assert out["matched"] == out["queries"], out["mismatches"][:2]
+
+
+@pytest.mark.skipif(
+    not _HAVE_REF,
+    reason="no prebuilt reference ATIRE binary (run reference_ab.py once)",
+)
+def test_fuzz_quantized_and_conjunctive_modes():
+    """The -Q8 baked-score TaaT path and the -Rallterms conjunctive
+    mode stay strict under random queries (pinned seeds)."""
+    out = ab.fuzz("tiny", cpus=8, n_queries=8, seed=515, quantized=True)
+    assert out["matched"] == out["queries"], out["mismatches"][:2]
+    out = ab.fuzz("tiny", cpus=8, n_queries=8, seed=516, conjunctive=True)
+    assert out["matched"] == out["queries"], out["mismatches"][:2]
