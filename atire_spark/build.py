@@ -281,10 +281,11 @@ def _stage_sorted(
     stage_dir: str,
     num_ranges: int | None = None,
     bounds: list[tuple[str, int]] | None = None,
-) -> tuple[DataFrame, dict[int, int], int]:
+) -> tuple[DataFrame, dict[int, int], int, int]:
     """Bucket + sort the non-empty tokenized rows by (conv_id,
     turn_idx) and stage them to parquet with (pid, local_idx) stamped,
-    returning (staged frame, per-bucket docid offsets, total docs).
+    returning (staged frame, per-bucket docid offsets, total docs,
+    collection length).
 
     ``pid`` is an ORDERED range-bucket id (bucket i's keys all sort
     before bucket i+1's), assigned vectorized against the sampled
@@ -384,16 +385,22 @@ def _stage_sorted(
     ).write.mode("overwrite").parquet(stage_dir)
 
     staged = spark.read.parquet(stage_dir)
-    counts = {
-        int(r["pid"]): int(r["cnt"])
-        for r in staged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-    }
+    # one scalar pass also carries the collection length: the stats
+    # row then needs NO further docmap scan (documents / coll_len /
+    # mean become literals), saving two jobs per build
+    rows = (
+        staged.groupBy("pid")
+        .agg(F.count("*").alias("cnt"), F.sum("doc_len").alias("dl"))
+        .collect()
+    )
+    counts = {int(r["pid"]): int(r["cnt"]) for r in rows}
+    coll_len = sum(int(r["dl"] or 0) for r in rows)
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    return staged, offsets, acc
+    return staged, offsets, acc, coll_len
 
 
 def _docid_batches(
@@ -1055,7 +1062,7 @@ def build_index(
     # also keep each sort's working set smaller than the executor's
     # share of the LLC
     n_ranges = max(4 * spark.sparkContext.defaultParallelism, 4)
-    staged, offsets, n_total = _stage_sorted(
+    staged, offsets, n_total, coll_len = _stage_sorted(
         tokenized,
         f"{stage_dir}/tokenized_sorted",
         num_ranges=n_ranges,
@@ -1094,33 +1101,30 @@ def build_index(
             # the pre-cull values like the reference's ~length
             postings = postings.filter(keep)
             term_stats = term_stats.filter(keep)
-        stats = (
-            docmap.agg(
-                F.count("*").alias("documents"),
-                F.sum("doc_len").alias("collection_len"),
-                (F.sum("doc_len") / F.count("*")).alias("mean_doc_len"),
-            )
-            .crossJoin(term_stats.agg(F.count("*").alias("unique_terms")))
-            .select(
-                "*",
-                F.lit(0).alias("quantized"),
-                F.lit(0).alias("quant_bits"),
-                F.lit(0.0).alias("quant_min"),
-                F.lit(0.0).alias("quant_max"),
-                F.lit(stemmer or "").alias("stemmer"),  # ~stemmer
-                F.lit(codec).alias("codec"),
-            )
+        # documents / collection_len / mean are literals — the staging
+        # pass already counted them per bucket, so the stats row costs
+        # only the (cached) term_stats count, never a docmap re-scan
+        stats = term_stats.agg(F.count("*").alias("unique_terms")).select(
+            F.lit(n_total).cast("long").alias("documents"),
+            F.lit(coll_len).cast("long").alias("collection_len"),
+            F.lit(coll_len / n_total if n_total else 0.0).alias(
+                "mean_doc_len"
+            ),
+            "unique_terms",
+            F.lit(0).alias("quantized"),
+            F.lit(0).alias("quant_bits"),
+            F.lit(0.0).alias("quant_min"),
+            F.lit(0.0).alias("quant_max"),
+            F.lit(stemmer or "").alias("stemmer"),  # ~stemmer
+            F.lit(codec).alias("codec"),
         )
         puu = None
         if puurula:
             # ~uniqueterms + length vectors run before should_prune in
             # the reference serialise (memory_index.c:1538 precedes the
             # per-node prune), so they use the PRE-cull term stats
-            n_docs_p = int(
-                docmap.agg(F.count("*").alias("n")).collect()[0]["n"]
-            )
             puu = puurula_lengths(
-                stage1, pre_cull_ts, n_docs_p, block_bits, blocks_per_seg
+                stage1, pre_cull_ts, n_total, block_bits, blocks_per_seg
             )
         return IndexTables(
             docmap=docmap,
@@ -1131,15 +1135,10 @@ def build_index(
             tokenized=tok_staged,
         )
 
-    # quantized build needs N and mean length up front (cheap: docmap
-    # is a scalar pass over the cached sorted partitions)
-    row = docmap.agg(
-        F.count("*").alias("n"), F.sum("doc_len").alias("s")
-    ).collect()[0]
-    # an all-empty corpus has no docmap rows: sum() is NULL and the
-    # mean is degenerate — the quantizer never runs (no postings), so
-    # zeros keep the stats row well-formed
-    n_docs, coll_len = int(row["n"]), int(row["s"] or 0)
+    # the staging pass already counted N and the collection length —
+    # the quantizer needs no extra docmap scan; an all-empty corpus
+    # has n_docs 0 and the quantizer never runs (no postings)
+    n_docs = n_total
     mean_len = coll_len / n_docs if n_docs else 0.0
     if quantize_bits == "auto":
         # memory_index.c:1553-1556: bits = (long long)(5.4 +

@@ -126,7 +126,7 @@ def append_batch(
     )
     n_ranges = max(spark.sparkContext.defaultParallelism, 4)
     stage_dir = tempfile.mkdtemp(prefix="atire_stream_stage_")
-    staged, offsets, n_new = _stage_sorted(
+    staged, offsets, n_new, _coll_len = _stage_sorted(
         tokenized,
         stage_dir,
         num_ranges=n_ranges,
