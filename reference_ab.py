@@ -449,6 +449,7 @@ def fuzz(
     stemmer: str | None = None,
     quantized: bool = False,
     conjunctive: bool = False,
+    feedback: bool = False,
 ) -> dict:
     """Randomized differential identity vs the COMPILED reference:
     seeded random bag queries sampled from the corpus's real token
@@ -485,10 +486,14 @@ def fuzz(
     index_path = os.path.join(work, "index.aspt")
     if quantized and (stemmer or ranker != "bm25" or conjunctive):
         raise ValueError("quantized fuzz supports only the plain BM25 path")
+    if feedback and (quantized or conjunctive or stemmer or ranker != "bm25"):
+        raise ValueError("feedback fuzz supports only the plain BM25 path")
     stem_flags = ["-t" + STEMMER_FLAGS[stemmer]] if stemmer else []
     build_flags = list(stem_flags)
     if quantized:
         build_flags += ["-QBM25:0.9:0.4", "-q8"]
+    if feedback:
+        build_flags += ["-Cn"]  # the blind-KL pass reads the doc store
     ref_build_s = run_reference_build(
         bin_dir, trec_path, index_path, work, extra_flags=build_flags
     )
@@ -529,6 +534,8 @@ def fuzz(
     if quantized:
         # a -Q index's scores are baked in — no -R flag on either side
         query_flags = []
+    elif feedback:
+        query_flags = ["-Qr:17:5"]  # blind KL: 17 docs, 5 expansion terms
     elif conjunctive:
         # -Rallterms = TERMCOUNT + drop docs with rsv < terms_in_query
         query_flags = ["-Rallterms"] + stem_flags
@@ -548,12 +555,18 @@ def fuzz(
             quantize_bits=8 if quantized else None,
         ),
     )
-    rows = engine.search_batch(
-        queries,
-        k=k_full,
-        ranker="termcount" if conjunctive else ranker,
-        conjunctive=conjunctive,
-    ).collect()
+    if feedback:
+        rows = engine.search_feedback(
+            queries, spark.createDataFrame(pdf), k=k_full,
+            feedback_documents=17, feedback_terms=5,
+        ).collect()
+    else:
+        rows = engine.search_batch(
+            queries,
+            k=k_full,
+            ranker="termcount" if conjunctive else ranker,
+            conjunctive=conjunctive,
+        ).collect()
     ours: dict[int, list[tuple[int, int]]] = {qid: [] for qid, _ in queries}
     for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
         ours[r["query_id"]].append((int(r["docid"]), int(r["rsv_fixed"])))
@@ -566,6 +579,7 @@ def fuzz(
         "stemmer": stemmer,
         "quantized": quantized,
         "conjunctive": conjunctive,
+        "feedback": feedback,
         "seed": seed,
         "queries": len(queries),
         "matched": len(queries) - len(mismatches),
@@ -952,6 +966,7 @@ def main() -> None:
     )
     ap.add_argument("--quantized", action="store_true")
     ap.add_argument("--conjunctive", action="store_true")
+    ap.add_argument("--feedback", action="store_true")
     ap.add_argument(
         "--only",
         choices=["rankers", "quantized", "stemmers", "feedback"],
@@ -965,7 +980,7 @@ def main() -> None:
     elif args.mode == "fuzz":
         out = fuzz(
             args.scale, args.cpus, args.n_queries, args.seed, args.ranker,
-            args.stemmer, args.quantized, args.conjunctive,
+            args.stemmer, args.quantized, args.conjunctive, args.feedback,
         )
     else:
         out = throughput(args.convs, args.repeats)
