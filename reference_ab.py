@@ -555,7 +555,40 @@ def fuzz(
             quantize_bits=8 if quantized else None,
         ),
     )
+    skipped_longest = 0
     if feedback:
+        # REFERENCE BUG (found by this fuzz): the indexer stores each
+        # -Cn document as raw_length+1 bytes (index.c:562-567, the +1
+        # "to include the '\\0'") but records ~documentlongest as
+        # raw_length (memory_index.c:1826, add_to_document_repository
+        # gets raw_length=length). populate() sizes its buffer as
+        # get_longest_document_length() (relevance_feedback.c:104,111)
+        # and compress_text_none::decompress refuses when
+        # destination < source — one byte short for EXACTLY the
+        # collection's longest document(s). get_document ignores the
+        # failure and returns the untouched buffer, so the previous
+        # feedback document's text is silently indexed twice (or
+        # garbage on the first slot). A clean engine cannot and should
+        # not reproduce a stale-buffer read, so queries whose feedback
+        # set contains a longest document are excluded from the strict
+        # assertion (same policy as the mixed-case uninitialized read
+        # in the variants stemmer block).
+        lens = pdf["text"].str.len()
+        longest = set(pdf.index[lens == lens.max()])
+        probe = engine.search_batch(queries, k=17).collect()
+        bad = {
+            int(r["query_id"])
+            for r in probe
+            if int(r["rank"]) <= 17 and int(r["docid"]) in longest
+        }
+        skipped_longest = len(bad)
+        queries = [q for q in queries if q[0] not in bad]
+        # re-run the reference on the filtered set (hit blocks align
+        # positionally with the query list)
+        ref_hits, _ = run_reference_queries(
+            bin_dir, index_path, queries, k_full, work, l=4 * k_full,
+            extra_flags=query_flags,
+        )
         rows = engine.search_feedback(
             queries, spark.createDataFrame(pdf), k=k_full,
             feedback_documents=17, feedback_terms=5,
@@ -580,6 +613,7 @@ def fuzz(
         "quantized": quantized,
         "conjunctive": conjunctive,
         "feedback": feedback,
+        "skipped_longest_doc_boundary": skipped_longest,
         "seed": seed,
         "queries": len(queries),
         "matched": len(queries) - len(mismatches),

@@ -192,3 +192,14 @@ def test_fuzz_quantized_and_conjunctive_modes():
     assert out["matched"] == out["queries"], out["mismatches"][:2]
     out = ab.fuzz("tiny", cpus=8, n_queries=8, seed=516, conjunctive=True)
     assert out["matched"] == out["queries"], out["mismatches"][:2]
+
+
+@pytest.mark.skipif(
+    not _HAVE_REF,
+    reason="no prebuilt reference ATIRE binary (run reference_ab.py once)",
+)
+def test_fuzz_blind_kl_feedback_mode():
+    """The two-pass blind-KL feedback chain stays strict under random
+    queries (pinned seed)."""
+    out = ab.fuzz("tiny", cpus=8, n_queries=6, seed=517, feedback=True)
+    assert out["matched"] == out["queries"], out["mismatches"][:2]
