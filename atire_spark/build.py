@@ -193,6 +193,355 @@ def tokenize_stage(
     )
 
 
+# ------------------------------------------ single-tokenize build (fast path)
+SIDE_TOKENS_SCHEMA = (
+    "conv_id string, turn_idx int, doc_len long, terms array<string>, "
+    "occs array<int>"
+)
+KEYS_SCHEMA = "conv_id string, turn_idx int, doc_len long"
+# docmaps up to this many rows broadcast in the docid join (pass 3);
+# larger corpora fall back to a shuffle join — the same single payload
+# shuffle the classic range-staged path pays, so scale posture is
+# unchanged, while every corpus under the threshold (including each
+# PART of a split+merge build, the reference's own recipe for 100 GB+
+# collections, reference README.md:78-86) skips the payload shuffle
+# entirely
+BROADCAST_DOCMAP_MAX = 20_000_000
+
+
+def _doc_term_counts(
+    row_idx: np.ndarray, flat: np.ndarray, stemmer: str | None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flat token stream → per-doc (row, term, occ) triples, vectorized
+    (the reference's per-doc hash, memory_index_one.c, without the
+    hash). Rows come back sorted ascending; ``occ`` is the uncapped
+    occurrence count (tf is min(occ, TF_CAP), derived downstream)."""
+    codes, uniq = pd.factorize(flat)
+    if stemmer is not None:
+        from atire_spark.kernels.stem import stem_unique
+
+        stemmed = stem_unique(np.asarray(uniq, dtype=object), stemmer)
+        codes2, uniq = pd.factorize(stemmed)
+        codes = codes2[codes]
+    uniq = np.asarray(uniq, dtype=object)
+    nu = len(uniq)
+    key = row_idx * nu + codes
+    uk, occ = np.unique(key, return_counts=True)
+    return uk // nu, uniq[uk % nu], occ
+
+
+def _tokenize_sidewrite(
+    transcripts: DataFrame,
+    tokens_dir: str,
+    stemmer: str | None = None,
+    stop_before_indexing: str | None = None,
+    cjk_bigrams: bool = False,
+    cjk_segmenter=None,
+) -> DataFrame:
+    """Pass 1 of the single-tokenize build: tokenize each turn ONCE,
+    side-write the per-doc token arrays straight to parquet from the
+    worker (pyarrow, no JVM round-trip of the arrays), and emit only
+    the NARROW key rows (conv_id, turn_idx, doc_len) back to Spark.
+
+    Rationale: the token arrays are the build's dominant payload; the
+    classic staged path moved them through Arrow→JVM, a hash shuffle, a
+    JVM sort, a second Arrow round-trip (stamping) and a JVM parquet
+    write before stage1 could read them back. Docid assignment only
+    needs the KEYS, so this pass parts the payload from the keys: the
+    arrays go to ``tokens_dir`` once (written as Arrow list arrays
+    directly off the flat token stream — no per-row Python lists), and
+    the key rows (tiny) drive the global docid sort.
+
+    Semantics are identical to :func:`tokenize_stage` (stemmer /
+    stop_before_indexing / CJK flags included): doc_len counts
+    surviving WORD+NUMBER tokens before stopping/stemming, stopped
+    tokens get no postings, stems count via the batch vocabulary remap.
+    Rows with doc_len == 0 are side-written nowhere (they never get a
+    docid) but still emit a key row so the duplicate-key check sees
+    EVERY input row, not just the indexable ones. NULL keys fail here,
+    exhaustively — acceptance never depends on sampling.
+
+    Each task writes ``part-<partition>.parquet`` via a hidden
+    temporary name + rename, so a retried task simply overwrites its
+    file and Spark's reader ignores stragglers from failed attempts.
+    ``tokens_dir`` must be on storage every executor can reach (on a
+    cluster: the same shared filesystem the index itself targets).
+    """
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stops = None
+    if stop_before_indexing is not None:
+        from atire_spark.kernels.stopwords import stop_set
+
+        stops = stop_set(stop_before_indexing)
+
+    arrow_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("doc_len", pa.int64()),
+            ("terms", pa.list_(pa.string())),
+            ("occs", pa.list_(pa.int32())),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        final = f"{tokens_dir}/part-{pid:05d}.parquet"
+        tmp = f"{tokens_dir}/.part-{pid:05d}.{uuid.uuid4().hex}.tmp"
+        writer = None
+        try:
+            for pdf in batches:
+                pdf = pdf.reset_index(drop=True)
+                n = len(pdf)
+                if n == 0:
+                    continue
+                conv = pdf["conv_id"].to_numpy()
+                turn = pdf["turn_idx"].to_numpy()
+                if pd.isna(conv).any() or pd.isna(turn).any():
+                    raise ValueError(
+                        "transcripts key columns (conv_id, turn_idx) "
+                        "contain NULLs; every turn needs a non-null key "
+                        "for stable docid assignment"
+                    )
+                row_idx, flat, lens = tokenize_flat(
+                    pdf["text"],
+                    cjk_bigrams=cjk_bigrams,
+                    cjk_segmenter=cjk_segmenter,
+                )
+                if stops is not None and flat.size:
+                    keep = ~pd.Series(flat).isin(stops).to_numpy()
+                    row_idx, flat = row_idx[keep], flat[keep]
+                kept = lens > 0
+                if kept.any():
+                    if flat.size:
+                        rows, terms_flat, occ = _doc_term_counts(
+                            row_idx, flat, stemmer
+                        )
+                        per_row = np.bincount(rows, minlength=n)
+                    else:
+                        terms_flat = np.empty(0, dtype=object)
+                        occ = np.empty(0, dtype=np.int64)
+                        per_row = np.zeros(n, dtype=np.int64)
+                    offs = np.zeros(int(kept.sum()) + 1, dtype=np.int64)
+                    np.cumsum(per_row[kept], out=offs[1:])
+                    offs32 = pa.array(offs, type=pa.int32())
+                    table = pa.Table.from_arrays(
+                        [
+                            pa.array(conv[kept], type=pa.string()),
+                            pa.array(turn[kept], type=pa.int32()),
+                            pa.array(lens[kept], type=pa.int64()),
+                            pa.ListArray.from_arrays(
+                                offs32, pa.array(terms_flat, type=pa.string())
+                            ),
+                            pa.ListArray.from_arrays(
+                                offs32,
+                                pa.array(
+                                    np.minimum(occ, np.iinfo(np.int32).max),
+                                    type=pa.int32(),
+                                ),
+                            ),
+                        ],
+                        schema=arrow_schema,
+                    )
+                    if writer is None:
+                        writer = pq.ParquetWriter(tmp, arrow_schema)
+                    writer.write_table(table)
+                yield pd.DataFrame(
+                    {
+                        "conv_id": pdf["conv_id"],
+                        "turn_idx": pdf["turn_idx"],
+                        "doc_len": lens,
+                    }
+                )
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is not None:
+            import os as _os
+
+            _os.replace(tmp, final)
+
+    sc = transcripts.sparkSession.sparkContext
+    if transcripts.rdd.getNumPartitions() < sc.defaultParallelism:
+        transcripts = transcripts.repartition(sc.defaultParallelism)
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        fn, schema=KEYS_SCHEMA
+    )
+
+
+def _docids_from_keys(
+    keys: DataFrame, n_parts: int
+) -> tuple[DataFrame, int, int]:
+    """Pass 2: global docid assignment over the NARROW key rows.
+
+    Range-partition + sort (conv_id, turn_idx) — a shuffle of three
+    scalar columns, payload untouched — then the classic two-phase
+    stamp: per-partition counts (with an exhaustive adjacent-duplicate
+    check: equal keys always co-partition under a range partitioner,
+    and the check runs on ALL rows including empty-tokenizing turns,
+    so a key duplicated between an empty and a non-empty turn fails
+    too), then offsets + per-partition dense stamping of the
+    doc_len > 0 survivors (empty docs never consume an id, reference
+    atire/index.c:533-540).
+
+    Returns (persisted narrow partitions, docmap rows, total docs,
+    collection length). The caller must materialize docmap (one write)
+    and then unpersist the narrow partitions.
+    """
+    parts = (
+        keys.repartitionByRange(n_parts, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .persist()
+    )
+
+    def count_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        n = dl = 0
+        prev: tuple | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            conv = pdf["conv_id"].to_numpy()
+            turn = pdf["turn_idx"].to_numpy()
+            dup = (conv[1:] == conv[:-1]) & (turn[1:] == turn[:-1])
+            first = prev is not None and (conv[0], turn[0]) == prev
+            if first or dup.any():
+                i = 0 if first else int(np.flatnonzero(dup)[0]) + 1
+                raise ValueError(
+                    "duplicate transcripts key (conv_id="
+                    f"{conv[i]!r}, turn_idx={turn[i]!r}): "
+                    "(conv_id, turn_idx) must uniquely identify a "
+                    "turn for stable docid assignment"
+                )
+            prev = (conv[-1], turn[-1])
+            lens = pdf["doc_len"].to_numpy(np.int64)
+            n += int((lens > 0).sum())
+            dl += int(lens.sum())
+        yield pd.DataFrame({"pid": [pid], "cnt": [n], "dl": [dl]})
+
+    rows = parts.mapInPandas(
+        count_fn, schema="pid int, cnt long, dl long"
+    ).collect()
+    counts = {int(r["pid"]): int(r["cnt"]) for r in rows}
+    coll_len = sum(int(r["dl"] or 0) for r in rows)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from _docid_batches(batches, offsets)
+
+    docmap = parts.filter(F.col("doc_len") > 0).mapInPandas(
+        stamp, schema="docid long, " + KEYS_SCHEMA
+    )
+    return parts, docmap, acc, coll_len
+
+
+def _stage1_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("term", pa.string()),
+            ("block", pa.int64()),
+            ("docids", pa.list_(pa.int64())),
+            ("tfs", pa.list_(pa.int32())),
+            ("lens", pa.list_(pa.int64())),
+            ("df_b", pa.int64()),
+            ("cf_b", pa.int64()),
+        ]
+    )
+
+
+def _stage1_from_tokens(tokens: DataFrame, block_bits: int) -> DataFrame:
+    """Pass 3 map side: docid-joined token rows → per-(term, block)
+    posting-array rows, entirely in Arrow (``mapInArrow``): the token
+    list columns are consumed through their offset buffers and the
+    term vocabulary is factorized by Arrow's C++ dictionary encode —
+    no per-row pandas lists or Python string churn on either side.
+
+    Batches arrive in arbitrary docid order (the side-written files
+    are input-partition-local, not globally sorted); postings are
+    docid-sorted within each (term, block) here and the segment merge
+    (:func:`kernels.segment.build_segments_flat`) restores the global
+    order per quantum, so no cross-batch contiguity is required."""
+
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        schema = _stage1_arrow_schema()
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            docid = batch.column("docid").to_numpy(zero_copy_only=False)
+            dlen = batch.column("doc_len").to_numpy(zero_copy_only=False)
+            terms_la = batch.column("terms")
+            counts = pc.list_value_length(terms_la).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            flat_terms = terms_la.flatten()
+            if len(flat_terms) == 0:
+                continue
+            occ = (
+                batch.column("occs")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            de = flat_terms.dictionary_encode()
+            codes = de.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            vocab = de.dictionary
+            docids_flat = np.repeat(docid.astype(np.int64), counts)
+            lens_flat = np.repeat(dlen.astype(np.int64), counts)
+            block = docids_flat >> block_bits
+            nb = int(block.max()) + 1
+            key = codes * nb + block
+            order = np.lexsort((docids_flat, key))
+            k_s = key[order]
+            bounds = np.flatnonzero(np.diff(k_s)) + 1
+            starts = np.concatenate(([0], bounds))
+            offs = np.concatenate((starts, [k_s.size]))
+            d_s = docids_flat[order]
+            o_s = occ[order]
+            l_s = lens_flat[order]
+            # stored tf saturates (memory_index_hash_node.h:140-143);
+            # collection frequency keeps counting every occurrence
+            tf_s = np.minimum(o_s, TF_CAP).astype(np.int32)
+            off32 = pa.array(offs, type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vocab.take(
+                        pa.array(k_s[starts] // nb, type=pa.int64())
+                    ),
+                    pa.array(k_s[starts] % nb, type=pa.int64()),
+                    pa.ListArray.from_arrays(off32, pa.array(d_s)),
+                    pa.ListArray.from_arrays(off32, pa.array(tf_s)),
+                    pa.ListArray.from_arrays(off32, pa.array(l_s)),
+                    pa.array(
+                        np.diff(offs).astype(np.int64), type=pa.int64()
+                    ),
+                    pa.array(
+                        np.add.reduceat(o_s, starts).astype(np.int64),
+                        type=pa.int64(),
+                    ),
+                ],
+                schema=schema,
+            )
+
+    return tokens.select(
+        "docid", "doc_len", "terms", "occs"
+    ).mapInArrow(fn, schema=STAGE1_SCHEMA)
+
+
 # ---------------------------------------------------------- docid assignment
 def _sorted_partitions(
     tokenized: DataFrame, num_ranges: int | None = None
@@ -538,8 +887,14 @@ def _group_posting_batch(pdf: pd.DataFrame, block_bits: int) -> pd.DataFrame | N
     if counts.sum() == 0:
         return None
     terms = np.concatenate(pdf["terms"].to_numpy())
-    tfs = np.concatenate(pdf["tfs"].to_numpy()).astype(np.int64)
     occs = np.concatenate(pdf["occs"].to_numpy()).astype(np.int64)
+    if "tfs" in pdf.columns:
+        tfs = np.concatenate(pdf["tfs"].to_numpy()).astype(np.int64)
+    else:
+        # side-written token rows carry only the uncapped occurrence
+        # counts; the stored tf saturates (memory_index_hash_node.h:
+        # 140-143) and is derived here in one vectorized min
+        tfs = np.minimum(occs, TF_CAP)
     docids = np.repeat(pdf["docid"].to_numpy(np.int64), counts)
     lens = np.repeat(pdf["doc_len"].to_numpy(np.int64), counts)
     codes, uniq = pd.factorize(terms)
@@ -619,23 +974,23 @@ def encode_segments(
     never re-runs. ``registry`` (if given) collects the persisted
     intermediate frames so the caller can unpersist once the tables
     are materialized (IndexTables.unpersist / write_index do this)."""
-    from atire_spark.kernels.segment import build_segments_batch
-
     keyed = stage1.withColumn(
         "seg_group", (F.col("block") / F.lit(blocks_per_seg)).cast("long")
     ).repartition("term", "seg_group")
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches):
+        import pyarrow as pa
+
+        from atire_spark.kernels.segment import build_segments_arrow
+
         chunks = list(batches)
         if not chunks:
             return
-        out = build_segments_batch(
-            pd.concat(chunks, ignore_index=True), codec=codec
-        )
-        if out is not None:
-            yield out[[c.split(" ")[0] for c in POSTINGS_SCHEMA.split(", ")]]
+        rb = build_segments_arrow(pa.Table.from_batches(chunks), codec=codec)
+        if rb is not None:
+            yield rb
 
-    mapped = keyed.mapInPandas(fn, schema=POSTINGS_SCHEMA)
+    mapped = keyed.mapInArrow(fn, schema=POSTINGS_SCHEMA)
     if stage_dir is not None:
         path = f"{stage_dir}/segments"
         mapped.write.mode("overwrite").parquet(path)
@@ -742,8 +1097,6 @@ def quantized_segments_from_stage1(
         else:
             qmin, qmax = mm
 
-    from atire_spark.kernels.segment import build_segments_batch
-
     keyed = joined.withColumn(
         "seg_group", (F.col("block") / F.lit(blocks_per_seg)).cast("long")
     ).repartition("term", "seg_group")
@@ -768,19 +1121,21 @@ def quantized_segments_from_stage1(
         rsv = idf * ((tf_d * (k1 + 1.0)) / (tf_d + prior.astype(np.float64)))
         return quantize_rsv(rsv, qmin, qmax, bits)
 
-    def seg_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def seg_fn(batches):
+        import pyarrow as pa
+
+        from atire_spark.kernels.segment import build_segments_arrow
+
         chunks = list(batches)
         if not chunks:
             return
-        out = build_segments_batch(
-            pd.concat(chunks, ignore_index=True),
-            quantizer=quantizer,
-            codec=codec,
+        rb = build_segments_arrow(
+            pa.Table.from_batches(chunks), quantizer=quantizer, codec=codec
         )
-        if out is not None:
-            yield out[[c.split(" ")[0] for c in QUANT_POSTINGS_SCHEMA.split(", ")]]
+        if rb is not None:
+            yield rb
 
-    postings = keyed.mapInPandas(seg_fn, schema=QUANT_POSTINGS_SCHEMA)
+    postings = keyed.mapInArrow(seg_fn, schema=QUANT_POSTINGS_SCHEMA)
     return postings, term_stats, qmin, qmax
 
 
@@ -1048,35 +1403,57 @@ def build_index(
         )
     if stage_dir is None:
         stage_dir = tempfile.mkdtemp(prefix="atire_stage_")
-    tokenized = tokenize_stage(
+
+    # ---- pass 1: tokenize ONCE; token arrays go straight to parquet
+    # from the workers, only narrow key rows come back to Spark (the
+    # payload never crosses Arrow→JVM, never shuffles, never sorts)
+    import os as _os
+
+    tokens_dir = f"{stage_dir}/tokens"
+    _os.makedirs(tokens_dir, exist_ok=True)
+    keys = _tokenize_sidewrite(
         transcripts,
+        tokens_dir,
         stemmer=stemmer,
         stop_before_indexing=stop_before_indexing,
         cjk_bigrams=cjk_bigrams,
         cjk_segmenter=cjk_segmenter,
     )
-    # 4 range buckets per core: with one bucket per core a single slow
-    # sort/write task idles every other core at the stage barrier
-    # (measured 2→8-core efficiency of the staging pass: 0.62 at 1×,
-    # 0.87 at 4× — and 33 % faster absolute at 8 cores); finer buckets
-    # also keep each sort's working set smaller than the executor's
-    # share of the LLC
-    n_ranges = max(4 * spark.sparkContext.defaultParallelism, 4)
-    staged, offsets, n_total, coll_len = _stage_sorted(
-        tokenized,
-        f"{stage_dir}/tokenized_sorted",
-        num_ranges=n_ranges,
-        bounds=_range_bounds(transcripts, n_ranges),
+    keys.write.mode("overwrite").parquet(f"{stage_dir}/keys")
+    keys_df = spark.read.parquet(f"{stage_dir}/keys")
+
+    # ---- pass 2: global docid assignment over the narrow keys (a
+    # three-scalar-column shuffle; repartitionByRange's sampling pass
+    # reads the keys parquet, not the tokenizer)
+    n_parts = max(spark.sparkContext.defaultParallelism, 4)
+    key_parts, docmap_rows, n_total, coll_len = _docids_from_keys(
+        keys_df, n_parts
     )
+    docmap_rows.write.mode("overwrite").parquet(f"{stage_dir}/docmap")
+    key_parts.unpersist()
+    docmap = spark.read.parquet(f"{stage_dir}/docmap")
+
     if block_bits is None:
         block_bits = _adaptive_block_bits(
             max(n_total, 1), spark.sparkContext.defaultParallelism
         )
-    # docmap reads only scalar columns off the staging parquet; the
-    # token arrays are read once, inside the stage1 pass
-    docmap = _docmap_from_staged(staged, offsets)
-    tok_staged = _staged_select(staged, offsets, "doc_len", "terms", "occs")
-    stage1 = _stage1_from_staged(staged, offsets, block_bits)
+
+    # ---- pass 3: join docids onto the side-written token arrays
+    # (broadcast under BROADCAST_DOCMAP_MAX — no payload shuffle at
+    # all; above it, a plain shuffle join = the one payload shuffle
+    # any globally-keyed design pays) and build postings
+    if n_total == 0:
+        tokens = spark.createDataFrame([], SIDE_TOKENS_SCHEMA)
+    else:
+        tokens = spark.read.parquet(tokens_dir)
+    dm_key = docmap.select("conv_id", "turn_idx", "docid")
+    if n_total <= BROADCAST_DOCMAP_MAX:
+        dm_key = F.broadcast(dm_key)
+    joined_tokens = tokens.join(dm_key, ["conv_id", "turn_idx"]).select(
+        "docid", "doc_len", "terms", "occs"
+    )
+    tok_staged = joined_tokens
+    stage1 = _stage1_from_tokens(joined_tokens, block_bits)
 
     registry: list = []
     keep = _cull_predicate(
