@@ -947,12 +947,32 @@ def build_postings(
     )
 
 
+# target posting-pair count per encode-shuffle partition: large enough
+# that per-task overhead amortizes, small enough that a partition's
+# decoded arrays stay well inside task memory (3M pairs ≈ 60 MB of
+# int64/int32 streams); measured best at both 17.6M pairs / 32 cores
+# (→ 1× cores) and 88M pairs / 8 cores (→ 4× cores)
+TOKENS_PER_SHUFFLE_PARTITION = 3_000_000
+
+
+def shuffle_partitions_for_tokens(coll_len: int, parallelism: int) -> int:
+    """Partition count for the term-partitioned encode shuffle, sized
+    from the collection length (known exactly after the staging pass):
+    at least one per core, more when the per-partition pair budget
+    demands it — the knob that keeps the big shuffle spill-free at
+    10^12 tokens without taxing small corpora with empty tasks."""
+    return max(
+        parallelism, -(-coll_len // TOKENS_PER_SHUFFLE_PARTITION)
+    )
+
+
 def encode_segments(
     stage1: DataFrame,
     blocks_per_seg: int = 4096,
     registry: list | None = None,
     codec: str = "vbyte",
     stage_dir: str | None = None,
+    n_shuffle: int | None = None,
 ) -> DataFrame:
     """Term-partitioned merge: hash-shuffle the per-(term, block) array
     rows on (term, seg_group), then build every segment of a partition
@@ -976,7 +996,12 @@ def encode_segments(
     are materialized (IndexTables.unpersist / write_index do this)."""
     keyed = stage1.withColumn(
         "seg_group", (F.col("block") / F.lit(blocks_per_seg)).cast("long")
-    ).repartition("term", "seg_group")
+    )
+    keyed = (
+        keyed.repartition(n_shuffle, "term", "seg_group")
+        if n_shuffle
+        else keyed.repartition("term", "seg_group")
+    )
 
     def fn(batches):
         import pyarrow as pa
@@ -1007,6 +1032,7 @@ def segments_from_stage1(
     registry: list | None = None,
     codec: str = "vbyte",
     stage_dir: str | None = None,
+    n_shuffle: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`encode_segments` plus the global df/cf aggregation the
     batch build bakes into every postings row (the reference's
@@ -1014,7 +1040,7 @@ def segments_from_stage1(
     scorer reads them without a separate dictionary probe)."""
     stage2 = encode_segments(
         stage1, blocks_per_seg, registry=registry, codec=codec,
-        stage_dir=stage_dir,
+        stage_dir=stage_dir, n_shuffle=n_shuffle,
     )
     # the stats row, the range-sampling pass and the join all re-read
     # term_stats — it is tiny (one row per term), so cache it in
@@ -1069,6 +1095,7 @@ def quantized_segments_from_stage1(
     registry: list | None = None,
     codec: str = "vbyte",
     qminmax: tuple[float, float] | None = None,
+    n_shuffle: int | None = None,
 ) -> tuple[DataFrame, DataFrame, float, float]:
     # stage1 appears twice in the join DAG (directly and under the
     # stats agg) — persist so it is computed once and served from
@@ -1099,7 +1126,12 @@ def quantized_segments_from_stage1(
 
     keyed = joined.withColumn(
         "seg_group", (F.col("block") / F.lit(blocks_per_seg)).cast("long")
-    ).repartition("term", "seg_group")
+    )
+    keyed = (
+        keyed.repartition(n_shuffle, "term", "seg_group")
+        if n_shuffle
+        else keyed.repartition("term", "seg_group")
+    )
 
     k1, b = 0.9, 0.4  # BM25 defaults (ranking_function_bm25.h:14-15)
 
@@ -1197,11 +1229,19 @@ MIN_SEG_SPAN_DOCS = 1 << 10
 
 
 def _adaptive_block_bits(n_docs: int, parallelism: int) -> int:
-    """Segment span targets ~4 segments per core so query-time scoring
-    parallelizes, capped at ~1M docs so a 10^12-doc collection still
-    yields ~10^6 independent docid ranges (not a handful of monster
-    segments) and floored so tiny corpora don't fragment."""
-    target = max(MIN_SEG_SPAN_DOCS, min(MAX_SEG_SPAN_DOCS, n_docs // (4 * parallelism) + 1))
+    """Segment span targets ~parallelism/4 segments for the whole
+    corpus at small scale (per-segment fixed costs — row overhead,
+    scheduling, impact-header arrays — dominate under ~10^5 docs per
+    core; measured at 140k docs / 32 cores: 4-segments-per-core cost
+    455k segment rows and was 15-20 % slower to build AND to query
+    than this span), capped at ~1M docs so a 10^12-doc collection
+    still yields ~10^6 independent docid ranges (the cap, not the
+    parallelism floor, governs at cluster scale) and floored so tiny
+    corpora don't fragment."""
+    target = max(
+        MIN_SEG_SPAN_DOCS,
+        min(MAX_SEG_SPAN_DOCS, 4 * n_docs // parallelism + 1),
+    )
     return max(int(target - 1).bit_length(), 10)
 
 
@@ -1470,6 +1510,9 @@ def build_index(
             registry=registry,
             codec=codec,
             stage_dir=stage_dir,
+            n_shuffle=shuffle_partitions_for_tokens(
+                coll_len, spark.sparkContext.defaultParallelism
+            ),
         )
         pre_cull_ts = term_stats
         if keep is not None:
@@ -1534,6 +1577,9 @@ def build_index(
         quantize_bits,
         registry=registry,
         codec=codec,
+        n_shuffle=shuffle_partitions_for_tokens(
+            coll_len, spark.sparkContext.defaultParallelism
+        ),
     )
     if keep is not None:
         # quantization bounds (min/max rsv) are computed over ALL terms

@@ -25,17 +25,21 @@ def get_spark(
     """Create (or get) a SparkSession.
 
     ``cpus`` only applies when no master is configured (local mode);
-    ``shuffle_partitions`` defaults to 4× the core count: AQE coalesces
-    surplus small partitions for free, while UNDER-partitioning makes
-    shuffle partitions outgrow task memory and spill — measured 52%
-    faster index build at 700k turns / 8 cores with 64 vs 8 partitions.
-    At cluster scale the same rule applies per executor core.
+    ``shuffle_partitions`` defaults to 1× the core count: the engine's
+    one big shuffle (the postings encode) sizes ITSELF from the
+    collection length (build.py shuffle_partitions_for_tokens), so the
+    session default only governs the many small shuffles, where
+    surplus partitions are pure per-task overhead — measured 1.7×
+    faster 140k-turn build at local[32] with 32 vs 128 partitions,
+    while the 700k-turn / 8-core case that used to need 4× is covered
+    by the build's own sizing. At cluster scale deployments set their
+    own conf; AQE still coalesces and splits skew either way.
     """
     cpus = cpus or DEFAULT_CPUS
     builder = (
         SparkSession.builder.appName(app)
         .config(
-            "spark.sql.shuffle.partitions", str(shuffle_partitions or 4 * cpus)
+            "spark.sql.shuffle.partitions", str(shuffle_partitions or cpus)
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
