@@ -3151,31 +3151,35 @@ class SearchEngine:
         return self._rank_topk(accum, k)
 
     # ------------------------------------------------------------------
-    def stem_class_candidates(
+    def _stem_class_candidates_df(
         self, bases: list[str], stemmer: str
-    ) -> dict[str, list[str]]:
-        """Query-side stem classes (stemmer.c:14-48 first/next): for
-        each base term, the vocabulary terms that (a) share the
-        class PREFIX ``stem[:L]`` where L is the ATIRE stem()'s
-        return value (kernels.stem.CLASS_PREFIX_LEN — 2 for
-        porter/snowball, 3 for paice_husk/otago, 1 for the phonetic
-        codes, full stem for s/krovetz); the btree walk begins at the
-        prefix and stops at the first non-prefixed term — and (b)
-        stem to the same string, in lexicographic (btree) order.
+    ) -> DataFrame:
+        """Query-side stem classes as a DISTRIBUTED frame (base, term),
+        never collected here (stemmer.c:14-48 first/next): for each
+        base term, the vocabulary terms that (a) share the class
+        PREFIX ``stem[:L]`` where L is the ATIRE stem()'s return value
+        (kernels.stem.CLASS_PREFIX_LEN — 2 for porter/snowball, 3 for
+        paice_husk/otago, 1 for the phonetic codes, full stem for
+        s/krovetz); the btree walk begins at the prefix and stops at
+        the first non-prefixed term — and (b) stem to the same string.
 
         Plan: the term vocabulary is a column-pruned distinct over the
         postings scan with the class prefixes pushed down as
         StringStartsWith filters (parquet min/max pruning — the
         distributed analogue of the btree range walk); the stem check
-        runs vectorized in mapInPandas; the matched classes (query-
-        sized) collect to the driver like the reference's iterator.
-        """
+        runs vectorized in mapInPandas against the broadcast query
+        stems; the (stem → base) fan-out joins on the tiny driver
+        table. Nothing vocabulary-sized ever reaches the driver — a
+        1-char phonetic prefix over a 10^8-term vocabulary stays a
+        DataFrame end to end."""
         from atire_spark.kernels.stem import _STEM_FN, class_prefix
 
         fn = _STEM_FN[stemmer]
         base_stems = {b: fn(b) for b in bases}
         stems = sorted(set(base_stems.values()))
         prefixes = sorted({class_prefix(stemmer, s) for s in stems})
+        if not prefixes:
+            return self.spark.createDataFrame([], "base string, term string")
         cond = F.col("term").startswith(prefixes[0])
         for s in prefixes[1:]:
             cond = cond | F.col("term").startswith(s)
@@ -3194,23 +3198,44 @@ class SearchEngine:
                         out_s.append(st)
                 yield pd.DataFrame({"term": out_t, "stem": out_s})
 
-        by_stem: dict[str, list[str]] = {}
-        for r in vocab.mapInPandas(map_fn, "term string, stem string").collect():
-            by_stem.setdefault(r["stem"], []).append(r["term"])
-        for terms in by_stem.values():
-            terms.sort()  # btree order
-        return {b: by_stem.get(st, []) for b, st in base_stems.items()}
+        matched = vocab.mapInPandas(map_fn, "term string, stem string")
+        base_tab = self.spark.createDataFrame(
+            [(b, s) for b, s in sorted(base_stems.items())],
+            "base string, stem string",
+        )
+        return matched.join(F.broadcast(base_tab), "stem").select(
+            "base", "term"
+        )
 
-    def _decoded_postings_pdf(self, terms: list[str]) -> pd.DataFrame:
-        """Decode the given terms' postings to a driver pandas frame
-        (term, docid, tf, doc_len) — the similarity gate's analogue of
-        the reference's random-access get_decompressed_postings reads
-        (stemmer_term_similarity.c:68/105). Involved-term postings
-        only; at web scale a hot term makes this a driver hotspot —
-        the distributed alternative (aggregate dot/norms per pair in
-        Spark) loses the reference's bit-exact summation order, so the
-        faithful path stays driver-side and is documented as such."""
-        hits = self.postings.filter(F.col("term").isin(terms))
+    def stem_class_candidates(
+        self, bases: list[str], stemmer: str
+    ) -> dict[str, list[str]]:
+        """Driver-side view of :meth:`_stem_class_candidates_df` —
+        base → class members in lexicographic (btree) order. Collects
+        the matched classes, so only use when the class population is
+        known query-bounded; :meth:`search_stemmed_iterator` counts
+        first and keeps huge classes distributed."""
+        by_base: dict[str, list[str]] = {b: [] for b in bases}
+        for r in self._stem_class_candidates_df(bases, stemmer).collect():
+            by_base[r["base"]].append(r["term"])
+        for terms in by_base.values():
+            terms.sort()  # btree order
+        return by_base
+
+    def _decoded_postings_df(self, terms) -> DataFrame:
+        """Decode the given terms' postings to a DISTRIBUTED frame
+        (term, docid, tf, doc_len) — the Spark-side analogue of the
+        reference's random-access get_decompressed_postings reads
+        (stemmer_term_similarity.c:68/105). ``terms`` is a list
+        (pushed down as an In filter → parquet file pruning) or a
+        DataFrame with a ``term`` column (semi-joined — the web-scale
+        path where the involved set is itself too big to inline)."""
+        if isinstance(terms, DataFrame):
+            hits = self.postings.join(
+                terms.select("term").distinct(), "term", "left_semi"
+            )
+        else:
+            hits = self.postings.filter(F.col("term").isin(list(terms)))
         codec = self.codec
 
         def decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3238,7 +3263,67 @@ class SearchEngine:
 
         return hits.mapInPandas(
             decode_fn, schema="term string, docid long, tf long, doc_len long"
-        ).toPandas()
+        )
+
+    def _pairwise_similarity(self, pairs: DataFrame) -> DataFrame:
+        """(base, cand) pairs → (base, cand, sim): the reference's
+        postings-cosine gate (stemmer_term_similarity.c:90-158)
+        computed DISTRIBUTED but bit-exactly — each pair's two decoded
+        posting lists co-locate on one executor (shuffle by pair) and
+        the kernel runs the reference's strict left fold in the
+        candidate's posting order there, so the summation order (and
+        hence the last float bits) matches the in-process reference.
+        A pair's work is bounded by its two terms' df — the same bound
+        the reference pays per candidate — and pairs fan out across
+        the cluster instead of serializing on the driver."""
+        from atire_spark.kernels.termsim import (
+            reference_posting_order,
+            term_similarity,
+        )
+
+        involved = (
+            pairs.select(F.col("base").alias("term"))
+            .unionByName(pairs.select(F.col("cand").alias("term")))
+            .distinct()
+        )
+        decoded = self._decoded_postings_df(involved)
+        side_a = decoded.join(
+            pairs, decoded["term"] == pairs["base"]
+        ).select(
+            "base", "cand", F.lit(0).alias("side"), "docid", "tf", "doc_len"
+        )
+        side_b = decoded.join(
+            pairs, decoded["term"] == pairs["cand"]
+        ).select(
+            "base", "cand", F.lit(1).alias("side"), "docid", "tf", "doc_len"
+        )
+        both = side_a.unionByName(side_b)
+        n_docs = self.n_docs
+
+        def fold(key, pdf):
+            base, cand = key
+            a = pdf[pdf["side"] == 0]
+            b = pdf[pdf["side"] == 1]
+            bd, bt = reference_posting_order(
+                a["docid"].to_numpy(), a["tf"].to_numpy()
+            )
+            cd, ct = reference_posting_order(
+                b["docid"].to_numpy(), b["tf"].to_numpy()
+            )
+            doc_len_of = dict(
+                zip(pdf["docid"].astype(int), pdf["doc_len"].astype(int))
+            )
+            sim = term_similarity(
+                bd, bt, cd, ct, doc_len_of, n_docs,
+                df_a=max(bd.size, 1), df_b=max(cd.size, 1),
+            )
+            return pd.DataFrame(
+                {"base": [base], "cand": [cand], "sim": [sim]}
+            )
+
+        return both.groupBy("base", "cand").applyInPandas(
+            fold, schema="base string, cand string, sim double"
+        )
 
     def search_stemmed_iterator(
         self,
@@ -3247,6 +3332,7 @@ class SearchEngine:
         k: int = 10,
         similarity: str | None = None,
         value: float = 0.0,
+        class_collect_max: int = 10_000,
     ) -> DataFrame:
         """Query-side stemming over an UNSTEMMED index — the
         reference's stemmer-iterator search (atire_api.c:843-930
@@ -3279,6 +3365,18 @@ class SearchEngine:
         other terms score as plain single-term lookups (identical
         math: a singleton class's recomputed df equals its stored df).
 
+        The similarity gates run distributed either way
+        (:meth:`_pairwise_similarity` — per-pair co-located fold, no
+        postings ever collect to the driver). Class-member routing is
+        two-path on ``class_collect_max``: when the matched classes
+        are query-bounded (≤ the cap) they collect like the
+        reference's iterator and the member terms push down as an In
+        filter (parquet file pruning); a larger class population —
+        a 1-char phonetic prefix on a web-scale vocabulary — stays a
+        DataFrame end to end and reaches the postings through joins.
+        Both paths share the scoring tail, so results are identical
+        (tests assert it).
+
         The merge shuffle folds member tfs in lexicographic term
         order (sort_array + aggregate) — the iterator's btree order —
         so weighted double sums are bit-identical to the reference's
@@ -3300,11 +3398,6 @@ class SearchEngine:
             )
         if similarity not in (None, "threshold", "weighted"):
             raise ValueError(f"unknown similarity mode {similarity!r}")
-        from atire_spark.kernels.bm25 import BM25_B, BM25_K1
-        from atire_spark.kernels.termsim import (
-            reference_posting_order,
-            term_similarity,
-        )
 
         # parse + gate
         gated: list[tuple[int, int, str, int, bool]] = []  # qid,gid,base,w,iter?
@@ -3318,11 +3411,40 @@ class SearchEngine:
         if not gated:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
 
-        classes = self.stem_class_candidates(
-            sorted({b for _, _, b, _, u in gated if u}), stemmer
-        ) if any(u for *_, u in gated) else {}
+        bases = sorted({b for _, _, b, _, u in gated if u})
+        classes_df = None
+        n_class_rows = 0
+        if bases:
+            classes_df = self._stem_class_candidates_df(
+                bases, stemmer
+            ).persist()
+            n_class_rows = classes_df.count()
 
-        # members per group, with tf weights
+        try:
+            if n_class_rows <= class_collect_max:
+                return self._stemmed_iter_collected(
+                    gated, classes_df, k, similarity, value
+                )
+            return self._stemmed_iter_distributed(
+                gated, classes_df, k, similarity, value
+            )
+        finally:
+            if classes_df is not None:
+                classes_df.unpersist()
+
+    def _stemmed_iter_collected(
+        self, gated, classes_df, k, similarity, value
+    ) -> DataFrame:
+        """Query-bounded classes: collect members (≤ class_collect_max
+        rows), gate with driver logic, push the member list down as an
+        In filter — the fast path for real queries."""
+        classes: dict[str, list[str]] = {}
+        if classes_df is not None:
+            for r in classes_df.collect():
+                classes.setdefault(r["base"], []).append(r["term"])
+            for terms in classes.values():
+                terms.sort()  # btree order
+
         groups: dict[tuple[int, int], tuple[int, list[tuple[str, float]]]] = {}
         if similarity is not None:
             pairs = set()
@@ -3333,30 +3455,11 @@ class SearchEngine:
                             pairs.add((base, cand))
             sims: dict[tuple[str, str], float] = {}
             if pairs:
-                involved = sorted(
-                    {b for b, _ in pairs} | {c for _, c in pairs}
+                pairs_df = self.spark.createDataFrame(
+                    sorted(pairs), "base string, cand string"
                 )
-                pdf = self._decoded_postings_pdf(involved)
-                by_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-                doc_len_of: dict[int, int] = {}
-                for term, sub in pdf.groupby("term"):
-                    d = sub["docid"].to_numpy()
-                    t = sub["tf"].to_numpy()
-                    by_term[term] = reference_posting_order(d, t)
-                    doc_len_of.update(
-                        zip(
-                            sub["docid"].astype(int),
-                            sub["doc_len"].astype(int),
-                        )
-                    )
-                empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
-                for base, cand in pairs:
-                    bd, bt = by_term.get(base, empty)
-                    cd, ct = by_term.get(cand, empty)
-                    sims[(base, cand)] = term_similarity(
-                        bd, bt, cd, ct, doc_len_of, self.n_docs,
-                        df_a=max(bd.size, 1), df_b=max(cd.size, 1),
-                    )
+                for r in self._pairwise_similarity(pairs_df).collect():
+                    sims[(r["base"], r["cand"])] = float(r["sim"])
         for qid, gid, base, weight, use_iter in gated:
             if not use_iter:
                 groups[(qid, gid)] = (weight, [(base, 1.0)])
@@ -3379,52 +3482,112 @@ class SearchEngine:
         if not groups:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
 
-        term_groups: dict[str, list[tuple[int, int, float]]] = {}
-        for (qid, gid), (_w, members) in groups.items():
-            for term, wtf in members:
-                term_groups.setdefault(term, []).append((qid, gid, wtf))
-        codec = self.codec
-
-        def decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from atire_spark.kernels.impact import decode_segment
-
-            for pdf in batches:
-                out = []
-                for row in pdf.itertuples(index=False):
-                    docids, tfs, lens = decode_segment(
-                        np.asarray(row.impacts),
-                        np.asarray(row.doc_counts),
-                        row.postings,
-                        row.doc_lens,
-                        codec=codec,
-                        byte_offsets=np.asarray(row.byte_offsets),
-                    )
-                    for qid, gid, wtf in term_groups[row.term]:
-                        out.append(
-                            pd.DataFrame(
-                                {
-                                    "query_id": np.full(docids.size, qid, np.int64),
-                                    "gid": np.full(docids.size, gid, np.int64),
-                                    "term": np.full(docids.size, row.term, object),
-                                    "docid": docids,
-                                    "wtf": tfs.astype(np.float64) * wtf,
-                                    "doc_len": lens.astype(np.int64),
-                                }
-                            )
-                        )
-                if out:
-                    yield pd.concat(out, ignore_index=True)
-
-        rows = self.postings.filter(
-            F.col("term").isin(list(term_groups))
-        ).mapInPandas(
-            decode_fn,
-            schema=(
-                "query_id long, gid long, term string, docid long, "
-                "wtf double, doc_len long"
-            ),
+        member_rows = [
+            (qid, gid, term, w)
+            for (qid, gid), (_wt, members) in groups.items()
+            for term, w in members
+        ]
+        members_df = self.spark.createDataFrame(
+            member_rows, "query_id long, gid long, term string, w double"
         )
-        # deterministic left fold of member tfs in btree (term) order
+        wtab = self.spark.createDataFrame(
+            [(q, g, w) for (q, g), (w, _m) in groups.items()],
+            "query_id long, gid long, weight long",
+        )
+        terms = sorted({t for _, _, t, _ in member_rows})
+        decoded = self._decoded_postings_df(terms)
+        rows = decoded.join(F.broadcast(members_df), "term").select(
+            "query_id",
+            "gid",
+            "term",
+            "docid",
+            (F.col("tf").cast("double") * F.col("w")).alias("wtf"),
+            "doc_len",
+        )
+        return self._stemmed_iter_score(rows, wtab, k)
+
+    def _stemmed_iter_distributed(
+        self, gated, classes_df, k, similarity, value
+    ) -> DataFrame:
+        """Web-scale classes (> class_collect_max members): everything
+        stays a DataFrame — members come from the classes join, the
+        similarity gate filters in SQL (Spark's NaN > any-number
+        semantics keep NaN sims exactly like the reference's
+        ``NaN < t == false``), and the postings filter is a semi-join
+        instead of an In literal. No driver round-trip anywhere."""
+        gated_df = self.spark.createDataFrame(
+            gated,
+            "query_id long, gid long, base string, weight long, "
+            "use_iter boolean",
+        )
+        iter_m = (
+            gated_df.filter("use_iter")
+            .join(classes_df, "base")
+            .select("query_id", "gid", "base", "weight", "term")
+        )
+        if similarity is not None:
+            pairs_df = classes_df.filter(
+                F.col("term") != F.col("base")
+            ).select("base", F.col("term").alias("cand"))
+            sims_df = self._pairwise_similarity(pairs_df)
+            iter_m = iter_m.join(
+                sims_df,
+                (iter_m["base"] == sims_df["base"])
+                & (iter_m["term"] == sims_df["cand"]),
+                "left",
+            ).select(iter_m["*"], "sim")
+            if similarity == "threshold":
+                # base always passes; NaN sim is kept (NaN < t is
+                # false in C; in Spark NaN > every number so the same
+                # filter keeps it)
+                iter_m = iter_m.filter(
+                    (F.col("term") == F.col("base"))
+                    | ~(F.col("sim") < F.lit(float(value)))
+                ).withColumn("w", F.lit(1.0))
+            else:  # weighted
+                iter_m = iter_m.withColumn(
+                    "w",
+                    F.when(
+                        F.col("term") == F.col("base"), F.lit(1.0)
+                    ).otherwise(F.pow(F.col("sim"), F.lit(float(value)))),
+                )
+        else:
+            iter_m = iter_m.withColumn("w", F.lit(1.0))
+        direct = gated_df.filter(~F.col("use_iter")).select(
+            "query_id",
+            "gid",
+            F.col("base").alias("term"),
+            "weight",
+            F.lit(1.0).alias("w"),
+        )
+        members_df = iter_m.select(
+            "query_id", "gid", "term", "weight", "w"
+        ).unionByName(direct)
+        wtab = (
+            gated_df.select("query_id", "gid", "weight").distinct()
+        )
+        decoded = self._decoded_postings_df(members_df)
+        rows = decoded.join(
+            members_df.select("query_id", "gid", "term", "w"), "term"
+        ).select(
+            "query_id",
+            "gid",
+            "term",
+            "docid",
+            (F.col("tf").cast("double") * F.col("w")).alias("wtf"),
+            "doc_len",
+        )
+        return self._stemmed_iter_score(rows, wtab, k)
+
+    def _stemmed_iter_score(
+        self, rows: DataFrame, wtab: DataFrame, k: int
+    ) -> DataFrame:
+        """Shared scoring tail: deterministic left fold of member tfs
+        in btree (term) order per (query, group, doc), recomputed df
+        per group, single-term BM25 over the conflated tf — identical
+        for the collected and the distributed member paths."""
+        from atire_spark.kernels.bm25 import BM25_B, BM25_K1
+
         merged = (
             rows.groupBy("query_id", "gid", "docid")
             .agg(
@@ -3450,10 +3613,6 @@ class SearchEngine:
             .filter(F.col("df") != F.lit(self.n_docs))  # idf 0 → nothing
         )
         merged = merged.join(F.broadcast(gdf), ["query_id", "gid"])
-        wtab = self.spark.createDataFrame(
-            [(q, g, w) for (q, g), (w, _m) in groups.items()],
-            "query_id long, gid long, weight long",
-        )
         k1, b = BM25_K1, BM25_B
         prior = (
             (

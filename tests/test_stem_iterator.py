@@ -192,3 +192,53 @@ def test_term_similarity_reference_quirks():
     s_nan = term_similarity(d, t, d, t, lens, n_docs=2, df_a=2, df_b=2)
     assert np.isnan(s_nan)
     assert not (s_nan < 0.5)
+
+
+class TestDistributedPath:
+    """The web-scale member path (class_collect_max exceeded): members
+    stay a DataFrame and reach the postings through joins. The two
+    paths must return identical rankings, and the distributed plan
+    must contain no In-literal over the vocabulary."""
+
+    @pytest.mark.parametrize(
+        "similarity,value",
+        [(None, 0.0), ("threshold", 0.1), ("weighted", 2.0)],
+    )
+    def test_distributed_equals_collected(
+        self, spark, iter_engine, similarity, value
+    ):
+        qs = [(1, "cat dog"), (2, "cats barking one"), (3, "zz")]
+        small = iter_engine.search_stemmed_iterator(
+            qs, stemmer="s", k=10, similarity=similarity, value=value
+        ).toPandas()
+        big = iter_engine.search_stemmed_iterator(
+            qs, stemmer="s", k=10, similarity=similarity, value=value,
+            class_collect_max=0,  # force the distributed member path
+        ).toPandas()
+        pd.testing.assert_frame_equal(
+            small.reset_index(drop=True), big.reset_index(drop=True)
+        )
+
+    def test_distributed_plan_has_no_vocab_literal(self, spark, iter_engine):
+        """The forced-distributed plan filters postings via joins, not
+        via an In(term, [...]) literal of collected class members."""
+        df = iter_engine.search_stemmed_iterator(
+            [(1, "cat dog")], stemmer="s", k=5, class_collect_max=0
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "cats" not in plan  # no collected member inlined
+        assert "Join" in plan
+
+    def test_class_candidates_df_matches_dict(self, spark, iter_engine):
+        rows = (
+            iter_engine._stem_class_candidates_df(["cat", "dogs"], "s")
+            .toPandas()
+            .sort_values(["base", "term"])
+        )
+        got = {
+            b: list(sub["term"]) for b, sub in rows.groupby("base")
+        }
+        assert got == {
+            "cat": ["cat", "cats"],
+            "dogs": ["dog", "dogs"],
+        }
