@@ -2007,6 +2007,7 @@ ST_QUERIES: list[tuple[int, str]] = [
     (5, "window"),
 ]
 TRIM_K = 20  # -K read-side trim exercised by bm25_trimmed_topk
+STATIC_K = 15  # -K BUILD-side static prune exercised by the static member
 
 
 def _q_single_term_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2015,6 +2016,23 @@ def _q_single_term_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut), then ranks those."""
     eng = _engine(spark, sf_dir)
     return eng.search_batch(ST_QUERIES, k=TOP_K, single_term_prune=True)
+
+
+def _q_bm25_static_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-side static prune (-K, memory_index.c:545-546 + the
+    ~trimpoint variable, memory_index.c:1520-1521): the index itself
+    is rewritten to each term's first STATIC_K postings in global
+    impact order (exact mid-quantum cut, dictionary df/cf kept at
+    collection values), then searched PLAIN — no query-side trim
+    flags. The kept set equals the read-side trim's first-K set, so
+    the oracle is the same trimmed-BM25 SQL at STATIC_K."""
+    from atire_spark.prune import static_prune_index
+
+    eng = _engine(spark, sf_dir)
+    pruned = static_prune_index(spark, eng.index, STATIC_K)
+    from atire_spark.query import SearchEngine
+
+    return SearchEngine(spark, pruned).search_batch(TESTDATA_QUERIES, k=TOP_K)
 
 
 def _q_bm25_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5128,7 +5146,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg["more_like_this_topk"] = _q_more_like_this
     reg["eval_suite"] = _q_eval_suite
     reg["bm25_pruned_topk"] = _suite_fn(
-        [("single_term", _q_single_term_pruned), ("trimmed", _q_bm25_trimmed)],
+        [
+            ("single_term", _q_single_term_pruned),
+            ("trimmed", _q_bm25_trimmed),
+            ("static_prune", _q_bm25_static_pruned),
+        ],
         "mode",
     )
     reg["snippets"] = _q_snippets_suite
@@ -5231,6 +5253,11 @@ SELECT term, docid, tf FROM tf
         # -K read-side trim (search_engine.c:938-963)
         "bm25_trimmed_topk": _trimmed_bm25_sql(
             TOP_K, TRIM_K, _query_values_sql()
+        ),
+        # -K build-side static prune (memory_index.c:545-546): plain
+        # search over the rewritten index == trimmed search at K
+        "bm25_static_pruned": _trimmed_bm25_sql(
+            TOP_K, STATIC_K, _query_values_sql()
         ),
         # snippets (snippet_factory.c:19-46; token-window adaptation
         # documented in snippets.py)
@@ -5682,6 +5709,7 @@ FROM tf t CROSS JOIN stats s""",
         [
             ("single_term", parts["bm25_single_term_pruned"]),
             ("trimmed", parts["bm25_trimmed_topk"]),
+            ("static_prune", parts["bm25_static_pruned"]),
         ],
         "mode",
     )

@@ -23,8 +23,10 @@ Our segment row adds what the reference keeps elsewhere:
   no join.
 
 Static pruning (reference -K, memory_index.c:545-546): optional
-``static_prune`` cuts the list at the end of the group containing the
-prune point.
+``static_prune`` cuts the list at EXACTLY that many postings —
+``pruned_point = pointer[bucket] + (static_prune_point - sum)``
+truncates the quantum containing the prune point mid-group, keeping
+its lowest docids.
 """
 
 from __future__ import annotations
@@ -91,18 +93,21 @@ def impact_order(
     impacts = s_tf[starts].astype(np.int32)
     doc_counts = (ends - starts).astype(np.int32)
 
-    # optional static prune: cut at end of group containing prune point
-    if static_prune > 0:
+    # optional static prune: exact cut at the prune point — the
+    # containing quantum truncates mid-group (memory_index.c:545-546)
+    if 0 < static_prune < n:
         cum = np.cumsum(doc_counts)
         keep_groups = int(np.searchsorted(cum, static_prune, side="left")) + 1
         keep_groups = min(keep_groups, impacts.size)
         impacts = impacts[:keep_groups]
-        doc_counts = doc_counts[:keep_groups]
+        doc_counts = doc_counts[:keep_groups].copy()
+        prev = int(cum[keep_groups - 2]) if keep_groups > 1 else 0
+        doc_counts[-1] = static_prune - prev
         starts = starts[:keep_groups]
-        ends = ends[:keep_groups]
-        n = int(np.sum(doc_counts))
-        s_doc = s_doc[: ends[-1]]
-        s_len = s_len[: ends[-1]]
+        ends = np.concatenate((change[: keep_groups - 1], [static_prune]))
+        n = static_prune
+        s_doc = s_doc[:n]
+        s_len = s_len[:n]
 
     # per-group delta encoding with implicit prev = -1: first stored
     # value is docid+1, later values are docid diffs within the group

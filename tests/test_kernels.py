@@ -166,14 +166,20 @@ class TestImpactOrder:
         assert list(d) == [42] and list(t) == [7] and list(l) == [99]
 
     def test_static_prune(self):
-        # prune point inside a group keeps the whole group
-        # (memory_index.c:545-546: cut at end of the containing group)
+        # exact cut at the prune point: the containing group truncates
+        # mid-quantum, keeping its lowest docids (memory_index.c:
+        # 545-546 pruned_point = pointer[bucket] + (K - sum))
         docids = np.arange(10)
         tfs = np.array([9, 9, 9, 5, 5, 5, 5, 2, 2, 2])
         lens = np.ones(10, dtype=np.int64)
         seg = impact_order(docids, tfs, lens, static_prune=4)
         assert list(seg.impacts) == [9, 5]
-        assert seg.n_postings == 7
+        assert list(seg.doc_counts) == [3, 1]
+        assert seg.n_postings == 4
+        d, t, _ = decode_segment(
+            seg.impacts, seg.doc_counts, seg.postings, seg.doc_lens
+        )
+        assert list(d) == [0, 1, 2, 3] and list(t) == [9, 9, 9, 5]
 
     def test_partial_decode(self):
         docids = np.arange(20)
