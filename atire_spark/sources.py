@@ -182,3 +182,49 @@ def read_pkzip(spark: SparkSession, path: str) -> DataFrame:
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     return files.mapInPandas(_members_reader(extract), schema=SOURCE_SCHEMA)
+
+
+def read_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """Deflated-TSV reader — the reference's ``-rtsv`` ingestion path
+    (atire/index.c:423-433): the input file is one zlib/gzip DEFLATE
+    stream (``ANT_instream_deflate`` inflates with window 15+32 —
+    zlib/gzip header auto-detect, instream_deflate.c:60) whose
+    decompressed content is ``<docname>\\t<url>\\t<anchor>\\t...`` lines
+    (directory_iterator_tsv.c:84-117): the document NAME is field 1,
+    the document TEXT is everything after the SECOND tab (the url is
+    skipped; remaining tabs stay in the text — they tokenize as
+    separators either way).
+
+    Spark-first: a deflate stream is inherently serial (no
+    split-points), exactly like the reference's single instream —
+    one ``binaryFile`` row per file, inflated with stdlib zlib in the
+    worker; parallelism comes from MANY files, the same recipe as the
+    tar/PKZIP sources. Plain uncompressed TSV falls through untouched
+    (header sniff), so the reader covers both ``-rtsv`` and a raw
+    anchors file.
+    """
+    import zlib
+
+    def extract(p: str, buf: bytes):
+        data = bytes(buf)
+        # zlib (0x78 CMF) or gzip (1f 8b) magic → inflate; else raw
+        if data[:2] == b"\x1f\x8b" or (
+            len(data) >= 2
+            and data[0] == 0x78
+            and (data[0] * 256 + data[1]) % 31 == 0
+        ):
+            data = zlib.decompressobj(wbits=15 + 32).decompress(data)
+        text = data.decode("utf-8", errors="replace")
+        for line in text.split("\n"):
+            if not line:
+                continue
+            first = line.find("\t")
+            if first < 0:
+                continue  # directory_iterator_tsv.c:101 (no name field)
+            second = line.find("\t", first + 1)
+            if second < 0:
+                continue  # :104 (no url field)
+            yield (line[:first], 0, line[second + 1 :])
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(_members_reader(extract), schema=SOURCE_SCHEMA)

@@ -243,3 +243,147 @@ def test_tar_and_pkzip_sources(spark, tmp_path):
         zf.writestr("y.txt", "yankee text")
     zdf = read_pkzip(spark, str(zip_path)).orderBy("conv_id")
     assert [r.text for r in zdf.collect()] == ["xray text", "yankee text"]
+
+
+class TestTsvDeflate:
+    """-rtsv ingestion (directory_iterator_tsv.c + instream_deflate.c):
+    a zlib- or gzip-compressed file of name\\turl\\tanchors lines; the
+    document text is everything after the second tab."""
+
+    LINES = [
+        "doc-a\thttp://x/a\talpha bravo\tcharlie",
+        "doc-b\thttp://x/b\tbravo delta",
+        "noname-line-without-tabs",
+        "doc-c\thttp://x/c\talpha alpha echo",
+        "doc-d-only-name\thttp://x/d",  # no second tab -> skipped
+        "doc-e\thttp://x/e\tcharlie delta echo foxtrot",
+    ]
+
+    def _expected(self):
+        return pd.DataFrame(
+            {
+                "conv_id": ["doc-a", "doc-b", "doc-c", "doc-e"],
+                "turn_idx": [0] * 4,
+                "text": [
+                    "alpha bravo\tcharlie",
+                    "bravo delta",
+                    "alpha alpha echo",
+                    "charlie delta echo foxtrot",
+                ],
+            }
+        )
+
+    def _roundtrip(self, spark, payload: bytes, name: str):
+        from atire_spark.sources import read_tsv
+
+        with tempfile.TemporaryDirectory() as tmp:
+            p = os.path.join(tmp, name)
+            with open(p, "wb") as fh:
+                fh.write(payload)
+            got = (
+                read_tsv(spark, p)
+                .toPandas()
+                .sort_values("conv_id")
+                .reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(
+            got, self._expected(), check_dtype=False
+        )
+
+    def test_zlib_stream(self, spark):
+        import zlib
+
+        raw = ("\n".join(self.LINES) + "\n").encode()
+        self._roundtrip(spark, zlib.compress(raw), "anchors.tsv.z")
+
+    def test_gzip_stream(self, spark):
+        import gzip
+
+        raw = ("\n".join(self.LINES) + "\n").encode()
+        self._roundtrip(spark, gzip.compress(raw, mtime=0), "anchors.tsv.gz")
+
+    def test_plain_tsv_falls_through(self, spark):
+        raw = ("\n".join(self.LINES) + "\n").encode()
+        self._roundtrip(spark, raw, "anchors.tsv")
+
+    def test_tsv_source_builds_identical_index(self, spark):
+        """The deflated-TSV corpus builds the same postings as the
+        equivalent in-memory frame (the CSV test's contract)."""
+        import zlib
+
+        import numpy as np
+
+        from atire_spark.build import build_index
+        from atire_spark.kernels.impact import decode_segment
+        from atire_spark.sources import read_tsv
+
+        raw = ("\n".join(self.LINES) + "\n").encode()
+        with tempfile.TemporaryDirectory() as tmp:
+            p = os.path.join(tmp, "anchors.tsv.z")
+            with open(p, "wb") as fh:
+                fh.write(zlib.compress(raw))
+            idx_tsv = build_index(spark, read_tsv(spark, p))
+            idx_mem = build_index(
+                spark, spark.createDataFrame(self._expected())
+            )
+
+            def decoded(idx):
+                out = []
+                for row in idx.postings.collect():
+                    d, t, _ = decode_segment(
+                        np.asarray(row["impacts"]),
+                        np.asarray(row["doc_counts"]),
+                        row["postings"],
+                        None,
+                    )
+                    out.extend(
+                        (row["term"], int(x), int(y)) for x, y in zip(d, t)
+                    )
+                return sorted(out)
+
+            assert decoded(idx_tsv) == decoded(idx_mem)
+
+
+def test_jdbc_source_builds_identical_index(spark, tmp_path):
+    """The JDBC ingestion path (directory_iterator_mysql.c analogue):
+    transcripts written to an embedded Derby database via
+    spark.write.jdbc, read back with spark.read.jdbc, and built into
+    an index identical to the in-memory build — exercising the one §2
+    source that is a Spark builtin end to end."""
+    import numpy as np
+
+    from atire_spark.build import build_index
+    from atire_spark.kernels.impact import decode_segment
+
+    url = f"jdbc:derby:{tmp_path}/jdbcdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = spark.createDataFrame(TRANSCRIPTS)
+    src.write.jdbc(url, "transcripts", mode="overwrite", properties=props)
+    jdf = spark.read.jdbc(
+        url,
+        "transcripts",
+        properties=props,
+        column="turn_idx",  # server-side partitioned read
+        lowerBound=0,
+        upperBound=2,
+        numPartitions=2,
+    ).select("conv_id", "turn_idx", "text")
+    idx_jdbc = build_index(spark, jdf)
+    idx_mem = build_index(spark, spark.createDataFrame(TRANSCRIPTS))
+
+    def decoded(idx):
+        out = []
+        for row in idx.postings.collect():
+            d, t, _ = decode_segment(
+                np.asarray(row["impacts"]),
+                np.asarray(row["doc_counts"]),
+                row["postings"],
+                None,
+            )
+            out.extend((row["term"], int(x), int(y)) for x, y in zip(d, t))
+        return sorted(out)
+
+    assert decoded(idx_jdbc) == decoded(idx_mem)
+    dm_a = idx_jdbc.docmap.orderBy("docid").collect()
+    dm_b = idx_mem.docmap.orderBy("docid").collect()
+    assert [tuple(r) for r in dm_a] == [tuple(r) for r in dm_b]
