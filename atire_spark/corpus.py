@@ -1496,66 +1496,337 @@ MM_SAMPLE_EVERY_S = 2  # one sampled frame per 2 seconds of "video"
 MM_BYTES_PER_FRAME = 64  # fake container: 64 payload bytes per frame
 
 
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-fit resize planning over REAL decoded dimensions
-    (:func:`parse_media_header`): the output box fits MM_TARGET**2
-    preserving aspect ratio, never upscaling — integer arithmetic
-    only, so the SQL oracle is exact. The pixel resample itself is
-    the backend slot (PIL/opencv inside the same Arrow stage)."""
+
+
+# --------------------------------------------------------- pixel payloads
+# small pixel-bearing images for the REAL-decode entries: dims are kept
+# tiny so the SQL oracle can restate per-pixel sums with generate_series
+MM_PIX_TARGET = 8  # nearest-neighbour resample target box (edge)
+
+
+def _pix_dims(d: int) -> tuple[int, int]:
+    return 8 + d % 24, 8 + (d * 7) % 16
+
+
+def _pix_value(d, y, x, c):
+    """Closed-form pixel value — identical formula in the SQL oracle,
+    so the whole decode chain (inflate, unfilter, row unpack) is
+    checked against an independent derivation."""
+    return (d * 31 + y * 97 + x * 13 + c * 7) % 256
+
+
+def _pix_raster(d: int) -> "np.ndarray":
+    import numpy as np
+
+    w, h = _pix_dims(d)
+    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+    return ((d * 31 + y * 97 + x * 13 + c * 7) % 256).astype(np.uint8)
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _synth_pixel_payloads(doc_ids) -> list[bytes]:
+    """REAL raster payloads: even doc_ids a full PNG (8-bit RGB,
+    zlib-compressed IDAT whose rows cycle through ALL FIVE standard
+    filter types y%5 — None/Sub/Up/Average/Paeth — so the decoder's
+    unfilter path is genuinely exercised), odd doc_ids a 24bpp
+    bottom-up BMP with BGR byte order and 4-byte row padding. Pixels
+    follow :func:`_pix_value`."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    out = []
+    for d in doc_ids:
+        d = int(d)
+        w, h = _pix_dims(d)
+        raster = _pix_raster(d).reshape(h, w * 3).astype(np.int64)
+        if d % 2 == 0:
+            parts = []
+            for y in range(h):
+                row = raster[y]
+                up = raster[y - 1] if y > 0 else np.zeros(w * 3, np.int64)
+                left = np.concatenate((np.zeros(3, np.int64), row[:-3]))
+                upleft = np.concatenate((np.zeros(3, np.int64), up[:-3]))
+                ft = y % 5
+                if ft == 0:
+                    f = row
+                elif ft == 1:  # Sub
+                    f = row - left
+                elif ft == 2:  # Up
+                    f = row - up
+                elif ft == 3:  # Average
+                    f = row - (left + up) // 2
+                else:  # Paeth
+                    p = left + up - upleft
+                    pa, pb, pc = (
+                        np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, up, upleft),
+                    )
+                    f = row - pred
+                parts.append(
+                    bytes([ft]) + (f % 256).astype(np.uint8).tobytes()
+                )
+            idat = _z.compress(b"".join(parts))
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            out.append(
+                b"\x89PNG\r\n\x1a\n"
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", idat)
+                + _png_chunk(b"IEND", b"")
+            )
+        else:
+            row_size = (w * 3 + 3) // 4 * 4
+            dib = struct.pack("<IiiHH", 40, w, h, 1, 24) + b"\x00" * 24
+            body = []
+            for y in range(h - 1, -1, -1):  # bottom-up
+                bgr = (
+                    raster[y]
+                    .reshape(w, 3)[:, ::-1]
+                    .astype(np.uint8)
+                    .tobytes()
+                )
+                body.append(bgr + b"\x00" * (row_size - w * 3))
+            data = b"".join(body)
+            out.append(
+                b"BM"
+                + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+                + dib
+                + data
+            )
+    return out
+
+
+def decode_pixels(buf: bytes) -> "np.ndarray":
+    """REAL pixel decode with stdlib-only byte work — returns an
+    (h, w, 3) uint8 RGB array. PNG: chunk walk, IDAT concatenation,
+    zlib inflate, and per-row unfiltering for all five standard filter
+    types (PNG spec 9.2 — Sub vectorized as a per-channel cumulative
+    sum; Average/Paeth reconstructed left-to-right since they depend
+    on already-reconstructed neighbours). BMP: BITMAPINFOHEADER,
+    bottom-up padded BGR rows."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    buf = bytes(buf)
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", buf[16:24])
+        bit_depth, color_type = buf[24], buf[25]
+        if bit_depth != 8 or color_type != 2:
+            raise ValueError("decoder handles 8-bit RGB PNGs")
+        pos, idat = 8, []
+        while pos + 8 <= len(buf):
+            (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+            tag = buf[pos + 4 : pos + 8]
+            if tag == b"IDAT":
+                idat.append(buf[pos + 8 : pos + 8 + ln])
+            pos += 12 + ln
+            if tag == b"IEND":
+                break
+        data = _z.decompress(b"".join(idat))
+        stride = w * 3
+        recon = np.zeros((h, stride), dtype=np.int64)
+        for y in range(h):
+            off = y * (1 + stride)
+            ft = data[off]
+            row = np.frombuffer(
+                data, dtype=np.uint8, count=stride, offset=off + 1
+            ).astype(np.int64)
+            up = recon[y - 1] if y > 0 else np.zeros(stride, np.int64)
+            if ft == 0:
+                recon[y] = row
+            elif ft == 1:  # Sub: per-channel cumulative sum
+                recon[y] = (
+                    row.reshape(w, 3).cumsum(axis=0).reshape(stride) % 256
+                )
+            elif ft == 2:
+                recon[y] = (row + up) % 256
+            elif ft == 3:  # Average
+                r = recon[y]
+                for i in range(stride):
+                    left = r[i - 3] if i >= 3 else 0
+                    r[i] = (row[i] + (left + up[i]) // 2) % 256
+            elif ft == 4:  # Paeth
+                r = recon[y]
+                for i in range(stride):
+                    a = r[i - 3] if i >= 3 else 0
+                    b = up[i]
+                    c = up[i - 3] if i >= 3 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    r[i] = (row[i] + pred) % 256
+            else:
+                raise ValueError(f"unknown PNG filter {ft}")
+        return recon.astype(np.uint8).reshape(h, w, 3)
+    if buf[:2] == b"BM":
+        w, h = struct.unpack("<ii", buf[18:26])
+        bpp = struct.unpack("<H", buf[28:30])[0]
+        (off,) = struct.unpack("<I", buf[10:14])
+        if bpp != 24 or h <= 0:
+            raise ValueError("decoder handles 24bpp bottom-up BMPs")
+        row_size = (w * 3 + 3) // 4 * 4
+        outrows = []
+        for y in range(h):
+            start = off + (h - 1 - y) * row_size
+            bgr = np.frombuffer(
+                buf, dtype=np.uint8, count=w * 3, offset=start
+            ).reshape(w, 3)
+            outrows.append(bgr[:, ::-1])
+        return np.stack(outrows)
+    raise ValueError("unknown container magic")
+
+
+def resample_nearest(img: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
+    """Nearest-neighbour resample: out[yo, xo] = src[yo*h//out_h,
+    xo*w//out_w] — integer arithmetic only, so the SQL oracle can
+    restate the sampled grid exactly."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return img[np.ix_(ys, xs)]
+
+
+def _pixel_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    payload = _media_payloads(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id")
 
-    def fn(batches):
+    def gen(batches):
         for pdf in batches:
-            metas = [parse_media_header(b) for b in pdf["payload"]]
-            w = pd.Series([m[1] for m in metas], dtype="int64")
-            h = pd.Series([m[2] for m in metas], dtype="int64")
-            long_edge = w.where(w >= h, h)
-            out_w = w.where(
-                long_edge <= MM_TARGET, (w * MM_TARGET) // long_edge
-            ).astype("int32")
-            out_h = h.where(
-                long_edge <= MM_TARGET, (h * MM_TARGET) // long_edge
-            ).astype("int32")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": w.astype("int32"),
-                    "height": h.astype("int32"),
-                    "out_width": out_w,
-                    "out_height": out_h,
-                    "upscaled": pd.Series([False] * len(pdf)),
+                    "payload": _synth_pixel_payloads(pdf["doc_id"]),
                 }
+            )
+
+    return docs.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-fit resize with a REAL pixel path: every payload is a
+    genuine raster container (:func:`_synth_pixel_payloads` — PNG with
+    zlib IDAT cycling all five row filters, or bottom-up padded BMP),
+    DECODED to pixels in the Arrow stage (:func:`decode_pixels`:
+    inflate + unfilter / row unpack), resampled nearest-neighbour into
+    the MM_PIX_TARGET box (aspect-fit, never upscaling, integer
+    arithmetic), and fingerprinted by pixel sums. The oracle restates
+    the decoded AND the resampled sums from the closed-form pixel
+    formula — the whole decode chain is checked against an
+    independent derivation, not against itself."""
+    import numpy as np
+    import pandas as pd
+
+    payload = _pixel_payloads(spark, sf_dir)
+    t = MM_PIX_TARGET
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for d, buf in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_pixels(bytes(buf))
+                h, w = img.shape[:2]
+                long_edge = max(w, h)
+                if long_edge <= t:
+                    ow, oh = w, h
+                else:
+                    ow, oh = (w * t) // long_edge, (h * t) // long_edge
+                out = resample_nearest(img, ow, oh)
+                rows.append(
+                    (
+                        int(d), w, h, ow, oh,
+                        int(img.astype(np.int64).sum()),
+                        int(out.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "out_width",
+                    "out_height", "pix_sum", "out_pix_sum",
+                ],
             )
 
     return payload.mapInPandas(
         fn,
         schema=(
             "doc_id long, width int, height int, out_width int,"
-            " out_height int, upscaled boolean"
+            " out_height int, pix_sum long, out_pix_sum long"
         ),
     )
 
 
 def multimodal_resize_sql() -> str:
-    t = MM_TARGET
+    t = MM_PIX_TARGET
+    pix = "(d.doc_id * 31 + {y} * 97 + {x} * 13 + {c} * 7) % 256"
     return f"""
 WITH dims AS (
   SELECT doc_id,
-         CAST(16 + doc_id % 509 AS BIGINT) AS w,
-         CAST(16 + (doc_id * 7) % 277 AS BIGINT) AS h
+         CAST(8 + doc_id % 24 AS BIGINT) AS w,
+         CAST(8 + (doc_id * 7) % 16 AS BIGINT) AS h
   FROM documents
+),
+outdims AS (
+  SELECT doc_id, w, h,
+         CASE WHEN greatest(w, h) <= {t} THEN w
+              ELSE (w * {t}) // greatest(w, h) END AS ow,
+         CASE WHEN greatest(w, h) <= {t} THEN h
+              ELSE (h * {t}) // greatest(w, h) END AS oh
+  FROM dims
+),
+fullsum AS (
+  SELECT d.doc_id,
+         sum({pix.format(y="(s.i // (d.w * 3))",
+                         x="((s.i % (d.w * 3)) // 3)",
+                         c="(s.i % 3)")}) AS pix_sum
+  FROM dims d,
+       LATERAL (
+         SELECT unnest(generate_series(0, d.w * d.h * 3 - 1)) AS i
+       ) s
+  GROUP BY d.doc_id
+),
+outsum AS (
+  SELECT d.doc_id,
+         sum({pix.format(
+             y="(((s.j // (d.ow * 3)) * d.h) // d.oh)",
+             x="((((s.j % (d.ow * 3)) // 3) * d.w) // d.ow)",
+             c="(s.j % 3)")}) AS out_pix_sum
+  FROM outdims d,
+       LATERAL (
+         SELECT unnest(generate_series(0, d.ow * d.oh * 3 - 1)) AS j
+       ) s
+  GROUP BY d.doc_id
 )
-SELECT doc_id,
-       CAST(w AS INTEGER) AS width,
-       CAST(h AS INTEGER) AS height,
-       CAST(CASE WHEN greatest(w, h) <= {t} THEN w
-                 ELSE (w * {t}) // greatest(w, h) END AS INTEGER) AS out_width,
-       CAST(CASE WHEN greatest(w, h) <= {t} THEN h
-                 ELSE (h * {t}) // greatest(w, h) END AS INTEGER) AS out_height,
-       CAST(FALSE AS BOOLEAN) AS upscaled
-FROM dims
+SELECT o.doc_id,
+       CAST(o.w AS INTEGER) AS width,
+       CAST(o.h AS INTEGER) AS height,
+       CAST(o.ow AS INTEGER) AS out_width,
+       CAST(o.oh AS INTEGER) AS out_height,
+       CAST(f.pix_sum AS BIGINT) AS pix_sum,
+       CAST(s.out_pix_sum AS BIGINT) AS out_pix_sum
+FROM outdims o
+JOIN fullsum f USING (doc_id)
+JOIN outsum s USING (doc_id)
 """
 
 
