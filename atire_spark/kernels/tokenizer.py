@@ -113,6 +113,38 @@ def dict_segmenter(dictionary, max_word_len: int | None = None):
     return segment
 
 
+# combining marks (category M*) are neither CT_LETTER nor CT_NUMBER in
+# the reference's generated tables: a standalone mark (NFD text) ENDS
+# the current letter run and is skipped — verified against the compiled
+# indexer's vocabulary ("cégurei" indexes as ce + gurei, while
+# precomposed "cégurei" is one letter run normalizing to cegurei).
+# Replacing marks with a separator before the token scan reproduces
+# that exactly; built lazily from unicodedata (once per process).
+_MARK_RE_CACHE: list = []
+
+
+def _mark_re():
+    if not _MARK_RE_CACHE:
+        import sys
+        import unicodedata
+
+        parts: list[str] = []
+        start = None
+        prev = None
+        for cp in range(0x300, sys.maxunicode + 1):
+            is_m = unicodedata.category(chr(cp)).startswith("M")
+            if is_m and start is None:
+                start = cp
+            elif not is_m and start is not None:
+                parts.append(f"{chr(start)}-{chr(cp - 1)}")
+                start = None
+            prev = cp
+        if start is not None:
+            parts.append(f"{chr(start)}-{chr(prev)}")
+        _MARK_RE_CACHE.append(re.compile("[" + "".join(parts) + "]"))
+    return _MARK_RE_CACHE[0]
+
+
 def tokenize(
     text: str | None, cjk_bigrams: bool = False, cjk_segmenter=None
 ) -> list[str]:
@@ -122,6 +154,11 @@ def tokenize(
     runs), with the >20KB raw-length drop applied."""
     if not text:
         return []
+    if not text.isascii():
+        # standalone combining marks terminate letter/number runs and
+        # are skipped (see _mark_re) — substitution before the scan is
+        # equivalent because a mark never belongs to any token class
+        text = _mark_re().sub(" ", text)
     if cjk_bigrams and cjk_segmenter is not None:
         raise ValueError("cjk_bigrams and cjk_segmenter are exclusive")
     out = []

@@ -436,6 +436,12 @@ def _is_cjk_char(c: str) -> bool:
     return _CJK_CHAR_RE.match(c) is not None
 
 
+def _is_mark(c: str) -> bool:
+    import unicodedata
+
+    return ord(c) > 127 and unicodedata.category(c).startswith("M")
+
+
 _NAME_CONT = frozenset("._:-'")
 
 
@@ -477,10 +483,20 @@ def _nexi_lex(text: str, cjk_runs: bool = False) -> list[str]:
         elif c == "/":
             i += 2 if text[i : i + 2] == "//" else 1
         elif c.isalpha() or c in "_:":
-            # XML name: NameChar continuation + '-' and apostrophes
+            # XML name: NameChar continuation + '-' and apostrophes.
+            # XML NameChar includes CombiningChar, so a standalone
+            # combining mark (NFD text) stays INSIDE a query token —
+            # unlike the document parser, where it splits the run; the
+            # un-normalizable mark then makes the term a vocabulary
+            # miss, exactly the compiled reference's observable
+            # (probe: NFD "cégurei" query scores nothing even with
+            # ce/gurei/cegurei all indexed)
             i += 1
             while i < n and not _is_cjk_char(text[i]) and (
-                text[i].isalpha() or text[i].isdigit() or text[i] in _NAME_CONT
+                text[i].isalpha()
+                or text[i].isdigit()
+                or text[i] in _NAME_CONT
+                or _is_mark(text[i])
             ):
                 i += 1
         elif c.isdigit():
@@ -504,19 +520,26 @@ class NEXITerm:
 
 
 def _fold_term(tok: str) -> str:
-    """Query-term case normalization (atire_api.c:610-675
+    """Query-term normalization (atire_api.c:610-675
     ``string_pair_to_term`` with case_fold): a term whose characters
     are ALL uppercase is a tag name for the bag-of-tags approach and
     is kept verbatim (our untagged indexes hold no tag terms, so it
     matches nothing — same observable as the reference on a corpus
-    whose only tags have df==N); anything else lowercases whole.
-    Digits are not uppercase, so ``TERM00003`` folds to ``term00003``
-    (and then misses the vocabulary, which holds the document
-    tokenizer's split ``term``/``00003``) — verified against the
-    binary in reference_ab.py."""
+    whose only tags have df==N); anything else runs the SAME
+    per-character normalize as the indexer —
+    ``ANT_UNICODE_normalize_lowercase_toutf8`` (atire_api.c:654):
+    decompose, drop combining marks, lowercase — so an accented query
+    spelling (``baçedï``) reaches the normalized vocabulary entry
+    (``bacedi``) exactly like the reference. ASCII terms see a plain
+    lower(); digits are not uppercase, so ``TERM00003`` folds to
+    ``term00003`` (and then misses the vocabulary, which holds the
+    document tokenizer's split ``term``/``00003``) — verified against
+    the binary in reference_ab.py (ASCII + unicode fuzz)."""
     if tok and all(c.isupper() for c in tok):
         return tok
-    return tok.lower()
+    from atire_spark.kernels.unorm import normalize_word
+
+    return normalize_word(tok)
 
 
 def _is_phraseless_term(tok: str) -> bool:

@@ -247,3 +247,101 @@ def make_transcripts_skewed(n_docs: int = 4096) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     )
+
+
+def make_transcripts_unicode(
+    n_convs: int = 400, seed: int = SEED
+) -> pd.DataFrame:
+    """Unicode corpus for the differential A/B fuzz: the tokenizer's
+    normalize + CJK paths under randomized load (reference
+    unicode.c:198-257 decompose/strip-marks/lowercase,
+    parser.c:251-283 CJK handling).
+
+    Vocabulary mixes, deterministically from ``seed``:
+
+    - accented-Latin words in BOTH precomposed (NFC) and
+      combining-mark (NFD) spellings of the same underlying word —
+      the two must land in one postings list;
+    - non-decomposable letters (ß ł ø æ) that survive normalization
+      and therefore do NOT fold to ASCII;
+    - Cyrillic and Greek words with random uppercase variants
+      (non-ASCII case folding);
+    - CJK runs of 1–4 Han characters (per-char tokens under the
+      parser's unsegmented default);
+    - plain ASCII words and digit runs as the control group.
+    """
+    import unicodedata
+
+    rng = np.random.default_rng(seed)
+
+    accent_map = {
+        "a": "áàâäã", "e": "éèêë", "i": "íìîï",
+        "o": "óòôöõ", "u": "úùûü", "c": "ç", "n": "ñ",
+    }
+    syll = ["ba", "ce", "di", "fo", "gu", "lan", "mer", "nor", "pat", "rei"]
+    latin: list[str] = []
+    for i in range(60):
+        base = syll[i % 10] + syll[(i * 3 + 1) % 10] + syll[(i * 7 + 2) % 10]
+        chars = list(base)
+        for j, ch in enumerate(chars):
+            if ch in accent_map and (i + j) % 3 == 0:
+                opts = accent_map[ch]
+                chars[j] = opts[(i * 5 + j) % len(opts)]
+        w = "".join(chars)
+        latin.append(unicodedata.normalize("NFC", w))
+        latin.append(unicodedata.normalize("NFD", w))
+    hard = ["straße", "łódź", "smørrebrød", "æther", "þing", "ďábel"]
+    cyr_c, cyr_v = "бвгдклмнпрст", "аеиоу"
+    cyrillic = [
+        cyr_c[i % 12] + cyr_v[i % 5] + cyr_c[(i * 5 + 3) % 12]
+        + cyr_v[(i * 3 + 1) % 5]
+        for i in range(30)
+    ]
+    greek = [
+        "αβγ δελτα ωμεγα σιγμα λογος φυσις".split()[i % 6] for i in range(12)
+    ]
+    han = list("的一是不了人我在有他这中大来上国个到说们为子和你地出道也时年")
+    cjk = [
+        "".join(han[(i * 7 + j) % len(han)] for j in range(1 + i % 4))
+        for i in range(40)
+    ]
+    ascii_w = [f"plain{i:03d}" for i in range(40)]
+    vocab = np.array(
+        latin + hard + cyrillic + greek + cjk + ascii_w, dtype=object
+    )
+    ranks = np.arange(1, vocab.size + 1, dtype=np.float64)
+    p = ranks ** -1.1
+    p /= p.sum()
+
+    rows = []
+    t = 0
+    for conv in range(n_convs):
+        conv_id = f"uconv{conv:06d}"
+        for turn_idx in range(1 + int(rng.poisson(3))):
+            r = rng.random()
+            if r < 0.004:
+                text = ""
+            else:
+                k = int(rng.integers(4, 26))
+                toks = list(rng.choice(vocab, size=k, p=p))
+                if rng.random() < 0.2:  # non-ASCII uppercase variant
+                    toks[0] = toks[0].upper()
+                if rng.random() < 0.1:
+                    toks.append(str(int(rng.integers(0, 10**6))))
+                if rng.random() < 0.25:
+                    toks[len(toks) // 2] += ","
+                text = " ".join(toks)
+            rows.append(
+                (
+                    conv_id,
+                    turn_idx,
+                    ROLES[t % 3],
+                    text,
+                    None,
+                    BASE_TS + timedelta(minutes=t),
+                )
+            )
+            t += 1
+    return pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )

@@ -450,6 +450,7 @@ def fuzz(
     quantized: bool = False,
     conjunctive: bool = False,
     feedback: bool = False,
+    corpus: str = "ascii",
 ) -> dict:
     """Randomized differential identity vs the COMPILED reference:
     seeded random bag queries sampled from the corpus's real token
@@ -465,6 +466,14 @@ def fuzz(
       the reference's NEXI lexer keeps an alphanumeric word as ONE
       XML-name token (a vocabulary miss), and our parse must agree;
     - absent terms — must score nothing on both sides.
+
+    ``corpus="unicode"`` swaps in the Unicode corpus
+    (synth.make_transcripts_unicode): accented Latin in NFC and NFD
+    spellings, non-decomposable letters, Cyrillic/Greek with case
+    variants, and CJK runs — the raw-word pool then carries
+    pre-normalization spellings (decomposed marks, non-ASCII
+    uppercase), so the QUERY-side normalize parity is fuzzed too,
+    not just the indexer's.
     """
     import numpy as np
 
@@ -472,14 +481,19 @@ def fuzz(
     from atire_spark.kernels.tokenizer import tokenize
     from atire_spark.query import SearchEngine
     from atire_spark.session import get_spark
-    from atire_spark.synth import make_transcripts
+    from atire_spark.synth import make_transcripts, make_transcripts_unicode
 
     bin_dir = ensure_reference_built(single_threaded=True)
     if bin_dir is None:
         return {"skipped": True}
 
     work = tempfile.mkdtemp(prefix="atire_abf_")
-    pdf, trec = prepare_corpus(make_transcripts(scale))
+    if corpus == "unicode":
+        n = {"tiny": 60, "small": 400, "medium": 2000}.get(scale, 400)
+        source_pdf = make_transcripts_unicode(n)
+    else:
+        source_pdf = make_transcripts(scale)
+    pdf, trec = prepare_corpus(source_pdf)
     trec_path = os.path.join(work, "corpus.xml")
     with open(trec_path, "w") as fh:
         fh.write(trec)
@@ -575,11 +589,17 @@ def fuzz(
         # in the variants stemmer block).
         lens = pdf["text"].str.len()
         longest = set(pdf.index[lens == lens.max()])
-        probe = engine.search_batch(queries, k=17).collect()
+        # the exclusion set derives from the REFERENCE's own plain
+        # first pass (its feedback set is its top 17), so the filter
+        # cannot silently over-skip if the engines ever disagreed
+        # about whether a longest doc enters the top 17
+        ref_plain, _ = run_reference_queries(
+            bin_dir, index_path, queries, 17, work, l=17
+        )
         bad = {
-            int(r["query_id"])
-            for r in probe
-            if int(r["rank"]) <= 17 and int(r["docid"]) in longest
+            qid
+            for (qid, _), hits in zip(queries, ref_plain)
+            if any(docid in longest for docid, _ in hits[:17])
         }
         skipped_longest = len(bad)
         queries = [q for q in queries if q[0] not in bad]
@@ -607,6 +627,7 @@ def fuzz(
     out = {
         "mode": "fuzz",
         "scale": scale,
+        "corpus": corpus,
         "docs": int(len(pdf)),
         "ranker": ranker,
         "stemmer": stemmer,
@@ -1001,6 +1022,7 @@ def main() -> None:
     ap.add_argument("--quantized", action="store_true")
     ap.add_argument("--conjunctive", action="store_true")
     ap.add_argument("--feedback", action="store_true")
+    ap.add_argument("--corpus", default="ascii", choices=["ascii", "unicode"])
     ap.add_argument(
         "--only",
         choices=["rankers", "quantized", "stemmers", "feedback"],
@@ -1015,6 +1037,7 @@ def main() -> None:
         out = fuzz(
             args.scale, args.cpus, args.n_queries, args.seed, args.ranker,
             args.stemmer, args.quantized, args.conjunctive, args.feedback,
+            args.corpus,
         )
     else:
         out = throughput(args.convs, args.repeats)

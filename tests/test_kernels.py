@@ -795,3 +795,43 @@ class TestScrubber:
             r["text"] for r in scrub_column(df, "text", UTF8).collect()
         ]
         assert got[0] == "ok" and "a" in got[1] and "b" in got[1]
+
+
+class TestCombiningMarks:
+    """Standalone combining marks (NFD text): the DOCUMENT parser
+    treats a mark as neither letter nor number — it ends the run and
+    is skipped — while the QUERY lexer keeps it inside an XML-name
+    token (XML NameChar includes CombiningChar), where it survives
+    normalization and misses the vocabulary. Both behaviors verified
+    against the compiled reference binary (reference_ab.py unicode
+    fuzz, 220/220 strict)."""
+
+    def test_document_tokenizer_splits_at_marks(self):
+        from atire_spark.kernels.tokenizer import tokenize
+
+        assert tokenize("cégurei") == ["ce", "gurei"]
+        # precomposed form is one letter run, normalized
+        assert tokenize("cégurei") == ["cegurei"]
+        assert tokenize("12́34") == ["12", "34"]
+
+    def test_query_lexer_keeps_marks_in_name_tokens(self):
+        from atire_spark.query import _fold_term, _nexi_lex
+
+        assert _nexi_lex("cégurei") == ["cégurei"]
+        # the mark survives normalize (no decomposition to strip) so
+        # the folded term cannot match the normalized vocabulary
+        assert _fold_term("cégurei") == "cégurei"
+        assert _fold_term("cégurei") == "cegurei"
+        # a LEADING mark is skipped like whitespace
+        assert _nexi_lex("́abc") == ["abc"]
+
+    def test_fold_term_cyrillic_case(self):
+        from atire_spark.query import _fold_term
+
+        assert _fold_term("Пона") == (
+            "пона"
+        )  # mixed case normalizes
+        # ALL-uppercase is a tag name, kept verbatim (misses vocab)
+        assert _fold_term("ПОНА") == (
+            "ПОНА"
+        )
