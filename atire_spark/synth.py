@@ -345,3 +345,76 @@ def make_transcripts_unicode(
     return pd.DataFrame(
         rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     )
+
+
+def _bench_chunk(lo: int, hi: int, seed: int) -> pd.DataFrame:
+    """One deterministic chunk of the distributed bench corpus: convs
+    [lo, hi) generated with rng([seed, lo]) — chunk content depends
+    only on its id range, never on partitioning, so any cluster layout
+    produces the identical corpus."""
+    rng = np.random.default_rng([seed, lo])
+    n_convs = hi - lo
+    vocab = np.array([f"term{i:05d}" for i in range(VOCAB_SIZE)])
+    ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+    zipf_p = ranks ** -1.2
+    zipf_p /= zipf_p.sum()
+
+    conv_lens = 1 + rng.poisson(6, size=n_convs)
+    total = int(conv_lens.sum())
+    conv_names = np.array([f"conv{lo + i:07d}" for i in range(n_convs)])
+    conv_of_turn = np.repeat(np.arange(n_convs), conv_lens)
+    starts = np.concatenate(([0], np.cumsum(conv_lens)[:-1]))
+    turn_idx = np.arange(total, dtype=np.int64) - starts[conv_of_turn]
+
+    n_tok = rng.integers(5, 121, size=total)
+    tok_strs = vocab[rng.choice(VOCAB_SIZE, size=int(n_tok.sum()), p=zipf_p)]
+    bounds = np.cumsum(n_tok)[:-1]
+    texts = pd.Series([" ".join(x) for x in np.split(tok_strs, bounds)])
+    stop_mask = rng.random(total) < 0.60
+    stop_pick = np.array(STOP_TERMS)[np.arange(total) % len(STOP_TERMS)]
+    texts = texts.where(~stop_mask, pd.Series(stop_pick) + " " + texts)
+    roles = np.array(ROLES)[rng.integers(0, 3, size=total)]
+    return pd.DataFrame(
+        {
+            "conv_id": conv_names[conv_of_turn],
+            "turn_idx": turn_idx.astype(np.int32),
+            "role": roles,
+            "text": texts.to_numpy(),
+            "tool": None,
+            "ts": pd.Timestamp(BASE_TS)
+            + pd.to_timedelta(lo * 8 + turn_idx, unit="m"),
+        }
+    )
+
+
+def make_transcripts_bench_sdf(
+    spark, n_convs: int, seed: int = SEED, chunk: int = 20000
+):
+    """DISTRIBUTED deterministic bench corpus (10M+ turns): chunk ids
+    fan out over the cluster and every chunk generates its conv range
+    locally (:func:`_bench_chunk`), so no driver-side string
+    materialization and no upload — the generator scales with
+    executors exactly like the build it feeds. 7-digit conv names keep
+    lexicographic == numeric order past 10^6 conversations."""
+    import math
+
+    n_chunks = max(1, math.ceil(n_convs / chunk))
+
+    def gen(batches):
+        for pdf in batches:
+            for cid in pdf["id"]:
+                lo = int(cid) * chunk
+                yield _bench_chunk(lo, min(n_convs, lo + chunk), seed)
+
+    sc = spark.sparkContext
+    return (
+        spark.range(n_chunks)
+        .repartition(min(n_chunks, sc.defaultParallelism * 4))
+        .mapInPandas(
+            gen,
+            schema=(
+                "conv_id string, turn_idx int, role string, text string,"
+                " tool string, ts timestamp"
+            ),
+        )
+    )

@@ -48,6 +48,46 @@ BENCH_QUERIES: list[tuple[str, str]] = [
 ]
 
 
+def build8_worker() -> None:
+    """Subprocess leg: the criterion-shaped pinned local[8] build —
+    its own JVM with process affinity limited to 8 CPUs (a real 8-core
+    executor container has 8 cores for EVERYTHING, including GC and
+    shuffle threads), 140k turns, warmup + median of 3. Prints one
+    JSON line consumed by the parent bench."""
+    import statistics as _st
+
+    if hasattr(os, "sched_setaffinity"):
+        os.sched_setaffinity(0, set(range(8)))
+    from atire_spark.build import build_index, write_index
+    from atire_spark.session import get_spark
+    from atire_spark.synth import make_transcripts_bench
+
+    spark = get_spark(cpus=8, app="bench_build8")
+    pdf = make_transcripts_bench(
+        int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(pdf).repartition(32).write.parquet(
+            f"{tmp}/input"
+        )
+        tdf = spark.read.parquet(f"{tmp}/input")
+        warm = build_index(spark, spark.createDataFrame(pdf.iloc[: len(pdf) // 4]))
+        write_index(warm, f"{tmp}/warmidx", mode="overwrite")
+        runs = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            write_index(build_index(spark, tdf), f"{tmp}/idx", mode="overwrite")
+            runs.append(time.monotonic() - t0)
+    spark.stop()
+    med = _st.median(runs)
+    print(json.dumps({
+        "build_sec_runs": [round(x, 3) for x in runs],
+        "build_sec": round(med, 3),
+        "turns": len(pdf),
+        "turns_per_sec": round(len(pdf) / med, 1),
+    }))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -327,6 +367,34 @@ def main() -> None:
             "turns_per_sec": round(n_turns / sq_sec, 1),
         }
 
+        # ---- expansion paths (thesaurus + stem iterator) ----------------
+        # the distributed expansion rewrite's before/after lives here:
+        # classic thesaurus expansion and the query-side stem iterator
+        # (plain + similarity-gated) over the warm bench index
+        from atire_spark.thesaurus import Thesaurus
+
+        thes = Thesaurus.synonyms(
+            [["alpha", "bravo", "charlie"], ["delta", "echo"]]
+        )
+        exp_queries = [(1, "alpha"), (2, "delta foxtrot"), (3, "omegaterm")]
+        t0 = time.monotonic()
+        eng.search_expanded(exp_queries, thes, k=10).collect()
+        thes_sec = time.monotonic() - t0
+        t0 = time.monotonic()
+        eng.search_stemmed_iterator(exp_queries, stemmer="s", k=10).collect()
+        stem_plain_sec = time.monotonic() - t0
+        t0 = time.monotonic()
+        eng.search_stemmed_iterator(
+            exp_queries, stemmer="s", k=10, similarity="threshold", value=0.1
+        ).collect()
+        stem_threshold_sec = time.monotonic() - t0
+        expansion_block = {
+            "thesaurus_sec": round(thes_sec, 3),
+            "stem_iterator_sec": round(stem_plain_sec, 3),
+            "stem_similarity_threshold_sec": round(stem_threshold_sec, 3),
+            "queries": len(exp_queries),
+        }
+
         # ---- sf-dir corpus end-to-end (driver cross-round signal) -------
         t0 = time.monotonic()
         import __spark_entry__ as entry_mod
@@ -335,6 +403,24 @@ def main() -> None:
         sf_res = sf_eng.search_batch(entry_mod.TESTDATA_QUERIES, k=10)
         sf_rows = sf_res.count()
         sf_sec = time.monotonic() - t0
+
+    # ---- pinned local[8] build (criterion shape) — own JVM ----------
+    import subprocess
+
+    build8 = None
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--build8-worker"],
+            capture_output=True, text=True, timeout=600,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                build8 = json.loads(line)
+                break
+    except Exception as exc:  # never fail the whole bench on this leg
+        build8 = {"error": str(exc)}
 
     p50 = statistics.median(q_secs.values())
     total = round(build_sec + sum(q_secs.values()) + sf_sec, 3)
@@ -351,6 +437,8 @@ def main() -> None:
         "query_p50_sec": round(p50, 4),
         "sf_corpus_sec": round(sf_sec, 3),
         "sf_corpus_rows": sf_rows,
+        "build_local8_pinned": build8,
+        "expansion": expansion_block,
         "qaat_pruning": qaat,
         "qaat_pruning_skewed": qaat_skewed,
         "wand_pruning": wand,
@@ -364,4 +452,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if "--build8-worker" in sys.argv:
+        sys.exit(build8_worker())
     sys.exit(main())
