@@ -3436,37 +3436,37 @@ class SearchEngine:
 
         bases = sorted({b for _, _, b, _, u in gated if u})
         classes_df = None
-        n_class_rows = 0
+        head: list = []
         if bases:
-            classes_df = self._stem_class_candidates_df(
-                bases, stemmer
-            ).persist()
-            n_class_rows = classes_df.count()
-
+            classes_df = self._stem_class_candidates_df(bases, stemmer)
+            # one probe job doubles as the collect: take(cap+1) either
+            # returns the COMPLETE class set (≤ cap rows — the normal
+            # query case) or proves it exceeds the cap
+            head = classes_df.take(class_collect_max + 1)
+        if len(head) <= class_collect_max:
+            return self._stemmed_iter_collected(
+                gated, head, k, similarity, value
+            )
+        classes_df = classes_df.persist()
         try:
-            if n_class_rows <= class_collect_max:
-                return self._stemmed_iter_collected(
-                    gated, classes_df, k, similarity, value
-                )
             return self._stemmed_iter_distributed(
                 gated, classes_df, k, similarity, value
             )
         finally:
-            if classes_df is not None:
-                classes_df.unpersist()
+            classes_df.unpersist()
 
     def _stemmed_iter_collected(
-        self, gated, classes_df, k, similarity, value
+        self, gated, class_rows, k, similarity, value
     ) -> DataFrame:
-        """Query-bounded classes: collect members (≤ class_collect_max
-        rows), gate with driver logic, push the member list down as an
-        In filter — the fast path for real queries."""
+        """Query-bounded classes: the pre-collected (base, term) rows
+        (≤ class_collect_max), gated with driver logic, member list
+        pushed down as an In filter — the fast path for real
+        queries."""
         classes: dict[str, list[str]] = {}
-        if classes_df is not None:
-            for r in classes_df.collect():
-                classes.setdefault(r["base"], []).append(r["term"])
-            for terms in classes.values():
-                terms.sort()  # btree order
+        for r in class_rows:
+            classes.setdefault(r["base"], []).append(r["term"])
+        for terms in classes.values():
+            terms.sort()  # btree order
 
         groups: dict[tuple[int, int], tuple[int, list[tuple[str, float]]]] = {}
         if similarity is not None:
