@@ -40,11 +40,23 @@ def soundex(term: str) -> str:
     ('9'), a repeat of the previous letter's code, or a repeat of the
     last APPENDED code across an h/w separator.  Result is always 4
     chars, '0'-padded.  Characters outside a-z are skipped (the
-    reference's ANT_isalpha gate); the first char must be a-z (the
-    stemmer gates guarantee that).
+    reference's ANT_isalpha gate).
+
+    A first char outside a-z: the QUERY-side stem gate excludes such
+    terms, but the INDEX side stems every WORD token longer than 3
+    bytes (index_document.c:103-111) — the reference then evaluates
+    ``soundex_val[*what - 'a']`` with a negative index (signed char ×
+    UTF-8 lead byte), an out-of-bounds read of whatever rodata
+    precedes the table. A clean engine cannot reproduce an
+    out-of-bounds read; we keep the DEFINED part (first character
+    verbatim, later a-z letters coded) and initialize the suppression
+    state as a vowel ('0'), i.e. nothing suppressed. Such terms are
+    excluded from strict A/B like the other characterized reference
+    UB paths.
     """
     out = [term[0], "0", "0", "0"]
-    last = _SOUNDEX_VAL[ord(term[0]) - 97]
+    o0 = ord(term[0])
+    last = _SOUNDEX_VAL[o0 - 97] if 97 <= o0 <= 122 else "0"
     last_coded = ""
     n_out = 1
     for ch in term[1:]:
