@@ -39,6 +39,16 @@ def main() -> None:
         "termination in cli_search",
     )
     ap.add_argument(
+        "--static-prune-k",
+        type=int,
+        metavar="K",
+        help="the reference's -K: statically prune each term's "
+        "impact-ordered postings to its first K at index level "
+        "(memory_index.c:545-546; records ~trimpoint) — applied as a "
+        "post-build index rewrite, the checkpointed tables stay "
+        "un-pruned for resume",
+    )
+    ap.add_argument(
         "--topsig",
         metavar="W:D",
         help="also build a TopSig signature index of width W bits and "
@@ -78,6 +88,14 @@ def main() -> None:
             )
         ),
     )
+    if args.static_prune_k:
+        from atire_spark.build import write_index
+        from atire_spark.prune import static_prune_index
+
+        pruned = static_prune_index(spark, tables, args.static_prune_k)
+        pruned.build_log = tables.build_log
+        write_index(pruned, f"{args.workdir}/index_pruned")
+        tables = pruned
     wall = time.monotonic() - t0
     topsig_info = None
     if args.topsig:
