@@ -777,31 +777,6 @@ def assign_docids(tokenized: DataFrame, num_ranges: int | None = None) -> DataFr
     return parts.mapInPandas(fn, schema="docid long, " + TOKENIZED_SCHEMA)
 
 
-def _staged_select(
-    staged: DataFrame, offsets: dict[int, int], *cols: str
-) -> DataFrame:
-    """(docid, *cols) off the staged parquet — parquet column pruning
-    reads only the requested columns; no Python.
-
-    docid = offsets[pid] + local_idx via a broadcast join against the
-    tiny (pid, offset) table: a create_map literal of one entry per
-    range partition would bloat the plan at 10^6 partitions."""
-    spark = staged.sparkSession
-    off = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in sorted(offsets.items())],
-        "pid int, docid_offset long",
-    )
-    return staged.join(F.broadcast(off), "pid").select(
-        (F.col("docid_offset") + F.col("local_idx")).cast("long").alias("docid"),
-        *cols,
-    )
-
-
-def _docmap_from_staged(staged: DataFrame, offsets: dict[int, int]) -> DataFrame:
-    """docmap straight off the staged parquet (four scalar columns)."""
-    return _staged_select(staged, offsets, "conv_id", "turn_idx", "doc_len")
-
-
 def _stage1_from_staged(
     staged: DataFrame, offsets: dict[int, int], block_bits: int
 ) -> DataFrame:
