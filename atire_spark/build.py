@@ -1157,16 +1157,21 @@ def _minmax_from_joined(
     def minmax_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mn, mx = np.inf, -np.inf
         for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                rsv = raw_rsv(
-                    np.asarray(row.tfs, dtype=np.int64),
-                    np.asarray(row.lens, dtype=np.int64),
-                    int(row.df),
-                    n_docs,
-                    mean_doc_len,
-                )
-                mn = min(mn, float(rsv.min()))
-                mx = max(mx, float(rsv.max()))
+            counts = pdf["tfs"].str.len().to_numpy(dtype=np.int64)
+            if not counts.sum():
+                continue
+            # one vectorized rsv over the whole batch's flattened
+            # postings (df repeated per posting) — elementwise
+            # identical to the per-row evaluation
+            rsv = raw_rsv(
+                np.concatenate(pdf["tfs"].to_numpy()).astype(np.int64),
+                np.concatenate(pdf["lens"].to_numpy()).astype(np.int64),
+                np.repeat(pdf["df"].to_numpy(np.int64), counts),
+                n_docs,
+                mean_doc_len,
+            )
+            mn = min(mn, float(rsv.min()))
+            mx = max(mx, float(rsv.max()))
         if np.isfinite(mn):
             yield pd.DataFrame({"mn": [mn], "mx": [mx]})
 

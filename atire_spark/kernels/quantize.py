@@ -64,7 +64,9 @@ def raw_rsv(
     prior = (
         k1 * ((1.0 - b) + b * (lens / (mean_doc_len + 1.0)))
     ).astype(np.float32)
-    idf = float(np.log(np.float64(n_docs) / np.float64(df)))
+    # df may be a scalar (one term's postings) or a per-posting array
+    # (the -Q min/max pass feeds whole batches of mixed terms)
+    idf = np.log(np.float64(n_docs) / np.asarray(df, dtype=np.float64))
     return idf * ((tf_d * (k1 + 1.0)) / (tf_d + prior.astype(np.float64)))
 
 
