@@ -199,14 +199,57 @@ SIDE_TOKENS_SCHEMA = (
     "occs array<int>"
 )
 KEYS_SCHEMA = "conv_id string, turn_idx int, doc_len long"
-# docmaps up to this many rows broadcast in the docid join (pass 3);
-# larger corpora fall back to a shuffle join — the same single payload
-# shuffle the classic range-staged path pays, so scale posture is
-# unchanged, while every corpus under the threshold (including each
-# PART of a split+merge build, the reference's own recipe for 100 GB+
-# collections, reference README.md:78-86) skips the payload shuffle
-# entirely
+# docmaps up to this many rows MAY broadcast in the docid join
+# (pass 3); larger corpora fall back to a shuffle join — the same
+# single payload shuffle the classic range-staged path pays, so scale
+# posture is unchanged, while every corpus under the threshold
+# (including each PART of a split+merge build, the reference's own
+# recipe for 100 GB+ collections, reference README.md:78-86) skips the
+# payload shuffle entirely. The HARD cap below is gated by the actual
+# driver heap at build time (:func:`docmap_broadcast_max`): the driver
+# must collect + serialize the whole (conv_id, turn_idx, docid) table,
+# so a fixed 20M-row constant would OOM a default-memory driver long
+# before the cap.
 BROADCAST_DOCMAP_MAX = 20_000_000
+# conservative serialized row estimate for the broadcast docmap:
+# ~24 B conv_id string payload + 2 longs + JVM object/row overhead
+_DOCMAP_ROW_BYTES = 96
+# never let the broadcast table claim more than this share of the
+# driver heap (the same table also exists row-collected during the
+# broadcast build, so the true peak is a small multiple of the
+# serialized size)
+_DOCMAP_HEAP_FRACTION = 0.05
+
+
+def _parse_jvm_mem(s: str) -> int:
+    """``spark.driver.memory``-style size string → bytes (JVM -Xmx
+    suffixes: k/m/g/t, case-insensitive; bare number = bytes)."""
+    s = s.strip().lower()
+    mult = 1
+    for suffix, m in (("k", 2**10), ("m", 2**20), ("g", 2**30), ("t", 2**40)):
+        if s.endswith(suffix):
+            mult, s = m, s[:-1]
+            break
+    return int(float(s) * mult)
+
+
+def docmap_broadcast_max(spark: SparkSession) -> int:
+    """Row threshold for broadcasting the docmap in the pass-3 docid
+    join: at most ``BROADCAST_DOCMAP_MAX`` rows AND at most
+    ``_DOCMAP_HEAP_FRACTION`` of the configured driver heap at
+    ``_DOCMAP_ROW_BYTES``/row (48g driver → the full 20M cap; a 2g
+    default driver → ~1.1M rows, well clear of OOM). Above the
+    threshold pass 3 uses a shuffle join (tested path)."""
+    try:
+        mem = _parse_jvm_mem(spark.conf.get("spark.driver.memory", "2g"))
+    except Exception:
+        mem = 2 * 2**30
+    return int(
+        min(
+            BROADCAST_DOCMAP_MAX,
+            mem * _DOCMAP_HEAP_FRACTION // _DOCMAP_ROW_BYTES,
+        )
+    )
 
 
 def _doc_term_counts(
@@ -679,9 +722,16 @@ def _stage_sorted(
             pdf.insert(0, "pid", bucket)
             yield pdf
 
-    non_empty = tokenized.filter(F.col("doc_len") > 0)
+    # ALL rows (including empty-tokenizing turns) flow through assign
+    # and the stamp's duplicate check below: NULL-key and duplicate-key
+    # acceptance is exhaustive and deterministic for every input row —
+    # never dependent on whether a doc_len==0 row happened to be
+    # sampled or filtered first (matching _tokenize_sidewrite /
+    # _docids_from_keys on the fast path). Empty rows carry empty token
+    # arrays, so shipping them through the key shuffle is ~free; they
+    # are dropped AFTER the check, before staging.
     parts = (
-        non_empty.mapInPandas(assign, schema="pid int, " + TOKENIZED_SCHEMA)
+        tokenized.mapInPandas(assign, schema="pid int, " + TOKENIZED_SCHEMA)
         .repartition(n_parts, "pid")
         .sortWithinPartitions("pid", "conv_id", "turn_idx")
     )
@@ -718,16 +768,24 @@ def _stage_sorted(
                     )
                 prev_key = (conv_k[-1], turn_k[-1])
             idx = np.zeros(len(pdf), dtype=np.int64)
+            keep = np.ones(len(pdf), dtype=bool)
             if len(pdf):
+                # empty docs were dup-checked above but never consume a
+                # docid (reference atire/index.c:533-540): local_idx is
+                # dense over the doc_len > 0 survivors only, and the
+                # empty rows are dropped from the staged output here
+                keep = pdf["doc_len"].to_numpy(np.int64) > 0
                 change = np.flatnonzero(np.diff(b)) + 1
                 starts = np.concatenate(([0], change))
                 ends = np.concatenate((change, [len(b)]))
                 for s, e in zip(starts, ends):
                     base = seen.get(int(b[s]), 0)
-                    idx[s:e] = base + np.arange(e - s, dtype=np.int64)
-                    seen[int(b[s])] = base + int(e - s)
+                    k = keep[s:e]
+                    nk = int(k.sum())
+                    idx[s:e][k] = base + np.arange(nk, dtype=np.int64)
+                    seen[int(b[s])] = base + nk
             pdf.insert(1, "local_idx", idx)
-            yield pdf
+            yield pdf.loc[keep]
 
     parts.mapInPandas(
         stamp, schema="pid int, local_idx long, " + TOKENIZED_SCHEMA
@@ -1373,12 +1431,15 @@ def build_index(
     corpus size and cluster parallelism (:func:`_adaptive_block_bits`);
     pass an explicit value to pin the layout (tests do).
 
-    ``stage_dir`` holds the sorted tokenized staging parquet and the
-    encoded segment staging parquet (durable intermediates: tokenize,
-    the global sort and the segment encode never re-run; together a
-    coarse checkpoint). Defaults to a temp dir that must outlive the
-    returned lazy DataFrames — after :func:`write_index` it can be
-    deleted.
+    ``stage_dir`` holds the per-build staging parquet: the side-written
+    token arrays (cleared at the start of every build — they are
+    per-run output, not a resume point) and the encoded segment staging
+    parquet (written once per build; downstream actions re-read it
+    rather than re-encoding). For a RESUMABLE build use
+    :func:`atire_spark.checkpoint.build_index_checkpointed`, whose
+    workdir is the durable checkpoint. Defaults to a temp dir that must
+    outlive the returned lazy DataFrames — after :func:`write_index` it
+    can be deleted.
 
     ``quantize_bits`` switches on the reference's -Q mode (an int bit
     width, or ``"auto"`` for the reference's collection-size formula
@@ -1431,6 +1492,15 @@ def build_index(
 
     tokens_dir = f"{stage_dir}/tokens"
     _os.makedirs(tokens_dir, exist_ok=True)
+    # a reused stage_dir from a PRIOR build may hold more part files
+    # than this run's input has partitions; spark.read.parquet would
+    # silently mix the stale parts in (duplicate postings the key
+    # check cannot see — the keys table IS overwritten). The token
+    # side-write is per-build output, not a resume checkpoint (that is
+    # checkpoint.py's workdir), so clear the directory first.
+    for stale in _os.listdir(tokens_dir):
+        if stale.startswith(("part-", ".part-")):
+            _os.remove(f"{tokens_dir}/{stale}")
     keys = _tokenize_sidewrite(
         transcripts,
         tokens_dir,
@@ -1459,7 +1529,7 @@ def build_index(
         )
 
     # ---- pass 3: join docids onto the side-written token arrays
-    # (broadcast under BROADCAST_DOCMAP_MAX — no payload shuffle at
+    # (broadcast under docmap_broadcast_max — no payload shuffle at
     # all; above it, a plain shuffle join = the one payload shuffle
     # any globally-keyed design pays) and build postings
     if n_total == 0:
@@ -1467,7 +1537,7 @@ def build_index(
     else:
         tokens = spark.read.parquet(tokens_dir)
     dm_key = docmap.select("conv_id", "turn_idx", "docid")
-    if n_total <= BROADCAST_DOCMAP_MAX:
+    if n_total <= docmap_broadcast_max(spark):
         dm_key = F.broadcast(dm_key)
     joined_tokens = tokens.join(dm_key, ["conv_id", "turn_idx"]).select(
         "docid", "doc_len", "terms", "occs"

@@ -62,7 +62,20 @@ def _list_array(offsets: np.ndarray, values: pa.Array) -> pa.ListArray:
 
 def _binary_array(data: bytes, offsets: np.ndarray) -> pa.Array:
     """Variable-binary column over one contiguous buffer: group i's
-    value is data[offsets[i]:offsets[i+1]] — zero copies."""
+    value is data[offsets[i]:offsets[i+1]] — zero copies.
+
+    pa.binary() offsets are int32; an unchecked ``astype`` would WRAP
+    silently if one encode partition's blob crosses 2 GiB (possible on
+    the merge path, whose encode has no n_shuffle sizing), corrupting
+    every group after the wrap. Raise loudly instead — the fix is more
+    encode partitions (or a large_binary schema migration)."""
+    if len(offsets) and int(offsets[-1]) > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"segment binary column is {int(offsets[-1])} bytes in one "
+            "encode partition — exceeds the 2 GiB pa.binary() offset "
+            "range; raise the encode partition count (n_shuffle) so "
+            "each partition's postings/doc_lens blob stays under 2 GiB"
+        )
     return pa.Array.from_buffers(
         pa.binary(),
         len(offsets) - 1,

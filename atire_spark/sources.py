@@ -220,10 +220,14 @@ def read_tsv(spark: SparkSession, path: str) -> DataFrame:
                 continue
             first = line.find("\t")
             if first < 0:
-                continue  # directory_iterator_tsv.c:101 (no name field)
+                # directory_iterator_tsv.c:101 — next() returns NULL on
+                # a line with no name field, which ENDS iteration of
+                # the whole file in the reference; match that (a skip
+                # would index a different document set on bad input)
+                return
             second = line.find("\t", first + 1)
             if second < 0:
-                continue  # :104 (no url field)
+                return  # :104 (no url field) — same NULL/stop semantics
             yield (line[:first], 0, line[second + 1 :])
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")

@@ -602,6 +602,18 @@ def fuzz(
             if any(docid in longest for docid, _ in hits[:17])
         }
         skipped_longest = len(bad)
+        # skip CEILING: the exclusion is a narrow boundary-bug filter,
+        # not a coverage valve — if it ever ate more than half the
+        # query set (e.g. a corpus where the longest doc tops every
+        # ranking), the reported n_queries would overstate what was
+        # actually asserted, so fail loudly instead of shrinking
+        if skipped_longest > len(queries) // 2:
+            raise RuntimeError(
+                f"feedback fuzz: longest-doc exclusion removed "
+                f"{skipped_longest}/{len(queries)} queries — coverage "
+                "too low to certify; regenerate the corpus (vary text "
+                "lengths) instead of asserting the remainder"
+            )
         queries = [q for q in queries if q[0] not in bad]
         # re-run the reference on the filtered set (hit blocks align
         # positionally with the query list)
@@ -636,6 +648,13 @@ def fuzz(
         "feedback": feedback,
         "skipped_longest_doc_boundary": skipped_longest,
         "seed": seed,
+        # asserted coverage is explicit: `queries` counts only the
+        # strictly-asserted set (post-exclusion); the generated size is
+        # queries + skipped_longest_doc_boundary
+        "queries_generated": len(queries) + skipped_longest,
+        "asserted_coverage_pct": round(
+            100.0 * len(queries) / max(len(queries) + skipped_longest, 1), 1
+        ),
         "queries": len(queries),
         "matched": len(queries) - len(mismatches),
         "mismatches": mismatches,

@@ -253,9 +253,7 @@ class TestTsvDeflate:
     LINES = [
         "doc-a\thttp://x/a\talpha bravo\tcharlie",
         "doc-b\thttp://x/b\tbravo delta",
-        "noname-line-without-tabs",
         "doc-c\thttp://x/c\talpha alpha echo",
-        "doc-d-only-name\thttp://x/d",  # no second tab -> skipped
         "doc-e\thttp://x/e\tcharlie delta echo foxtrot",
     ]
 
@@ -305,6 +303,25 @@ class TestTsvDeflate:
     def test_plain_tsv_falls_through(self, spark):
         raw = ("\n".join(self.LINES) + "\n").encode()
         self._roundtrip(spark, raw, "anchors.tsv")
+
+    def test_malformed_line_stops_the_file(self, spark):
+        """A line missing the name or url tab ENDS iteration of that
+        file — directory_iterator_tsv.c:101,104 return NULL there, and
+        NULL terminates the reference's read loop, so documents after
+        the malformed line must not be indexed (a skip would make the
+        two engines index different document sets on bad input)."""
+        from atire_spark.sources import read_tsv
+
+        for bad in ("noname-line-without-tabs", "doc-x-only-name\thttp://x/x"):
+            lines = self.LINES[:2] + [bad] + self.LINES[2:]
+            with tempfile.TemporaryDirectory() as tmp:
+                p = os.path.join(tmp, "anchors.tsv")
+                with open(p, "wb") as fh:
+                    fh.write(("\n".join(lines) + "\n").encode())
+                got = sorted(
+                    r.conv_id for r in read_tsv(spark, p).collect()
+                )
+            assert got == ["doc-a", "doc-b"]
 
     def test_tsv_source_builds_identical_index(self, spark):
         """The deflated-TSV corpus builds the same postings as the
