@@ -853,10 +853,6 @@ def parse_query(
 
 
 class SearchEngine:
-    # upper bound on driver-collected (term, seg_group) trim metadata
-    # rows; see _trim_takes
-    TRIM_META_LIMIT = 1_000_000
-
     def __init__(
         self,
         spark: SparkSession,
@@ -915,66 +911,63 @@ class SearchEngine:
     def search_one(self, query: str, k: int = 10) -> DataFrame:
         return self.search_batch([(1, query)], k)
 
-    def _trim_takes(
-        self, hits: DataFrame, wanted: dict[str, set[int]]
-    ) -> dict[tuple[str, int, int], np.ndarray]:
-        """Per-(term, seg_group) quantum take-counts realizing the
-        reference's partial read to the trim point
-        (search_engine.c:1040-1070): walk the term's quantums in
-        GLOBAL impact-descending order (within an impact value the
-        segments' docid ranges ascend), decode whole quantums until
-        the trim point, truncating the crossing quantum mid-stream.
+    def _with_trim_cum(self, hits: DataFrame) -> DataFrame:
+        """Attach a ``cum_before`` array column (aligned with
+        ``impacts``) to every segment row: the count of the term's
+        postings in all quantums that sort STRICTLY BEFORE this one in
+        global impact-descending order (within an impact value the
+        segments' docid ranges ascend) — the reference's read cursor
+        position when it reaches the quantum (search_engine.c:
+        1040-1070). The per-quantum take for a trim point ``K`` is then
+        pure worker-side arithmetic, ``min(count, max(K - cum_before,
+        0))``: whole quantums decode until the trim point and the
+        crossing quantum truncates mid-stream, identical to the
+        reference's partial read.
 
-        Only segment METADATA (impacts[], doc_counts[]) is collected —
-        the reference likewise reads the whole impact header before
-        deciding where to stop; posting bytes stay distributed.  The
-        collect is bounded by ``TRIM_META_LIMIT`` rows (per-term
-        segment counts scale with collection size; a head term at
-        web scale can exceed the driver's comfort, in which case trim
-        should be precomputed at build time instead — the limit turns
-        a silent driver hotspot into an explicit error).
+        Fully distributed: per-term exclusive prefix sums run in a
+        metadata-only ``applyInPandas`` (impacts[], doc_counts[] —
+        posting bytes never move), then join back on the narrow
+        (term, seg_group) key. Nothing is collected to the driver, so
+        there is no metadata row limit at any collection size; the
+        widest task holds one head term's impact headers (~segments ×
+        quantums ints), the same working set the reference's in-RAM
+        header walk touches.
         """
-        meta_df = hits.filter(F.col("term").isin(list(wanted))).select(
-            "term", "seg_group", "impacts", "doc_counts"
-        )
-        n_meta = meta_df.count()
-        if n_meta > self.TRIM_META_LIMIT:
-            raise RuntimeError(
-                f"trim metadata rows ({n_meta}) exceed TRIM_META_LIMIT"
-                f" ({self.TRIM_META_LIMIT}); precompute trim takes at"
-                " build time for collections this large"
+        meta = hits.select("term", "seg_group", "impacts", "doc_counts")
+
+        def cum_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_row = pdf["impacts"].map(len).to_numpy(np.int64)
+            sg = np.repeat(pdf["seg_group"].to_numpy(np.int64), per_row)
+            if per_row.sum():
+                imp = np.concatenate(
+                    [np.asarray(x, np.int64) for x in pdf["impacts"]]
+                )
+                cnt = np.concatenate(
+                    [np.asarray(x, np.int64) for x in pdf["doc_counts"]]
+                )
+                gi = np.concatenate(
+                    [np.arange(n, dtype=np.int64) for n in per_row]
+                )
+            else:
+                imp = cnt = gi = np.empty(0, dtype=np.int64)
+            order = np.lexsort((gi, sg, -imp))
+            cum = np.empty(len(order), dtype=np.int64)
+            c = np.concatenate(([0], np.cumsum(cnt[order])[:-1]))
+            cum[order] = c
+            bounds = np.cumsum(per_row)[:-1]
+            return pd.DataFrame(
+                {
+                    "term": pdf["term"],
+                    "seg_group": pdf["seg_group"],
+                    "cum_before": np.split(cum, bounds),
+                }
             )
-        meta = meta_df.collect()
-        per_term: dict[str, list] = {}
-        for r in meta:
-            per_term.setdefault(r["term"], []).append(r)
-        takes: dict[tuple[str, int, int], np.ndarray] = {}
-        for term, rows in per_term.items():
-            quanta = []  # (impact, seg_group, quantum_idx, count)
-            for r in rows:
-                sg = int(r["seg_group"])
-                for gi, (imp, cnt) in enumerate(
-                    zip(r["impacts"], r["doc_counts"])
-                ):
-                    quanta.append((int(imp), sg, gi, int(cnt)))
-            quanta.sort(key=lambda x: (-x[0], x[1], x[2]))
-            for trim in wanted[term]:
-                remaining = trim
-                take_map: dict[tuple[int, int], int] = {}
-                for imp, sg, gi, cnt in quanta:
-                    t = min(cnt, max(remaining, 0))
-                    take_map[(sg, gi)] = t
-                    remaining -= cnt
-                for r in rows:
-                    sg = int(r["seg_group"])
-                    takes[(term, trim, sg)] = np.asarray(
-                        [
-                            take_map[(sg, gi)]
-                            for gi in range(len(r["impacts"]))
-                        ],
-                        dtype=np.int64,
-                    )
-        return takes
+
+        cum_df = meta.groupBy("term").applyInPandas(
+            cum_fn,
+            schema="term string, seg_group long, cum_before array<long>",
+        )
+        return hits.join(cum_df, ["term", "seg_group"])
 
     def search_batch(
         self,
@@ -1114,16 +1107,12 @@ class SearchEngine:
             if eff is not None:
                 for term, _w, _p in plist:
                     trim_for[(qid, term)] = eff
-        takes: dict[tuple[str, int, int], np.ndarray] = {}
         if trim_for:
             if not grouped:
                 raise ValueError(
                     "read-side trims require the grouped (default) path"
                 )
-            wanted: dict[str, set[int]] = {}
-            for (qid, term), tr in trim_for.items():
-                wanted.setdefault(term, set()).add(tr)
-            takes = self._trim_takes(hits, wanted)
+            hits = self._with_trim_cum(hits)
 
         n_docs = self.n_docs
         mean_len = self.mean_doc_len
@@ -1141,7 +1130,7 @@ class SearchEngine:
         if grouped:
             return self._search_grouped(
                 hits, qmap, nq, n_terms_per_q, k, ranker, conjunctive,
-                trim_for, takes, term_aux,
+                trim_for, term_aux,
             )
 
         def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1768,7 +1757,6 @@ class SearchEngine:
         ranker: str,
         conjunctive: bool,
         trim_for: dict[tuple[int, str], int] | None = None,
-        takes: dict[tuple[str, int, int], np.ndarray] | None = None,
         term_aux: dict | None = None,
     ) -> DataFrame:
         """Scale path (default): partition by seg_group so every docid's
@@ -1815,13 +1803,25 @@ class SearchEngine:
                             else None
                         )
                         if tr not in decs:
-                            tk = (
-                                takes.get(
-                                    (row.term, tr, int(row.seg_group))
+                            if tr is not None:
+                                # take to the trim point: cum_before is
+                                # the term-global read position at this
+                                # quantum (see _with_trim_cum)
+                                cnt = np.asarray(
+                                    row.doc_counts, dtype=np.int64
                                 )
-                                if tr is not None
-                                else None
-                            )
+                                tk = np.minimum(
+                                    cnt,
+                                    np.maximum(
+                                        tr
+                                        - np.asarray(
+                                            row.cum_before, dtype=np.int64
+                                        ),
+                                        0,
+                                    ),
+                                )
+                            else:
+                                tk = None
                             decs[tr] = _segment_contrib(
                                 row, ranker, conjunctive, quantized,
                                 n_docs, mean_len, coll_len,

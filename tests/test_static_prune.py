@@ -110,3 +110,63 @@ def test_roundtrip_decode_matches_topk_slice(spark, engines):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), fdf.reset_index(drop=True)
     )
+
+
+def test_distributed_trim_cum_matches_bruteforce(spark):
+    """The distributed cum_before computation (_with_trim_cum) must
+    realize the reference's global impact-descending read order
+    exactly: take(quantum) == min(count, max(K - cum_before, 0))
+    computed against a driver-side brute-force walk of the same
+    metadata, across a multi-segment index and several trim points."""
+    # many docs + tiny blocks -> every term spans multiple segments
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:03d}" for i in range(64)],
+            "turn_idx": [0] * 64,
+            "text": [
+                " ".join(
+                    ["common"] * (1 + i % 5)
+                    + ["mid"] * (i % 3)
+                    + ["tail"] * (1 if i % 4 == 0 else 0)
+                )
+                for i in range(64)
+            ],
+        }
+    )
+    idx = build_index(spark, spark.createDataFrame(pdf), block_bits=3)
+    eng = SearchEngine(spark, idx)
+    hits = idx.postings.filter(
+        idx.postings.term.isin(["common", "mid", "tail"])
+    )
+    joined = {
+        (r["term"], int(r["seg_group"])): r
+        for r in eng._with_trim_cum(hits).collect()
+    }
+    meta = hits.select(
+        "term", "seg_group", "impacts", "doc_counts"
+    ).collect()
+    per_term: dict[str, list] = {}
+    for r in meta:
+        per_term.setdefault(r["term"], []).append(r)
+    assert any(len(rows) > 1 for rows in per_term.values())
+    for trim in (1, 3, 7, 100):
+        for term, rows in per_term.items():
+            quanta = []
+            for r in rows:
+                for gi, (imp, cnt) in enumerate(
+                    zip(r["impacts"], r["doc_counts"])
+                ):
+                    quanta.append((int(imp), int(r["seg_group"]), gi, cnt))
+            quanta.sort(key=lambda x: (-x[0], x[1], x[2]))
+            remaining, want = trim, {}
+            for imp, sg, gi, cnt in quanta:
+                want[(sg, gi)] = min(cnt, max(remaining, 0))
+                remaining -= cnt
+            for r in rows:
+                sg = int(r["seg_group"])
+                cum = np.asarray(joined[(term, sg)]["cum_before"])
+                cnt = np.asarray(r["doc_counts"])
+                got = np.minimum(cnt, np.maximum(trim - cum, 0))
+                assert list(got) == [
+                    want[(sg, gi)] for gi in range(len(cnt))
+                ], (term, sg, trim)
