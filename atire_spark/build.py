@@ -1501,6 +1501,9 @@ def build_index(
     for stale in _os.listdir(tokens_dir):
         if stale.startswith(("part-", ".part-")):
             _os.remove(f"{tokens_dir}/{stale}")
+    from pyspark import StorageLevel
+
+    registry: list = []
     keys = _tokenize_sidewrite(
         transcripts,
         tokens_dir,
@@ -1509,19 +1512,31 @@ def build_index(
         cjk_bigrams=cjk_bigrams,
         cjk_segmenter=cjk_segmenter,
     )
-    keys.write.mode("overwrite").parquet(f"{stage_dir}/keys")
-    keys_df = spark.read.parquet(f"{stage_dir}/keys")
+    # materialize pass 1 exactly once into the block cache (the rows
+    # are three scalar columns — tiny next to the side-written token
+    # payload; MEMORY_AND_DISK spills per executor at cluster scale):
+    # the range partitioner's sampling pass and the key shuffle then
+    # read the cache instead of re-running the tokenizer, with no
+    # staging-parquet write+read round-trip on the build's hot path
+    keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
+    keys.count()
 
     # ---- pass 2: global docid assignment over the narrow keys (a
     # three-scalar-column shuffle; repartitionByRange's sampling pass
-    # reads the keys parquet, not the tokenizer)
+    # reads the key cache, not the tokenizer)
     n_parts = max(spark.sparkContext.defaultParallelism, 4)
     key_parts, docmap_rows, n_total, coll_len = _docids_from_keys(
-        keys_df, n_parts
+        keys, n_parts
     )
-    docmap_rows.write.mode("overwrite").parquet(f"{stage_dir}/docmap")
-    key_parts.unpersist()
-    docmap = spark.read.parquet(f"{stage_dir}/docmap")
+    # key_parts (sorted narrow partitions) stays persisted: the docmap
+    # is a cheap vectorized stamp over it, recomputed lazily by its
+    # two consumers (the pass-3 broadcast collect and the final
+    # write_index docmap write) — cheaper than a stage-parquet
+    # write+read pair. The pass-1 cache is no longer needed once the
+    # sorted partitions are materialized.
+    keys.unpersist()
+    registry.append(key_parts)
+    docmap = docmap_rows
 
     if block_bits is None:
         block_bits = _adaptive_block_bits(
@@ -1545,7 +1560,6 @@ def build_index(
     tok_staged = joined_tokens
     stage1 = _stage1_from_tokens(joined_tokens, block_bits)
 
-    registry: list = []
     keep = _cull_predicate(
         max(n_total, 1),
         cull_cf_singletons,

@@ -906,6 +906,18 @@ class SearchEngine:
         self.postings = index.postings
         if cache:
             self.postings = self.postings.cache()
+        # stemmer → persisted (term, stem, cprefix) vocabulary map;
+        # see precompute_stem_classes
+        self._stem_class_tables: dict[str, DataFrame] = {}
+        # persisted conflation intermediates backing the most recent
+        # stem-iterator result frame (released on the next call)
+        self._iter_conf_cache: list[DataFrame] = []
+        # driver caches over pure functions of the immutable index:
+        # (stemmer, base) → sorted class members; (base, cand) → sim;
+        # member signature → conflated df (see _stemmed_iter_score)
+        self._class_member_cache: dict[tuple[str, str], list[str]] = {}
+        self._pair_sim_cache: dict[tuple[str, str], float] = {}
+        self._class_df_cache: dict[tuple, int] = {}
 
     # ------------------------------------------------------------------
     def search_one(self, query: str, k: int = 10) -> DataFrame:
@@ -3174,6 +3186,47 @@ class SearchEngine:
         return self._rank_topk(accum, k)
 
     # ------------------------------------------------------------------
+    def precompute_stem_classes(self, stemmer: str) -> DataFrame:
+        """Materialize the vocabulary → stem-class map for ``stemmer``
+        once per engine (a pure function of the vocabulary — the
+        reference's in-process btree iterator pays nothing per query
+        because the vocabulary is resident, stemmer.c:14-48; this is
+        the Spark analogue: pay the full-vocabulary stem pass once,
+        then every stem-iterator query is a pushed filter over the
+        persisted map instead of a distinct + stem scan of the
+        postings). Returns the persisted (term, stem, cprefix) frame;
+        idempotent per stemmer. At cluster scale the same table can be
+        written next to the index (it is ~vocabulary-sized) and
+        reloaded instead of recomputed."""
+        cached = self._stem_class_tables.get(stemmer)
+        if cached is not None:
+            return cached
+        from atire_spark.kernels.stem import _STEM_FN, class_prefix
+
+        fn = _STEM_FN[stemmer]
+
+        def map_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                terms = list(pdf["term"])
+                stems = [fn(t) for t in terms]
+                yield pd.DataFrame(
+                    {
+                        "term": terms,
+                        "stem": stems,
+                        "cprefix": [class_prefix(stemmer, s) for s in stems],
+                    }
+                )
+
+        tab = (
+            self.postings.select("term")
+            .distinct()
+            .mapInPandas(map_fn, "term string, stem string, cprefix string")
+            .persist()
+        )
+        tab.count()
+        self._stem_class_tables[stemmer] = tab
+        return tab
+
     def _stem_class_candidates_df(
         self, bases: list[str], stemmer: str
     ) -> DataFrame:
@@ -3203,6 +3256,22 @@ class SearchEngine:
         prefixes = sorted({class_prefix(stemmer, s) for s in stems})
         if not prefixes:
             return self.spark.createDataFrame([], "base string, term string")
+
+        precomp = self._stem_class_tables.get(stemmer)
+        if precomp is not None:
+            # the map already holds every term's stem + class prefix:
+            # candidates are a pushed filter over the persisted table
+            matched = precomp.filter(
+                F.col("stem").isin(stems)
+                & F.col("term").startswith(F.col("cprefix"))
+            ).select("term", "stem")
+            base_tab = self.spark.createDataFrame(
+                [(b, s) for b, s in sorted(base_stems.items())],
+                "base string, stem string",
+            )
+            return matched.join(F.broadcast(base_tab), "stem").select(
+                "base", "term"
+            )
         cond = F.col("term").startswith(prefixes[0])
         for s in prefixes[1:]:
             cond = cond | F.col("term").startswith(s)
@@ -3414,6 +3483,11 @@ class SearchEngine:
                 "this index was built with ~stemmer "
                 f"{self.stemmer!r}; the iterator must use the same"
             )
+        # release the conflation intermediates pinned for the PREVIOUS
+        # iterator result (its frame has been consumed by now)
+        for old in self._iter_conf_cache:
+            old.unpersist()
+        self._iter_conf_cache.clear()
         if self.quantized:
             raise ValueError(
                 "stem conflation needs raw term frequencies; the index "
@@ -3435,19 +3509,48 @@ class SearchEngine:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
 
         bases = sorted({b for _, _, b, _, u in gated if u})
-        classes_df = None
-        head: list = []
+        overflow = False
+        classes: dict[str, list[str]] = {}
         if bases:
-            classes_df = self._stem_class_candidates_df(bases, stemmer)
-            # one probe job doubles as the collect: take(cap+1) either
-            # returns the COMPLETE class set (≤ cap rows — the normal
-            # query case) or proves it exceeds the cap
-            head = classes_df.take(class_collect_max + 1)
-        if len(head) <= class_collect_max:
+            # driver-side per-base member cache: the class map is a
+            # pure function of the immutable vocabulary (the
+            # reference's in-RAM btree walk costs ~0 per repeat query;
+            # this is its driver analogue), so a base probed once
+            # never pays the probe job again. Only bases not yet
+            # cached go to the probe; the cap still bounds what the
+            # driver holds.
+            missing = [
+                b for b in bases if (stemmer, b) not in self._class_member_cache
+            ]
+            if missing:
+                cdf = self._stem_class_candidates_df(missing, stemmer)
+                # one probe job doubles as the collect: take(cap+1)
+                # either returns the COMPLETE class set (≤ cap rows —
+                # the normal query case) or proves it exceeds the cap
+                head = cdf.take(class_collect_max + 1)
+                if len(head) > class_collect_max:
+                    overflow = True
+                else:
+                    if len(self._class_member_cache) > 65536:
+                        self._class_member_cache.clear()  # bound it
+                    fetched: dict[str, list[str]] = {b: [] for b in missing}
+                    for r in head:
+                        fetched[r["base"]].append(r["term"])
+                    for b, ts in fetched.items():
+                        self._class_member_cache[(stemmer, b)] = sorted(ts)
+            if not overflow:
+                classes = {
+                    b: self._class_member_cache[(stemmer, b)] for b in bases
+                }
+                overflow = (
+                    sum(len(ts) for ts in classes.values())
+                    > class_collect_max
+                )
+        if not overflow:
             return self._stemmed_iter_collected(
-                gated, head, k, similarity, value
+                gated, classes, k, similarity, value
             )
-        classes_df = classes_df.persist()
+        classes_df = self._stem_class_candidates_df(bases, stemmer).persist()
         try:
             return self._stemmed_iter_distributed(
                 gated, classes_df, k, similarity, value
@@ -3456,18 +3559,12 @@ class SearchEngine:
             classes_df.unpersist()
 
     def _stemmed_iter_collected(
-        self, gated, class_rows, k, similarity, value
+        self, gated, classes, k, similarity, value
     ) -> DataFrame:
-        """Query-bounded classes: the pre-collected (base, term) rows
-        (≤ class_collect_max), gated with driver logic, member list
-        pushed down as an In filter — the fast path for real
-        queries."""
-        classes: dict[str, list[str]] = {}
-        for r in class_rows:
-            classes.setdefault(r["base"], []).append(r["term"])
-        for terms in classes.values():
-            terms.sort()  # btree order
-
+        """Query-bounded classes: ``classes`` maps base → sorted
+        (btree-order) member list (≤ class_collect_max total), gated
+        with driver logic, member list pushed down as an In filter —
+        the fast path for real queries."""
         groups: dict[tuple[int, int], tuple[int, list[tuple[str, float]]]] = {}
         if similarity is not None:
             pairs = set()
@@ -3476,10 +3573,17 @@ class SearchEngine:
                     for cand in classes.get(base, []):
                         if cand != base:
                             pairs.add((base, cand))
-            sims: dict[tuple[str, str], float] = {}
-            if pairs:
+            # pair similarities are pure functions of the immutable
+            # postings (stemmer_term_similarity.c recomputes them per
+            # query off the in-RAM index); cache them driver-side so a
+            # repeated pair never pays the similarity job again
+            sims = self._pair_sim_cache
+            todo = sorted(p for p in pairs if p not in sims)
+            if todo:
+                if len(sims) > 262144:
+                    sims.clear()  # bound it
                 pairs_df = self.spark.createDataFrame(
-                    sorted(pairs), "base string, cand string"
+                    todo, "base string, cand string"
                 )
                 for r in self._pairwise_similarity(pairs_df).collect():
                     sims[(r["base"], r["cand"])] = float(r["sim"])
@@ -3505,29 +3609,15 @@ class SearchEngine:
         if not groups:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
 
-        member_rows = [
-            (qid, gid, term, w)
-            for (qid, gid), (_wt, members) in groups.items()
-            for term, w in members
-        ]
-        members_df = self.spark.createDataFrame(
-            member_rows, "query_id long, gid long, term string, w double"
-        )
-        wtab = self.spark.createDataFrame(
-            [(q, g, w) for (q, g), (w, _m) in groups.items()],
-            "query_id long, gid long, weight long",
-        )
-        terms = sorted({t for _, _, t, _ in member_rows})
-        decoded = self._decoded_postings_df(terms)
-        rows = decoded.join(F.broadcast(members_df), "term").select(
-            "query_id",
-            "gid",
-            "term",
-            "docid",
-            (F.col("tf").cast("double") * F.col("w")).alias("wtf"),
-            "doc_len",
-        )
-        return self._stemmed_iter_score(rows, wtab, k)
+        fanout: dict[str, list[tuple[int, int, float]]] = {}
+        for (qid, gid), (_wt, members) in groups.items():
+            for term, w in members:
+                fanout.setdefault(term, []).append((qid, gid, w))
+        weights = {(q, g): w for (q, g), (w, _m) in groups.items()}
+        # pushed In filter → parquet file pruning; the member fan-out
+        # rides the task closure (query-bounded), not a join
+        hits = self.postings.filter(F.col("term").isin(sorted(fanout)))
+        return self._stemmed_iter_score(hits, fanout, weights, k)
 
     def _stemmed_iter_distributed(
         self, gated, classes_df, k, similarity, value
@@ -3586,85 +3676,269 @@ class SearchEngine:
         members_df = iter_m.select(
             "query_id", "gid", "term", "weight", "w"
         ).unionByName(direct)
-        wtab = (
-            gated_df.select("query_id", "gid", "weight").distinct()
+        # weights come from the PARSED QUERY (driver-known in both
+        # paths), never from data — only the member population is big
+        weights = {(qid, gid): int(w) for qid, gid, _b, w, _u in gated}
+        return self._stemmed_iter_score(
+            self.postings, members_df, weights, k
         )
-        decoded = self._decoded_postings_df(members_df)
-        rows = decoded.join(
-            members_df.select("query_id", "gid", "term", "w"), "term"
-        ).select(
-            "query_id",
-            "gid",
-            "term",
-            "docid",
-            (F.col("tf").cast("double") * F.col("w")).alias("wtf"),
-            "doc_len",
-        )
-        return self._stemmed_iter_score(rows, wtab, k)
 
     def _stemmed_iter_score(
-        self, rows: DataFrame, wtab: DataFrame, k: int
+        self, hits: DataFrame, members, weights: dict, k: int
     ) -> DataFrame:
         """Shared scoring tail: deterministic left fold of member tfs
         in btree (term) order per (query, group, doc), recomputed df
         per group, single-term BM25 over the conflated tf — identical
-        for the collected and the distributed member paths."""
-        from atire_spark.kernels.bm25 import BM25_B, BM25_K1
+        for the collected and the distributed member paths.
 
-        merged = (
-            rows.groupBy("query_id", "gid", "docid")
-            .agg(
-                F.aggregate(
-                    F.sort_array(F.collect_list(F.struct("term", "wtf"))),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["wtf"],
-                ).alias("wsum"),
-                F.max("doc_len").alias("doc_len"),
+        Plan shape (two jobs, the same seg_group co-location argument
+        as :meth:`_search_grouped`): ``hits`` is the matching SEGMENT
+        rows; one hash repartition on seg_group puts every docid's
+        segments for all member terms in one task, where the
+        conflation (decode → term-ordered fold → impact bucket)
+        completes locally. The only global quantity is each group's
+        recomputed df — job 1 counts the conflated frame per group
+        (#groups rows collected, query-bounded by construction).
+        Job 2 scores off the persisted conflation, accumulates across
+        groups and takes the per-partition top-k locally (docid ranges
+        are disjoint across partitions), so the final exchange carries
+        ≤ k·partitions candidate rows into the global rank window.
+
+        ``members`` routes the term → (query, group, w) fan-out:
+        a driver dict rides the task closure (collected path — no
+        join, no broadcast exchange: measured ~0.3 s per query batch
+        cheaper than broadcasting a LocalRelation), or a DataFrame
+        joins on term (distributed path, population too big to
+        collect). ``weights`` maps (query_id, gid) → query weight
+        (driver-known in both paths: it comes from the parsed query,
+        never from data)."""
+        from atire_spark.kernels.bm25 import BM25_B, BM25_K1, accum_value
+
+        n_docs, mean_len, codec = self.n_docs, self.mean_doc_len, self.codec
+        seg_cols = [
+            "term", "seg_group", "impacts", "doc_counts", "postings",
+            "doc_lens", "byte_offsets",
+        ]
+        if isinstance(members, DataFrame):
+            rep = hits.join(
+                members.select("query_id", "gid", "term", "w"), "term"
+            ).select("query_id", "gid", "w", *seg_cols).repartition(
+                "seg_group"
             )
-            .filter(F.col("wsum") != F.lit(0.0))  # *current != 0
-            .withColumn(
-                # impact bucketing: cap at 255 then (size_t) truncation
-                "tf",
-                F.when(F.col("wsum") >= F.lit(256.0), F.lit(255)).otherwise(
-                    F.floor("wsum")
-                ).cast("long"),
+            closure_members = None
+        else:
+            rep = hits.select(*seg_cols).repartition("seg_group")
+            closure_members = members
+
+        def conflate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from atire_spark.kernels.impact import decode_segment
+
+            qs, gs, ds, ws, ls, ts = [], [], [], [], [], []
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    fanout = (
+                        closure_members.get(row.term, ())
+                        if closure_members is not None
+                        else ((row.query_id, row.gid, row.w),)
+                    )
+                    if not fanout:
+                        continue
+                    docids, tfs, lens = decode_segment(
+                        np.asarray(row.impacts),
+                        np.asarray(row.doc_counts),
+                        row.postings,
+                        row.doc_lens,
+                        codec=codec,
+                        byte_offsets=np.asarray(row.byte_offsets),
+                    )
+                    n = docids.size
+                    if not n:
+                        continue
+                    d64 = docids.astype(np.int64)
+                    t64 = tfs.astype(np.float64)
+                    l64 = lens.astype(np.int64)
+                    tobj = np.full(n, row.term, dtype=object)
+                    for qid, gid, w in fanout:
+                        qs.append(np.full(n, qid, np.int64))
+                        gs.append(np.full(n, gid, np.int64))
+                        ds.append(d64)
+                        ws.append(t64 * float(w))
+                        ls.append(l64)
+                        ts.append(tobj)
+            if not qs:
+                return
+            q = np.concatenate(qs)
+            g = np.concatenate(gs)
+            d = np.concatenate(ds)
+            wtf = np.concatenate(ws)
+            ln = np.concatenate(ls)
+            t = np.concatenate(ts)
+            # group by (query, gid, docid); WITHIN a group the fold
+            # runs in lexicographic term order — the iterator's btree
+            # order, so weighted double sums are bit-identical to the
+            # reference's accumulation (np.add.reduceat applies the
+            # fold left to right over each sorted run)
+            order = np.lexsort((t, d, g, q))
+            q, g, d = q[order], g[order], d[order]
+            wtf, ln = wtf[order], ln[order]
+            new = np.empty(q.size, dtype=bool)
+            new[0] = True
+            new[1:] = (
+                (q[1:] != q[:-1]) | (g[1:] != g[:-1]) | (d[1:] != d[:-1])
             )
+            starts = np.flatnonzero(new)
+            wsum = np.add.reduceat(wtf, starts)
+            keep = wsum != 0.0  # *current != 0
+            # impact bucketing: cap at 255 then (size_t) truncation
+            with np.errstate(invalid="ignore"):
+                tf = np.where(
+                    wsum >= 256.0, 255.0, np.floor(wsum)
+                ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "query_id": q[starts][keep],
+                    "gid": g[starts][keep],
+                    "docid": d[starts][keep],
+                    "tf": tf[keep],
+                    "doc_len": ln[starts][keep],
+                }
+            )
+
+        conf = rep.mapInPandas(
+            conflate,
+            schema="query_id long, gid long, docid long, tf long, "
+            "doc_len long",
         )
-        gdf = (
-            merged.groupBy("query_id", "gid")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") != F.lit(self.n_docs))  # idf 0 → nothing
-        )
-        merged = merged.join(F.broadcast(gdf), ["query_id", "gid"])
+        GKEY = 1 << 20  # gid < 2^20 (terms per query)
+        # job 1: each group's recomputed df — #groups rows, a pure
+        # function of the parsed query (never data-sized). A group's
+        # conflated df depends only on its weighted member set over
+        # the immutable index, so it is cached driver-side by that
+        # signature — a repeated query (the common interactive case)
+        # skips this job entirely and the whole search is ONE action.
+        group_sig: dict[int, tuple] | None = None
+        if closure_members is not None:
+            inv: dict[int, list] = {}
+            for term, fan in closure_members.items():
+                for qid, gid, w in fan:
+                    inv.setdefault(int(qid) * GKEY + int(gid), []).append(
+                        (term, float(w))
+                    )
+            group_sig = {kk: tuple(sorted(v)) for kk, v in inv.items()}
+        if group_sig is not None and all(
+            sig in self._class_df_cache for sig in group_sig.values()
+        ):
+            # cached dfs → conf has exactly one consumer (the score
+            # pass): leave it unpersisted so conflate + score pipeline
+            # into a single stage — the whole search is ONE action of
+            # scan → exchange → (conflate·score) → exchange → window
+            dfm = {
+                kk: self._class_df_cache[sig]
+                for kk, sig in group_sig.items()
+            }
+        else:
+            # the df job and the score pass both consume conf —
+            # persist it; the pin backs the RETURNED lazy frame too
+            # (re-collect without recompute) and is released on the
+            # next iterator call
+            conf = conf.persist()
+            self._iter_conf_cache.append(conf)
+            dfm = {
+                int(r["query_id"]) * GKEY + int(r["gid"]): int(r["cnt"])
+                for r in conf.groupBy("query_id", "gid")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+            if group_sig is not None:
+                if len(self._class_df_cache) > 65536:
+                    self._class_df_cache.clear()  # bound it
+                for kk, sig in group_sig.items():
+                    # a group absent from dfm conflated to nothing
+                    self._class_df_cache[sig] = dfm.get(kk, 0)
+                dfm = {
+                    kk: self._class_df_cache[sig]
+                    for kk, sig in group_sig.items()
+                }
+        # df == N → idf 0 → the group contributes nothing (df == 0:
+        # no member posting survived conflation)
+        dfm = {kk: v for kk, v in dfm.items() if v not in (0, n_docs)}
+        if not dfm:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        wmap = {
+            int(qid) * GKEY + int(gid): int(w)
+            for (qid, gid), w in weights.items()
+        }
         k1, b = BM25_K1, BM25_B
-        prior = (
-            (
-                F.lit(k1)
-                * (
-                    F.lit(1.0 - b)
-                    + F.lit(b)
-                    * (F.col("doc_len") / F.lit(self.mean_doc_len))
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qs, ds, cs = [], [], []
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                qv = pdf["query_id"].to_numpy(np.int64)
+                gv = pdf["gid"].to_numpy(np.int64)
+                key = pd.Series(qv * GKEY + gv)
+                dfv = key.map(dfm).to_numpy(np.float64, na_value=0.0)
+                wv = key.map(wmap).to_numpy(np.float64, na_value=0.0)
+                live = (dfv > 0) & (wv != 0)
+                if not live.any():
+                    continue
+                dv = pdf["docid"].to_numpy(np.int64)[live]
+                tfv = pdf["tf"].to_numpy(np.float64)[live]
+                lnv = pdf["doc_len"].to_numpy(np.float64)[live]
+                qv, dfv, wv = qv[live], dfv[live], wv[live]
+                # float32 prior, like the reference's fixed-point
+                # BM25 (and _segment_contrib)
+                prior = (
+                    (k1 * ((1.0 - b) + b * (lnv / mean_len)))
+                    .astype(np.float32)
+                    .astype(np.float64)
                 )
+                rsv = np.log(float(n_docs) / dfv) * (
+                    (tfv * (k1 + 1.0)) / (tfv + prior)
+                )
+                qs.append(qv)
+                ds.append(dv)
+                cs.append(
+                    wv.astype(np.int64)
+                    * (1 + np.floor(rsv * 100.0).astype(np.int64))
+                )
+            if not qs:
+                return
+            q = np.concatenate(qs)
+            d = np.concatenate(ds)
+            c = np.concatenate(cs)
+            # cross-group accumulator sum per (query, docid) —
+            # integer adds, order-free — then the 16-bit wrap
+            order = np.lexsort((d, q))
+            q, d, c = q[order], d[order], c[order]
+            new = np.empty(q.size, dtype=bool)
+            new[0] = True
+            new[1:] = (q[1:] != q[:-1]) | (d[1:] != d[:-1])
+            starts = np.flatnonzero(new)
+            tot = accum_value(np.add.reduceat(c, starts))
+            qq, dd = q[starts], d[starts]
+            # local exact top-k per query (docids complete here)
+            sel = np.lexsort((-dd, -tot, qq))
+            run = np.empty(sel.size, dtype=bool)
+            run[0] = True
+            run[1:] = qq[sel][1:] != qq[sel][:-1]
+            rank = np.arange(sel.size) - np.maximum.accumulate(
+                np.where(run, np.arange(sel.size), 0)
             )
-            .cast("float")
-            .cast("double")
+            top = sel[rank < k]
+            yield pd.DataFrame(
+                {
+                    "query_id": qq[top],
+                    "docid": dd[top],
+                    "rsv_fixed": tot[top],
+                }
+            )
+
+        cand = conf.mapInPandas(
+            score, schema="query_id long, docid long, rsv_fixed long"
         )
-        tf_d = F.col("tf").cast("double")
-        rsv = (
-            F.log(F.lit(float(self.n_docs)) / F.col("df").cast("double"))
-            * ((tf_d * F.lit(k1 + 1.0)) / (tf_d + prior))
-        )
-        contrib = (
-            F.col("weight")
-            * (F.lit(1) + F.floor(rsv * F.lit(100.0)).cast("long"))
-        ).alias("contrib")
-        scored = merged.join(F.broadcast(wtab), ["query_id", "gid"]).select(
-            "query_id", "docid", contrib
-        )
-        accum = scored.groupBy("query_id", "docid").agg(
-            accum_value_col(F.sum("contrib")).alias("rsv_fixed")
-        )
-        return self._rank_topk(accum, k)
+        return self._rank_topk(cand, k)
 
     def search_rerank(
         self,

@@ -59,18 +59,20 @@ def main() -> None:
             t_all = time.monotonic()
 
             t0 = time.monotonic()
-            keys = _tokenize_sidewrite(tdf, f"{stage_dir}/tokens")
-            keys.write.mode("overwrite").parquet(f"{stage_dir}/keys")
-            keys_df = spark.read.parquet(f"{stage_dir}/keys")
+            from pyspark import StorageLevel
+
+            keys = _tokenize_sidewrite(tdf, f"{stage_dir}/tokens").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            keys.count()
             legs["P1_tokenize_sidewrite"] = time.monotonic() - t0
 
             t0 = time.monotonic()
             key_parts, docmap_rows, n_total, coll_len = _docids_from_keys(
-                keys_df, max(cpus, 4)
+                keys, max(cpus, 4)
             )
-            docmap_rows.write.mode("overwrite").parquet(f"{stage_dir}/docmap")
-            key_parts.unpersist()
-            docmap = spark.read.parquet(f"{stage_dir}/docmap")
+            keys.unpersist()
+            docmap = docmap_rows
             legs["P2_docids"] = time.monotonic() - t0
 
             block_bits = B._adaptive_block_bits(max(n_total, 1), cpus)
@@ -103,7 +105,7 @@ def main() -> None:
             t0 = time.monotonic()
             tables = IndexTables(
                 docmap=docmap, postings=postings, stats=stats,
-                cached=[term_stats],
+                cached=[term_stats, key_parts],
             )
             write_index(tables, f"{tmp}/idx{rep}", mode="overwrite")
             legs["P5_write"] = time.monotonic() - t0
