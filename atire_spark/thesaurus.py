@@ -106,6 +106,137 @@ class Thesaurus:
         }
         return cls({h: v for h, v in entries.items() if v})
 
+    # WordNet pointer_symbol → ANT relationship mask, exactly the
+    # tool's ANT_relationship_of_wordnet_relationship table
+    # (wordnet_to_ant_thesaurus.c:59-89): hyponyms/instance-hyponyms
+    # fold to HYPONYM, the three holonym/meronym kinds fold, hypernym
+    # kinds fold; everything else WordNet defines maps to 0 = "skip
+    # stuff ANT knows nothing about" (:386).
+    _WN_PTR_MASK = {
+        "~": 1, "~i": 1,            # hyponym, instance hyponym
+        "!": 2,                      # antonym
+        "#m": 4, "#p": 4, "#s": 4,  # holonyms
+        "%m": 8, "%p": 8, "%s": 8,  # meronyms
+        "@": 16, "@i": 16,          # hypernym, instance hypernym
+    }
+    _WN_PTR_SKIP = frozenset(
+        ["$", "&", "*", "+", "-c", "-r", "-u", ";c", ";r", ";u",
+         "<", "=", ">", "\\", "^", "~z"]
+    )
+
+    @staticmethod
+    def _wn_normalize(raw: str) -> str:
+        """The tool's ANT_word normalization
+        (wordnet_to_ant_thesaurus.c:166-208): copy ASCII
+        alphanumerics, stop at ``(`` (lemma syntax markers like
+        ``galore(ip)``), any other byte (``_`` in collocations,
+        ``.``, ``-``) becomes a space and marks the lemma as a
+        phrase, trailing whitespace strips, phrases wrap in double
+        quotes. Lowercased uniformly — the tool's ``strlower`` runs
+        on the shared line buffer AFTER each copy, so which words it
+        reaches depends on parse order (a buffer-mutation quirk, not
+        a semantic); WordNet lemmas are lowercase apart from proper
+        nouns, and parity is asserted on lowercase fixtures."""
+        out: list[str] = []
+        as_string = False
+        for ch in raw:
+            if ch == "(":
+                break
+            if ch.isascii() and ch.isalnum():
+                out.append(ch)
+            else:
+                out.append(" ")
+                as_string = True
+        s = "".join(out).rstrip()
+        if as_string:
+            s = f'"{s}"'
+        return s.lower()
+
+    @classmethod
+    def _wn_title(cls, text: str, offset: int) -> list[str]:
+        """get_title (wordnet_to_ant_thesaurus.c:313-347): the
+        normalized lemma list of the synset whose data line starts at
+        byte ``offset``: skip synset_offset / lex_filenum / ss_type,
+        read w_cnt as 2-digit HEX, then w_cnt (lemma, lex_id)
+        pairs."""
+        end = text.find("\n", offset)
+        toks = text[offset : end if end >= 0 else len(text)].split(" ")
+        w_cnt = int(toks[3], 16)
+        return [
+            cls._wn_normalize(toks[4 + 2 * i]) for i in range(w_cnt)
+        ]
+
+    @classmethod
+    def from_wordnet_source(
+        cls,
+        noun: str = "",
+        verb: str = "",
+        adj: str = "",
+        adv: str = "",
+    ) -> "Thesaurus":
+        """Compile WordNet ``data.{noun,verb,adj,adv}`` file CONTENTS
+        into a Thesaurus — the reference's
+        tools/wordnet_to_ant_thesaurus.c digest rules
+        (process_one_file :418-505 + build_index :519-630):
+
+        - license-header lines (leading space) skip;
+        - every synset line contributes, for EACH of its lemmas as
+          headword: the other lemmas as SYNONYM, plus each pointer's
+          target-synset lemmas under the folded ANT relationship
+          (:meth:`_WN_PTR_MASK`); pointers ANT maps to zero are
+          dropped, unknown pointer symbols raise (the tool exits);
+        - self-references drop, duplicate (headword, term) pairs
+          OR-merge, leaves sort by term (``from_pairs``).
+
+        Round-trips through :meth:`to_ant_file` /
+        :meth:`from_ant_file` — the same .aspt bytes path the
+        compiled tool feeds thesaurus_wordnet.c.
+        """
+        files = {"n": noun, "v": verb, "a": adj, "r": adv}
+        pairs: list[tuple[str, int, str]] = []
+        for text in (noun, verb, adj, adv):
+            if not text:
+                continue
+            for line in text.split("\n"):
+                if not line or line.startswith(" "):
+                    continue  # license header block
+                toks = line.split(" ")
+                w_cnt = int(toks[3], 16)
+                title = [
+                    cls._wn_normalize(toks[4 + 2 * i])
+                    for i in range(w_cnt)
+                ]
+                at = 4 + 2 * w_cnt
+                p_cnt = int(toks[at])
+                at += 1
+                expansions: list[tuple[int, list[str]]] = []
+                for _ in range(p_cnt):
+                    sym, off, pos, _st = toks[at : at + 4]
+                    at += 4
+                    if sym not in cls._WN_PTR_MASK:
+                        if sym in cls._WN_PTR_SKIP:
+                            continue
+                        raise ValueError(
+                            f"unknown WordNet pointer symbol {sym!r}"
+                        )
+                    src = files.get(pos, "")
+                    if not src:
+                        raise ValueError(
+                            f"pointer into missing pos file {pos!r}"
+                        )
+                    expansions.append(
+                        (cls._WN_PTR_MASK[sym], cls._wn_title(src, int(off)))
+                    )
+                for head in title:
+                    for other in title:
+                        if other != head:
+                            pairs.append((head, cls.SYNONYM, other))
+                    for mask, words in expansions:
+                        for w in words:
+                            if w != head:
+                                pairs.append((head, mask, w))
+        return cls.from_pairs(pairs)
+
     @classmethod
     def synonyms(cls, groups: Iterable[Iterable[str]]) -> "Thesaurus":
         """Build from synonym rings: every term of a group is a

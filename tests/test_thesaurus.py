@@ -214,3 +214,71 @@ def test_tf_cap_binds_in_conflation(spark):
     expected = 1 + int(rsv * 100.0)
     row0 = got[got["docid"] == 0]
     assert int(row0["rsv_fixed"].iloc[0]) == expected
+
+
+class TestWordnetSourceCompiler:
+    """tools/wordnet_to_ant_thesaurus.c parity on a synthetic WordNet
+    data-file fixture (no external data): synset lemmas conflate as
+    SYNONYM, pointer symbols fold through the tool's relationship
+    table (hyponym kinds -> HYPONYM, holonym kinds -> HOLONYM, ...),
+    unmapped WordNet pointers drop, collocations normalize to quoted
+    phrases, and the result round-trips the .aspt binary format."""
+
+    def test_compile_and_roundtrip(self, tmp_path):
+        from atire_spark.thesaurus import Thesaurus
+
+        # two-pass fixture build so pointers carry real byte offsets
+        header = "  1 license header\n"
+        bodies = [
+            # off0: animal (target of hypernym pointers)
+            "{o0} 03 n 01 animal 0 0 | living thing",
+            # off1: cat/feline, hypernym -> animal, skipped -c pointer
+            "{o1} 03 n 02 cat 0 feline 0 2 @ {o0} n 0000 -c {o0} n 0000 | a cat",
+            # off2: big_cat (collocation), hyponym-instance -> cat synset,
+            # antonym -> animal (nonsense semantically, exercises the bit)
+            "{o2} 03 n 01 big_cat 0 2 ~i {o1} n 0000 ! {o0} n 0000 | big",
+        ]
+        # pass 1 computes each line's byte offset (offsets appear in
+        # the line bodies with a fixed 8-digit width, so lengths are
+        # stable); pass 2 renders with the final values
+        offs = {}
+        pos = len(header)
+        zero = {f"o{j}": "00000000" for j in range(len(bodies))}
+        for i, b in enumerate(bodies):
+            offs[f"o{i}"] = f"{pos:08d}"
+            pos += len(b.format(**zero)) + 1
+        text = header + "".join(b.format(**offs) + "\n" for b in bodies)
+
+        th = Thesaurus.from_wordnet_source(noun=text)
+        # cat's leaf: feline SYNONYM(32), animal HYPERNYM(16)
+        assert sorted(th.entries["cat"]) == [(16, "animal"), (32, "feline")]
+        assert sorted(th.entries["feline"]) == [(16, "animal"), (32, "cat")]
+        # the collocation normalizes to a quoted phrase headword
+        assert '"big cat"' in th.entries
+        # hyponym-instance folds to HYPONYM(1), antonym to ANTONYM(2):
+        # big_cat's leaf points at cat/feline (1) and animal (2)
+        assert sorted(th.entries['"big cat"']) == [
+            (1, "cat"), (1, "feline"), (2, "animal")
+        ]
+        # animal has no pointers and is alone in its synset -> no leaf
+        assert "animal" not in th.entries
+
+        # round-trip through the reference's .aspt binary format
+        p = str(tmp_path / "wn.aspt")
+        th.to_ant_file(p)
+        back = Thesaurus.from_ant_file(p)
+        assert back.entries == th.entries
+
+        # expansion semantics: default filter is SYNONYM only
+        assert back.get_synset("cat") == ["feline"]
+        back.set_allowable_relationships(Thesaurus.SYNONYM | Thesaurus.HYPERNYM)
+        assert back.get_synset("cat") == ["animal", "feline"]
+
+    def test_unknown_pointer_symbol_raises(self):
+        from atire_spark.thesaurus import Thesaurus
+
+        bad = "00000000 03 n 01 dog 0 1 ?? 00000000 n 0000 | x\n"
+        import pytest
+
+        with pytest.raises(ValueError, match="unknown WordNet pointer"):
+            Thesaurus.from_wordnet_source(noun=bad)
