@@ -416,42 +416,99 @@ def _tokenize_sidewrite(
     )
 
 
+def _key_bounds(
+    keys: DataFrame, n_buckets: int, n_rows: int
+) -> list[tuple[str, int]]:
+    """Deterministic range-bucket bounds over the narrow key rows:
+    a FIXED-seed sample (the input is deterministic, so any lineage
+    recompute reproduces the same bounds — unlike repartitionByRange,
+    whose per-execution sampling can shift partition boundaries
+    between the offset-collect and a later recompute of the same
+    frame, silently reassigning docids)."""
+    if n_rows == 0:
+        return []
+    frac = min(1.0, (n_buckets * 128.0) / n_rows)
+    rows = (
+        keys.select("conv_id", "turn_idx")
+        .sample(fraction=frac, seed=13)
+        .collect()
+    )
+    skeys = sorted((r["conv_id"], int(r["turn_idx"])) for r in rows)
+    if not skeys:
+        return []
+    bounds: list[tuple[str, int]] = []
+    for i in range(1, n_buckets):
+        b = skeys[min(int(len(skeys) * i / n_buckets), len(skeys) - 1)]
+        if not bounds or b != bounds[-1]:
+            bounds.append(b)
+    return bounds
+
+
 def _docids_from_keys(
-    keys: DataFrame, n_parts: int
-) -> tuple[DataFrame, int, int]:
+    keys: DataFrame, n_parts: int, n_rows: int
+) -> tuple[DataFrame, DataFrame, int, int]:
     """Pass 2: global docid assignment over the NARROW key rows.
 
-    Range-partition + sort (conv_id, turn_idx) — a shuffle of three
-    scalar columns, payload untouched — then the classic two-phase
-    stamp: per-partition counts (with an exhaustive adjacent-duplicate
-    check: equal keys always co-partition under a range partitioner,
-    and the check runs on ALL rows including empty-tokenizing turns,
-    so a key duplicated between an empty and a non-empty turn fails
-    too), then offsets + per-partition dense stamping of the
-    doc_len > 0 survivors (empty docs never consume an id, reference
-    atire/index.c:533-540).
+    Bucket ids are DATA-DERIVED (vectorized comparison against the
+    fixed-seed sampled bounds), rows hash-shuffle on the bucket and
+    sort within partitions — so counting, the exhaustive
+    adjacent-duplicate check (equal keys always share a bucket, and
+    the check runs on ALL rows including empty-tokenizing turns, so a
+    key duplicated between an empty and a non-empty turn fails too)
+    and the dense stamping of the doc_len > 0 survivors (empty docs
+    never consume an id, reference atire/index.c:533-540) all key off
+    the bucket id, never the physical partition id. Every stage is a
+    pure deterministic function of the input, so a cache-miss
+    recompute of the returned docmap reproduces identical docids.
 
     Returns (persisted narrow partitions, docmap rows, total docs,
-    collection length). The caller must materialize docmap (one write)
-    and then unpersist the narrow partitions.
+    collection length). The caller keeps the narrow partitions
+    persisted while the docmap is in use (registry) — the stamp is a
+    cheap vectorized pass over them.
     """
-    parts = (
-        keys.repartitionByRange(n_parts, "conv_id", "turn_idx")
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .persist()
-    )
+    bnds = _key_bounds(keys, n_parts, n_rows)
+    bkeys = [(str(c), int(t)) for c, t in bnds]
 
-    def count_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
-        n = dl = 0
-        prev: tuple | None = None
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             conv = pdf["conv_id"].to_numpy()
             turn = pdf["turn_idx"].to_numpy()
-            dup = (conv[1:] == conv[:-1]) & (turn[1:] == turn[:-1])
-            first = prev is not None and (conv[0], turn[0]) == prev
+            bucket = np.zeros(len(pdf), dtype=np.int32)
+            for c, t in bkeys:
+                bucket += ((conv > c) | ((conv == c) & (turn >= t))).astype(
+                    np.int32
+                )
+            pdf = pdf.copy()
+            pdf.insert(0, "pid", bucket)
+            yield pdf
+
+    parts = (
+        keys.mapInPandas(assign, schema="pid int, " + KEYS_SCHEMA)
+        .repartition(n_parts, "pid")
+        .sortWithinPartitions("pid", "conv_id", "turn_idx")
+        .persist()
+    )
+
+    def count_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n: dict[int, int] = {}
+        dl: dict[int, int] = {}
+        prev: tuple | None = None  # (pid, conv, turn) across batches
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = pdf["pid"].to_numpy()
+            conv = pdf["conv_id"].to_numpy()
+            turn = pdf["turn_idx"].to_numpy()
+            dup = (
+                (pid[1:] == pid[:-1])
+                & (conv[1:] == conv[:-1])
+                & (turn[1:] == turn[:-1])
+            )
+            first = prev is not None and (
+                (int(pid[0]), conv[0], turn[0]) == prev
+            )
             if first or dup.any():
                 i = 0 if first else int(np.flatnonzero(dup)[0]) + 1
                 raise ValueError(
@@ -460,17 +517,29 @@ def _docids_from_keys(
                     "(conv_id, turn_idx) must uniquely identify a "
                     "turn for stable docid assignment"
                 )
-            prev = (conv[-1], turn[-1])
+            prev = (int(pid[-1]), conv[-1], turn[-1])
             lens = pdf["doc_len"].to_numpy(np.int64)
-            n += int((lens > 0).sum())
-            dl += int(lens.sum())
-        yield pd.DataFrame({"pid": [pid], "cnt": [n], "dl": [dl]})
+            live = lens > 0
+            for b in np.unique(pid):
+                m = pid == b
+                n[int(b)] = n.get(int(b), 0) + int((m & live).sum())
+                dl[int(b)] = dl.get(int(b), 0) + int(lens[m].sum())
+        yield pd.DataFrame(
+            {
+                "pid": list(n),
+                "cnt": [n[b] for b in n],
+                "dl": [dl[b] for b in n],
+            }
+        )
 
     rows = parts.mapInPandas(
         count_fn, schema="pid int, cnt long, dl long"
     ).collect()
-    counts = {int(r["pid"]): int(r["cnt"]) for r in rows}
-    coll_len = sum(int(r["dl"] or 0) for r in rows)
+    counts: dict[int, int] = {}
+    coll_len = 0
+    for r in rows:
+        counts[int(r["pid"])] = counts.get(int(r["pid"]), 0) + int(r["cnt"])
+        coll_len += int(r["dl"] or 0)
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):
@@ -478,11 +547,28 @@ def _docids_from_keys(
         acc += counts[pid]
 
     def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        yield from _docid_batches(batches, offsets)
+        seen: dict[int, int] = {}
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            if not len(pdf):
+                continue
+            b = pdf["pid"].to_numpy()
+            keep = pdf["doc_len"].to_numpy(np.int64) > 0
+            idx = np.zeros(len(pdf), dtype=np.int64)
+            change = np.flatnonzero(np.diff(b)) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(b)]))
+            for s, e in zip(starts, ends):
+                base = seen.get(int(b[s]), offsets.get(int(b[s]), 0))
+                kk = keep[s:e]
+                nk = int(kk.sum())
+                idx[s:e][kk] = base + np.arange(nk, dtype=np.int64)
+                seen[int(b[s])] = base + nk
+            out = pdf.loc[keep].copy()
+            out.insert(0, "docid", idx[keep])
+            yield out.drop(columns=["pid"])
 
-    docmap = parts.filter(F.col("doc_len") > 0).mapInPandas(
-        stamp, schema="docid long, " + KEYS_SCHEMA
-    )
+    docmap = parts.mapInPandas(stamp, schema="docid long, " + KEYS_SCHEMA)
     return parts, docmap, acc, coll_len
 
 
@@ -1519,14 +1605,14 @@ def build_index(
     # read the cache instead of re-running the tokenizer, with no
     # staging-parquet write+read round-trip on the build's hot path
     keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
-    keys.count()
+    n_keys = keys.count()
 
     # ---- pass 2: global docid assignment over the narrow keys (a
     # three-scalar-column shuffle; repartitionByRange's sampling pass
     # reads the key cache, not the tokenizer)
     n_parts = max(spark.sparkContext.defaultParallelism, 4)
     key_parts, docmap_rows, n_total, coll_len = _docids_from_keys(
-        keys, n_parts
+        keys, n_parts, n_keys
     )
     # key_parts (sorted narrow partitions) stays persisted: the docmap
     # is a cheap vectorized stamp over it, recomputed lazily by its

@@ -64,12 +64,12 @@ def main() -> None:
             keys = _tokenize_sidewrite(tdf, f"{stage_dir}/tokens").persist(
                 StorageLevel.MEMORY_AND_DISK
             )
-            keys.count()
+            n_keys = keys.count()
             legs["P1_tokenize_sidewrite"] = time.monotonic() - t0
 
             t0 = time.monotonic()
             key_parts, docmap_rows, n_total, coll_len = _docids_from_keys(
-                keys, max(cpus, 4)
+                keys, max(cpus, 4), n_keys
             )
             keys.unpersist()
             docmap = docmap_rows
