@@ -725,6 +725,37 @@ def _dot_expr(a: str, b: str) -> str:
     )
 
 
+def knn_brute_frame(
+    emb: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Frame-level brute-force cosine top-k (exact recall baseline for
+    the ANN paths on any embedding table)."""
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.crossJoin(F.broadcast(q))
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        F.round(
+            F.expr(
+                f"({_dot_expr('embedding', 'q_emb')})"
+                f" / (sqrt({_dot_expr('embedding', 'embedding')})"
+                f" * sqrt({_dot_expr('q_emb', 'q_emb')}))"
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cosine")
+    )
+
+
 def knn_brute_cosine(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Brute-force cosine top-k for a broadcast query set: scan all
     vectors once, score JVM-side, bounded top-k per query. The
@@ -964,6 +995,31 @@ IVF_PROBES = 5  # cells searched per query (nprobe): the synthetic
 # embedding corpora cluster, letting nprobe/nlist shrink at scale
 IVF_ITERS = 2  # Lloyd refinement rounds at build time
 
+
+def ivf_nlist_for(n_vectors: int) -> int:
+    """~sqrt(N) coarse-quantizer sizing — the standard IVF guidance
+    (cells ~ sqrt(N) balances the two scan costs: nlist centroid
+    comparisons per query vs N/nlist vectors per probed cell; see e.g.
+    Jegou et al., PAMI 2011). Floors at IVF_CELLS so tiny fixtures
+    keep the pinned oracle geometry, caps at 2^16 — beyond that the
+    centroid table stops being broadcast-sized metadata and the coarse
+    quantizer itself should become an index (IVF-HNSW territory)."""
+    import math
+
+    return int(
+        max(IVF_CELLS, min(1 << 16, round(math.sqrt(max(n_vectors, 1)))))
+    )
+
+
+def ivf_nprobe_for(nlist: int) -> int:
+    """Probes per query for a POLICY-sized quantizer: the bench's
+    synthetic embeddings are uniform (no cluster structure), where
+    holding recall@10 >= 0.8 (with margin) empirically needs ~45%
+    of cells probed;
+    real embedding corpora cluster, letting the fraction fall with
+    scale. Floored at IVF_PROBES (the pinned small-fixture value)."""
+    return int(max(IVF_PROBES, -(-nlist * 9 // 20)))
+
 # sf_dir -> materialized IVF build directory (centroids + cells)
 _IVF_BUILD_DIRS: dict[str, str] = {}
 
@@ -993,11 +1049,28 @@ def _centroid_literal(cents: list[tuple[int, list[float]]]):
     )
 
 
+#: above this nlist the assignment switches from the inline-literal
+#: fold (bit-reproducible vs the DuckDB oracle, but codegen grows with
+#: nlist*dim literals) to a vectorized numpy matmul in mapInPandas —
+#: the only sane shape for a policy-sized (~sqrt N) quantizer
+_IVF_EXPR_MAX_CELLS = 64
+
+
 def _ivf_assign_map(emb: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
-    """Map-only nearest-centroid assignment: per row, left-fold argmax
-    over the inline centroid array (strict >, so exact cosine ties keep
-    the earlier = smaller c_id)."""
-    argmax = f"""
+    """Map-only nearest-centroid assignment: per row, argmax cosine
+    over the centroids (ties keep the smaller c_id).
+
+    Two bodies, one contract: small quantizers (the pinned oracle
+    geometry) use a left-fold over an inline literal array — the SQL
+    oracle reproduces it bit-for-bit; policy-sized quantizers run a
+    numpy matmul against the broadcast centroid matrix (Arrow-batched,
+    no join, no shuffle, codegen-independent of nlist)."""
+    import numpy as np
+    import pandas as pd
+
+    ordered = sorted(cents)
+    if len(ordered) <= _IVF_EXPR_MAX_CELLS:
+        argmax = f"""
 aggregate(
   transform(cents, c -> struct(
     {_cosine_lambda_expr("embedding", "c.c_emb")} AS c_cos,
@@ -1006,9 +1079,34 @@ aggregate(
   (best, cand) -> CASE WHEN cand.c_cos > best.c_cos THEN cand ELSE best END
 ).c_id
 """
-    return (
-        emb.withColumn("cents", _centroid_literal(cents))
-        .select("vec_id", "embedding", F.expr(argmax).alias("cell"))
+        return (
+            emb.withColumn("cents", _centroid_literal(ordered))
+            .select("vec_id", "embedding", F.expr(argmax).alias("cell"))
+        )
+    c_ids = np.array([cid for cid, _ in ordered], dtype=np.int64)
+    cmat = np.array([vec for _, vec in ordered], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0.0] = 1.0
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            xn = np.linalg.norm(x, axis=1)
+            xn[xn == 0.0] = 1.0
+            cos = (x @ cmat.T) / np.outer(xn, cnorm)
+            # argmax takes the FIRST maximum -> smallest c_id on ties
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": c_ids[np.argmax(cos, axis=1)],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        fn, schema=emb.select("vec_id", "embedding").schema.add("cell", "long")
     )
 
 
@@ -1075,20 +1173,26 @@ def train_ivf_centroids(
     return cur
 
 
-def build_ivf(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the IVF index as BUILD artifacts (the reference's
-    split-index + merge recipe, README.md:78-86: precompute at index
-    time, prune at query time): ``centroids/`` (nlist rows) and
-    ``cells/`` — the full assignment written PARTITIONED BY cell, so a
-    query's nprobe cells are parquet partition pruning, not a filter
-    over a full scan. Cached per sf_dir; at deployment this is an
-    Iceberg table partitioned on cell."""
+def build_ivf_frame(
+    spark: SparkSession,
+    emb: DataFrame,
+    cache_key: str,
+    nlist: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
+) -> str:
+    """Materialize the IVF index for an arbitrary embedding frame as
+    BUILD artifacts (the reference's split-index + merge recipe,
+    README.md:78-86: precompute at index time, prune at query time):
+    ``centroids/`` (nlist rows) and ``cells/`` — the full assignment
+    written PARTITIONED BY cell, so a query's nprobe cells are parquet
+    partition pruning, not a filter over a full scan. Cached per
+    (cache_key, nlist); at deployment this is an Iceberg table
+    partitioned on cell."""
     import tempfile
 
-    key = sf_dir.rstrip("/")
+    key = f"{cache_key}#nlist={nlist}"
     if key not in _IVF_BUILD_DIRS:
-        emb = _emb(spark, sf_dir)
-        cents = train_ivf_centroids(emb)
+        cents = train_ivf_centroids(emb, nlist=nlist, iters=iters)
         d = tempfile.mkdtemp(prefix="atire_ivf_")
         spark.createDataFrame(
             [(cid, vec) for cid, vec in cents],
@@ -1101,31 +1205,59 @@ def build_ivf(spark: SparkSession, sf_dir: str) -> str:
     return _IVF_BUILD_DIRS[key]
 
 
-def knn_ivf(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+def build_ivf(spark: SparkSession, sf_dir: str) -> str:
+    """sf_dir convenience wrapper around :func:`build_ivf_frame` with
+    the PINNED small-fixture geometry (nlist=IVF_CELLS): the driver's
+    DuckDB oracle transcribes exactly this k-means, so the correctness
+    entry keeps a fixed nlist; scale deployments size the quantizer
+    with :func:`ivf_nlist_for` via build_ivf_frame."""
+    return build_ivf_frame(
+        spark, _emb(spark, sf_dir), sf_dir.rstrip("/"), nlist=IVF_CELLS
+    )
+
+
+def knn_ivf_frame(
+    spark: SparkSession,
+    emb: DataFrame,
+    cache_key: str,
+    query_ids: list[int],
+    k: int = 10,
+    nlist: int | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbour over the
-    PREBUILT index of :func:`build_ivf`: rank the query against the
-    nlist stored centroids (driver-side metadata, like the reference
-    loading its stats head at startup), read ONLY the nprobe matching
-    cell partitions (storage partition pruning — the plan shows
-    PartitionFilters, no full scan and no window over the collection),
-    exact-rerank the candidates with the same bounded top-k as
-    :func:`knn_brute_cosine`.
+    PREBUILT index of :func:`build_ivf_frame`: rank the query against
+    the nlist stored centroids (driver-side metadata, like the
+    reference loading its stats head at startup), read ONLY the nprobe
+    matching cell partitions (storage partition pruning — the plan
+    shows PartitionFilters, no full scan and no window over the
+    collection), exact-rerank the candidates with the same bounded
+    top-k as :func:`knn_brute_cosine`.
+
+    ``nlist=None`` applies the ~sqrt(N) policy
+    (:func:`ivf_nlist_for`, with :func:`ivf_nprobe_for` probes) — the
+    scale path; explicit values pin the geometry (the sf_dir oracle
+    entry does).
 
     Scale shape: the candidate scan touches ~nprobe/nlist of the
     collection via partition pruning; query-time shuffle is only the
     per-query top-k over candidates."""
-    d = build_ivf(spark, sf_dir)
+    if nlist is None:
+        nlist = ivf_nlist_for(emb.count())
+    if nprobe is None:
+        nprobe = ivf_nprobe_for(nlist)
+    d = build_ivf_frame(spark, emb, cache_key, nlist=nlist)
     cent_rows = [
         (int(r.c_id), [float(v) for v in r.c_emb])
         for r in spark.read.parquet(f"{d}/centroids").collect()
     ]
-    q = _emb(spark, sf_dir).filter(F.col("vec_id").isin(KNN_QUERY_IDS))
+    q = emb.filter(F.col("vec_id").isin(query_ids))
     # top-nprobe cells per query: sort the inline centroid array by
     # (-cosine, c_id) — ties to the smaller c_id like the oracle
     probe_expr = f"""
 slice(array_sort(transform(cents, c -> struct(
   -({_cosine_lambda_expr("embedding", "c.c_emb")}) AS neg_cos,
-  c.c_id AS c_id))), 1, {IVF_PROBES})
+  c.c_id AS c_id))), 1, {int(nprobe)})
 """
     probes = (
         q.withColumn("cents", _centroid_literal(cent_rows))
@@ -1156,6 +1288,23 @@ slice(array_sort(transform(cents, c -> struct(
         scored.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", "cosine")
+    )
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """sf_dir wrapper with the PINNED oracle geometry
+    (nlist=IVF_CELLS, nprobe=IVF_PROBES) — the DuckDB oracle
+    transcribes exactly this build, so the driver's correctness entry
+    keeps fixed constants; the ~sqrt(N) scale policy is exercised (and
+    recall-certified) through :func:`knn_ivf_frame` in bench.py."""
+    return knn_ivf_frame(
+        spark,
+        _emb(spark, sf_dir),
+        sf_dir.rstrip("/"),
+        KNN_QUERY_IDS,
+        k=k,
+        nlist=IVF_CELLS,
+        nprobe=IVF_PROBES,
     )
 
 

@@ -918,6 +918,8 @@ class SearchEngine:
         self._class_member_cache: dict[tuple[str, str], list[str]] = {}
         self._pair_sim_cache: dict[tuple[str, str], float] = {}
         self._class_df_cache: dict[tuple, int] = {}
+        # term → [(impact, n_docs)] level histogram (WAND phase 1)
+        self._wand_levels_cache: dict[str, list[tuple[int, int]]] = {}
 
     # ------------------------------------------------------------------
     def search_one(self, query: str, k: int = 10) -> DataFrame:
@@ -2469,14 +2471,32 @@ class SearchEngine:
         terms = sorted({t for _, t, _ in qterms})
         hits = self.postings.filter(F.col("term").isin(terms))
 
-        # ---- phase 1: per-term k-doc guarantee off the headers only
-        # bounded collect: ≤ 2^bits levels per query term
-        per_level = self._wand_level_df(hits).collect()
-        levels: dict[str, list[tuple[int, int]]] = {}
-        for r in per_level:
-            levels.setdefault(r["term"], []).append(
-                (int(r["impact"]), int(r["n_docs"]))
-            )
+        # ---- phase 1: per-term k-doc guarantee off the headers only.
+        # The level histogram is a pure function of the immutable
+        # index, so it caches driver-side per term (≤ 2^bits levels
+        # each): a term probed once never pays the metadata job again,
+        # and a warm WAND query is ONE action — the same plan shape as
+        # search_batch, minus the decodes the pivot test rejects.
+        missing = [t for t in terms if t not in self._wand_levels_cache]
+        if missing:
+            per_level = self._wand_level_df(
+                self.postings.filter(F.col("term").isin(missing))
+            ).collect()
+            if len(self._wand_levels_cache) > 65536:
+                self._wand_levels_cache.clear()  # bound it
+            fetched: dict[str, list[tuple[int, int]]] = {
+                t: [] for t in missing
+            }
+            for r in per_level:
+                fetched[r["term"]].append(
+                    (int(r["impact"]), int(r["n_docs"]))
+                )
+            self._wand_levels_cache.update(fetched)
+        levels = {
+            t: self._wand_levels_cache[t]
+            for t in terms
+            if self._wand_levels_cache.get(t)
+        }
         guar: dict[str, int] = {}
         maxg: dict[str, int] = {}
         for term, lv in levels.items():
@@ -2508,86 +2528,125 @@ class SearchEngine:
             if bound >= ACCUM_HALF:
                 theta[qid] = 0
 
-        # ---- phase 2: segment pivot test, then exact scoring
-        qt_df = F.broadcast(
-            self.spark.createDataFrame(
-                qterms, "query_id long, term string, weight long"
-            )
-        )
-        th_df = F.broadcast(
-            self.spark.createDataFrame(
-                [(q, theta.get(q, 0)) for q, _ in queries],
-                "query_id long, theta long",
-            )
-        )
-        pairs = (
-            hits.select("term", "seg_group", "max_impact")
-            .join(qt_df, "term")
-            .groupBy("query_id", "seg_group")
-            .agg(
-                F.sum(F.col("weight") * F.col("max_impact")).alias("ub"),
-                F.count(F.lit(1)).alias("n_segs"),
-            )
-            .join(th_df, "query_id")
-            .withColumn("keep", F.col("ub") >= F.col("theta"))
-        )
-        stats = None
-        if return_stats:
-            m = pairs.agg(
-                F.sum(F.when(F.col("keep"), F.col("n_segs")).otherwise(0)).alias("s"),
-                F.sum("n_segs").alias("t"),
-            ).collect()[0]
-            stats = {
-                "segments_scored": int(m["s"] or 0),
-                "segments_total": int(m["t"] or 0),
-            }
-        surv = pairs.filter("keep").select("query_id", "seg_group")
-        scored_src = (
-            hits.join(qt_df, "term")
-            .join(surv, ["query_id", "seg_group"])
-            .repartition("query_id", "seg_group")
-        )
-
+        # ---- phase 2: one exchange (seg_group), pivot test + exact
+        # scoring in the worker. The query fan-out (term → (query,
+        # weight)), θ₀ and the wrap flags ride the task closure —
+        # driver-known, query-bounded — so the plan is scan →
+        # repartition(seg_group) → part_fn → rank window, the exact
+        # shape of the grouped scorer (no broadcast exchanges, no
+        # metadata-aggregate subtree).
+        qmap: dict[str, list[tuple[int, int]]] = {}
+        for qid, term, weight in qterms:
+            qmap.setdefault(term, []).append((qid, weight))
         n_docs, mean_len = self.n_docs, self.mean_doc_len
         coll_len = self.collection_len
         codec = self.codec
+        # dynamic pruning is sound only while scores cannot wrap (the
+        # accumulator stays in the non-negative no-wrap regime)
+        nowand = {q for q, bnd in qbound.items() if bnd >= ACCUM_HALF}
+        theta0 = dict(theta)
 
         def part_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            qids: list[np.ndarray] = []
-            docs: list[np.ndarray] = []
-            contribs: list[np.ndarray] = []
+            """Block-max WAND with an ASCENDING partition-local
+            threshold (Ding & Suel SIGIR 2011, adapted to the
+            shared-nothing layout): per query, groups process
+            best-first (ceiling desc); once a (query, seg_group) group
+            is fully scored its docs' totals are COMPLETE (docid
+            ranges are disjoint across groups), so the partition's
+            running k-th best is a certified lower bound on the global
+            k-th (the k-th largest of a subset never exceeds the k-th
+            largest of the whole), and any later group whose ceiling
+            falls below it is skipped exactly. At cluster scale each
+            task owns many groups, so the local threshold converges to
+            ≈ the true k-th within a few groups — the trajectory the
+            reference's in-process heap threshold follows
+            (atire/atire_api.c:683-836)."""
+            rows_by_sg: dict[int, list] = {}
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
-                    dec = _segment_contrib(
-                        row, "bm25", False, True, n_docs, mean_len,
-                        coll_len, codec=codec,
-                    )
-                    if dec is None:
-                        continue
-                    docids, contrib = _per_query_contrib(dec, 0.0)
-                    qids.append(
-                        np.full(docids.size, row.query_id, dtype=np.int64)
-                    )
-                    docs.append(docids)
-                    contribs.append(contrib * int(row.weight))
-            if not qids:
+                    rows_by_sg.setdefault(int(row.seg_group), []).append(row)
+            if not rows_by_sg:
                 return
+            # per (query, seg_group): member rows + ceiling
+            groups: dict[tuple[int, int], list] = {}
+            ub_of: dict[tuple[int, int], int] = {}
+            for sg, rows in rows_by_sg.items():
+                for row in rows:
+                    for qid, weight in qmap[row.term]:
+                        key = (qid, sg)
+                        groups.setdefault(key, []).append((row, weight))
+                        ub_of[key] = ub_of.get(key, 0) + weight * int(
+                            row.max_impact
+                        )
+            by_q: dict[int, list[tuple[int, int]]] = {}
+            for key in groups:
+                by_q.setdefault(key[0], []).append(key)
+            qids: list[np.ndarray] = []
+            docs: list[np.ndarray] = []
+            rsvs: list[np.ndarray] = []
+            n_total_pairs = sum(len(v) for v in groups.values())
+            n_decoded = 0
+            dec_memo: dict[int, object] = {}
+            for qid, keys in by_q.items():
+                # best-first: descending ceiling, seg_group tie-break
+                keys.sort(key=lambda kk: (-ub_of[kk], kk[1]))
+                prune_ok = qid not in nowand
+                topk = np.empty(0, dtype=np.int64)  # local best rsvs
+                for key in keys:
+                    th = theta0.get(qid, 0)
+                    if prune_ok and topk.size == k:
+                        th = max(th, int(topk.min()))
+                    if prune_ok and ub_of[key] < th:
+                        continue  # every doc in the range scores < θ
+                    pairs = groups[key]
+                    g_docs: list[np.ndarray] = []
+                    g_contribs: list[np.ndarray] = []
+                    for row, weight in pairs:
+                        rid = id(row)
+                        if rid not in dec_memo:
+                            dec_memo[rid] = _segment_contrib(
+                                row, "bm25", False, True, n_docs,
+                                mean_len, coll_len, codec=codec,
+                            )
+                        dec = dec_memo[rid]
+                        if dec is None:
+                            continue
+                        dd, contrib = _per_query_contrib(dec, 0.0)
+                        g_docs.append(dd)
+                        g_contribs.append(contrib * int(weight))
+                    n_decoded += len(pairs)
+                    if not g_docs:
+                        continue
+                    d = np.concatenate(g_docs)
+                    c = np.concatenate(g_contribs)
+                    order = np.argsort(d, kind="stable")
+                    d, c = d[order], c[order]
+                    new = np.empty(d.size, dtype=bool)
+                    new[0] = True
+                    new[1:] = d[1:] != d[:-1]
+                    starts = np.flatnonzero(new)
+                    tot = accum_value(np.add.reduceat(c, starts))
+                    du = d[starts]
+                    qids.append(np.full(du.size, qid, dtype=np.int64))
+                    docs.append(du)
+                    rsvs.append(tot)
+                    # grow the local threshold off the completed docs
+                    topk = np.sort(np.concatenate((topk, tot)))[-k:]
+            # marker row: per-partition (scored, total) pair counts for
+            # the stats aggregation (query_id -1 never ranks)
+            qids.append(np.array([-1], dtype=np.int64))
+            docs.append(np.array([n_decoded], dtype=np.int64))
+            rsvs.append(np.array([n_total_pairs], dtype=np.int64))
             acc = pd.DataFrame(
                 {
                     "query_id": np.concatenate(qids),
                     "docid": np.concatenate(docs),
-                    "contrib": np.concatenate(contribs),
+                    "rsv_fixed": np.concatenate(rsvs),
                 }
             )
-            agg = (
-                acc.groupby(["query_id", "docid"], sort=False)["contrib"]
-                .sum()
-                .reset_index(name="rsv_fixed")
-            )
-            agg["rsv_fixed"] = accum_value(agg["rsv_fixed"])
             outs = []
-            for _, g in agg.groupby("query_id", sort=False):
-                if len(g) > k:
+            for qv, g in acc.groupby("query_id", sort=False):
+                if qv >= 0 and len(g) > k:
                     order = np.lexsort(
                         (-g["docid"].to_numpy(), -g["rsv_fixed"].to_numpy())
                     )[:k]
@@ -2595,10 +2654,25 @@ class SearchEngine:
                 outs.append(g)
             yield pd.concat(outs)
 
-        cand = scored_src.mapInPandas(
+        cand = hits.repartition("seg_group").mapInPandas(
             part_fn, schema="query_id long, docid long, rsv_fixed long"
         )
-        results = self._rank_topk(cand, k)
+        stats = None
+        if return_stats:
+            cand = cand.persist()
+            m = (
+                cand.filter(F.col("query_id") < 0)
+                .agg(
+                    F.sum("docid").alias("s"),
+                    F.sum("rsv_fixed").alias("t"),
+                )
+                .collect()[0]
+            )
+            stats = {
+                "segments_scored": int(m["s"] or 0),
+                "segments_total": int(m["t"] or 0),
+            }
+        results = self._rank_topk(cand.filter(F.col("query_id") >= 0), k)
         if return_stats:
             return results, stats
         return results

