@@ -282,3 +282,33 @@ class TestWordnetSourceCompiler:
 
         with pytest.raises(ValueError, match="unknown WordNet pointer"):
             Thesaurus.from_wordnet_source(noun=bad)
+
+    def test_cli_compiler(self, tmp_path):
+        """cli_thesaurus.py mirrors the tool's argv surface: four data
+        files in, one .aspt out, loadable by the reader."""
+        from atire_spark.thesaurus import Thesaurus
+        import cli_thesaurus
+
+        header = "  1 license header\n"
+        body = "{o0} 03 n 02 cat 0 feline 0 0 | a cat"
+        o0 = f"{len(header):08d}"
+        noun = header + body.format(o0=o0) + "\n"
+        empty = header  # a pos file with only the license block
+        paths = {}
+        for name, text in (
+            ("data.noun", noun), ("data.verb", empty),
+            ("data.adj", empty), ("data.adv", empty),
+        ):
+            p = tmp_path / name
+            p.write_text(text)
+            paths[name] = str(p)
+        out = str(tmp_path / "wn.aspt")
+        rc = cli_thesaurus.main(
+            [paths["data.noun"], paths["data.verb"],
+             paths["data.adj"], paths["data.adv"], "-o", out]
+        )
+        assert rc == 0
+        th = Thesaurus.from_ant_file(out)
+        assert th.entries == {
+            "cat": [(32, "feline")], "feline": [(32, "cat")]
+        }
