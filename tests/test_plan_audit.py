@@ -160,3 +160,79 @@ class TestCorpusOpPlans:
             if "PartitionFilters" in ln and "PartitionFilters: []" not in ln
         ]
         assert pf and any("cell" in ln and " IN (" in ln for ln in pf), p
+
+
+class TestTrimPlan:
+    def test_trim_cum_reads_metadata_only(self, engine):
+        """The distributed trim's per-term prefix-sum subtree must read
+        only the quantum-header columns — the posting BYTES reach the
+        scorer exactly once, never the aggregation (a regression here
+        re-ships every posting blob through the cum join's shuffle)."""
+        df = engine.search_batch([(1, "alpha bravo")], trim_postings_k=3)
+        p = plan_of(df)
+        # the pushed term filter survives the added join
+        assert "In(term" in p, p
+        assert "CartesianProduct" not in p, p
+        # two scans of postings appear (scorer + metadata subtree); at
+        # least one must prune the binary columns away
+        import re
+
+        schemas = re.findall(r"ReadSchema: struct<[^>]*>", p)
+        assert any("postings" not in s for s in schemas), schemas
+
+    def test_trim_results_unchanged_vs_full_decode_superset(self, engine):
+        """Sanity: trimmed search returns a subset-consistent ranking
+        (every trimmed hit exists in the untrimmed ranking)."""
+        full = {
+            (r.query_id, r.docid)
+            for r in engine.search_batch([(1, "alpha")], k=50).collect()
+        }
+        trimmed = engine.search_batch(
+            [(1, "alpha")], k=5, trim_postings_k=3
+        ).collect()
+        assert all((r.query_id, r.docid) in full for r in trimmed)
+
+
+class TestStemIteratorPlan:
+    def test_collected_path_pushes_member_filter(self, engine):
+        """The collected stem-iterator path must push the member-term
+        In filter to the postings scan (file pruning) and must not
+        broadcast-join the member fan-out (it rides the closure)."""
+        df = engine.search_stemmed_iterator([(1, "alpha")], stemmer="s")
+        p = plan_of(df)
+        import re
+
+        # member terms reach the scan as a pushed filter (EqualTo for
+        # a singleton class, In for larger ones)
+        assert re.search(r"PushedFilters: \[[^\]]*term", p), p
+        assert "CartesianProduct" not in p, p
+        # the fan-out rides the task closure, never a join
+        assert "BroadcastHashJoin" not in p, p
+
+    def test_wand_is_single_exchange_shape(self, engine, spark, tmp_path):
+        """WAND phase 2 shares the grouped scorer's plan shape: one
+        seg_group exchange feeding the pivot/scoring stage, no
+        broadcast of query metadata, no cartesian."""
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "conv_id": [f"c{i}" for i in range(30)],
+                "turn_idx": [0] * 30,
+                "text": ["alpha bravo word"] * 30,
+            }
+        )
+        write_index(
+            build_index(spark, spark.createDataFrame(pdf), quantize_bits=8),
+            str(tmp_path / "qidx"),
+        )
+        qeng = SearchEngine(spark, load_index(spark, str(tmp_path / "qidx")))
+        df = qeng.search_wand([(1, "alpha bravo")], k=5)
+        p = plan_of(df)
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastExchange" not in p, p
+        # exactly one round-robin/hash repartition feeds the python
+        # stage plus the (bounded) rank exchanges
+        import re
+
+        assert len(re.findall(r"\(\d+\) Exchange", p)) <= 3, p
