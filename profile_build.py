@@ -78,11 +78,14 @@ def main() -> None:
             block_bits = B._adaptive_block_bits(max(n_total, 1), cpus)
             t0 = time.monotonic()
             tokens = spark.read.parquet(f"{stage_dir}/tokens")
-            jt = tokens.join(
-                F.broadcast(docmap.select("conv_id", "turn_idx", "docid")),
-                ["conv_id", "turn_idx"],
-            ).select("docid", "doc_len", "terms", "occs")
-            stage1 = _stage1_from_tokens(jt, block_bits)
+            dm_pdf = docmap.select("conv_id", "turn_idx", "docid").toPandas()
+            stage1 = _stage1_from_tokens(
+                tokens.select(
+                    "conv_id", "turn_idx", "doc_len", "terms", "occs"
+                ),
+                block_bits,
+                docid_pdf=dm_pdf,
+            )
             stage2 = B.encode_segments(stage1, 1, stage_dir=stage_dir)
             legs["P3_stage1_encode"] = time.monotonic() - t0
 
